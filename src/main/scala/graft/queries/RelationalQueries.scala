@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish synthetic tables:
+  * scan+filter+project, grouped/global aggregation (incl. count-distinct),
+  * 2/3-way equi joins (broadcast for dims), anti/semi joins (negation),
+  * union-distinct, global sort, top-k, arithmetic projections, HAVING,
+  * CASE, window functions, ROLLUP.
+  *
+  * Mirrors the reference surface in SURVEY.md §2.6 (scans, equi joins,
+  * anti-join-as-negation, min/max/count/sum/avg/countd, sort/limit/top-k,
+  * union+distinct, arithmetic) plus window/rollup which Spark gives us
+  * beyond the reference.
+  *
+  * Numeric determinism: the DuckDB oracle hash-compares values, so money
+  * sums are computed over exact integer cents (round(x*100) → bigint) —
+  * floating-point sums of non-integral doubles are order-dependent and
+  * would flake; integral-double sums (l_quantity) and min/max are exact.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** sum of a money column as exact integer cents */
+  private def cents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100, 0).cast("long"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary style grouped aggregation (TPC-H Q1 shape).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          cents(col("l_extendedprice")).as("sum_price_cents"),
+          count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_orders"))
+    }),
+
+    // Filter + projection — predicate and column pruning reach the scan.
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp")
+          && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // 2-way fact⋈fact join + broadcast dim join + grouped agg.
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("sum_total_cents"))
+        .withColumnRenamed("n_name", "n_name")
+    }),
+
+    // 3-way dim chain with filter — both dims broadcast.
+    "q4_join3" -> ((s, dir) => {
+      val su = t(s, dir, "supplier"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_regionkey") < 3)
+        .select(su("s_suppkey"), n("n_name"), r("r_name"))
+    }),
+
+    // Negation: customers with no urgent orders (left_anti — the
+    // reference's leftouter+IsNull anti-join pattern, expressed natively).
+    "q5_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+          c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Semi join: customers with at least one high-value order.
+    "q6_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+
+    // Union + distinct (Datalog set-union semantics).
+    "q7_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nk"))
+        .union(su.select(col("s_nationkey").as("nk")))
+        .distinct()
+    }),
+
+    // Top-k: global sort + limit with deterministic tiebreak.
+    "q8_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Arithmetic in projection (revenue = price * (1 - discount)).
+    "q9_arith" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("revenue_cents"))
+    }),
+
+    // Global aggregate with count-distinct (no grouping).
+    "q10_countd" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // HAVING — filter over aggregate.
+    "q11_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 5)
+    }),
+
+    // Window function: per-user event sequence numbers (beyond reference).
+    "q12_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"))
+    }),
+
+    // CASE expression + grouped count.
+    "q13_case" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          when(col("value") < 10, "low")
+            .when(col("value") < 100, "mid")
+            .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ROLLUP — hierarchical totals (beyond reference).
+    "q14_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    // Join + window rank: top order per customer segment by total price.
+    "q15_rank_per_group" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val j = c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      j.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "rk")
+    }),
+
+    // Time-bucketed aggregation over events (streaming-shape as batch).
+    // ts is epoch-nanos BIGINT (see Tables.load); integer `div` keeps the
+    // bucket computation exact on both engines.
+    "q16_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(expr("(ts div 3600000000000) * 3600").as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          cents(col("value")).as("sum_value_cents"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         MIN(l_quantity) AS min_qty,
+         MAX(l_quantity) AS max_qty,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05""",
+    "q3_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q4_join3" ->
+      """SELECT s_suppkey, n_name, r_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_regionkey < 3""",
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+    "q7_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION
+         SELECT s_nationkey AS nk FROM supplier""",
+    "q8_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q9_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS revenue_cents
+         FROM lineitem WHERE l_orderkey % 100 = 0""",
+    "q10_countd" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(*) AS n_rows FROM lineitem""",
+    "q11_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING COUNT(*) >= 5""",
+    "q12_window" ->
+      """SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events""",
+    "q13_case" ->
+      """SELECT event_type,
+         CASE WHEN value < 10 THEN 'low' WHEN value < 100 THEN 'mid'
+              ELSE 'high' END AS bucket,
+         COUNT(*) AS n
+         FROM events GROUP BY event_type, 2""",
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q15_rank_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, rk FROM (
+           SELECT c_mktsegment, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM customer JOIN orders ON c_custkey = o_custkey) t
+         WHERE rk <= 3""",
+    "q16_time_bucket" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, COUNT(*) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_cents
+         FROM events GROUP BY 1, 2"""
+  )
+}
