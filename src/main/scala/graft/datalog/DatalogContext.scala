@@ -1,0 +1,147 @@
+package graft.datalog
+
+import Ast._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import scala.collection.mutable
+
+/** User-facing façade — the Spark-4-native equivalent of the reference's
+  * `BigDatalogContext` (dl/BigDatalogContext.scala): load a program,
+  * register/load base relations, run query forms.
+  *
+  * {{{
+  * val ctx = new DatalogContext(spark)
+  * ctx.loadProgram("database({arc(From:integer,To:integer)}). " +
+  *   "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B).")
+  * ctx.registerData("arc", Seq("0,1", "1,2"))
+  * val df = ctx.query("tc(A,B).")   // DataFrame with columns a, b
+  * }}}
+  */
+final class DatalogContext(val spark: SparkSession) {
+
+  final class DatalogException(msg: String) extends RuntimeException(msg)
+
+  private var program: Program = Program(Nil, Nil)
+  private var analysis: Analysis = new Analysis(program)
+  private val relations = mutable.Map[String, DataFrame]()
+  private var evaluator: Option[Evaluator] = None
+
+  def declaredSchema(name: String): Option[StructType] =
+    program.decls.find(_.name == name).map(d =>
+      StructType(d.cols.map(c => StructField(c.name, Types.sparkType(c.typeName), nullable = false))))
+
+  /** Compile database declarations + rules (replaces the reference's
+    * external DeALS jar compile step). Resets evaluation state. */
+  def loadProgram(text: String): Unit = {
+    program = Parser.parseProgram(text)
+    analysis = new Analysis(program)
+    evaluator = None
+  }
+
+  def loadDatalogFile(path: String): Unit =
+    loadProgram(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+
+  /** Register an existing DataFrame as a base relation (cast to the
+    * declared schema when one exists). */
+  def registerTable(name: String, df: DataFrame): Unit = {
+    val cast = declaredSchema(name) match {
+      case Some(schema) =>
+        require(schema.length == df.columns.length,
+          s"$name: declared arity ${schema.length} != DataFrame arity ${df.columns.length}")
+        df.select(df.columns.zip(schema.fields).map { case (c, f) =>
+          df.col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      case None => df
+    }
+    relations(name) = cast
+    evaluator = None
+  }
+
+  /** Reference-style in-memory load: CSV strings, `%` comment lines
+    * skipped, values trimmed and parsed per the declared schema
+    * (dl/Utilities.scala:86-137, dl/BigDatalogContext.scala:157-173). */
+  def registerData(name: String, rows: Seq[String], numPartitions: Int = 0): Unit = {
+    val schema = declaredSchema(name).getOrElse(
+      throw new DatalogException(s"no declaration for relation $name"))
+    val parsed = rows.iterator
+      .filterNot(r => r.isEmpty || r.startsWith("%"))
+      .map { line =>
+        val parts = line.split(",").map(_.trim)
+        require(parts.length >= schema.length, s"$name: bad row '$line'")
+        Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+          Types.parse(parts(i), f.dataType)
+        }.toSeq)
+      }.toSeq
+    val rdd = spark.sparkContext.parallelize(
+      parsed, if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism)
+    registerTable(name, spark.createDataFrame(rdd, schema))
+  }
+
+  /** Load a delimited text file per the declared schema: `.csv` →
+    * comma-delimited, else tab (dl/Utilities.scala:86-114). */
+  def registerAndLoadTable(name: String, path: String, numPartitions: Int = 0): Unit = {
+    val schema = declaredSchema(name).getOrElse(
+      throw new DatalogException(s"no declaration for relation $name"))
+    val delim = if (path.endsWith(".csv")) "," else "\t"
+    var reader = spark.read
+      .schema(schema)
+      .option("delimiter", delim)
+      .option("comment", "%")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+    val df = reader.csv(path)
+    registerTable(name,
+      if (numPartitions > 0) df.repartition(numPartitions) else df)
+  }
+
+  def reset(): Unit = {
+    program = Program(Nil, Nil)
+    analysis = new Analysis(program)
+    relations.clear()
+    evaluator = None
+  }
+
+  private def edb(name: String): DataFrame =
+    relations.getOrElse(name,
+      throw new DatalogException(s"unknown relation $name (not registered)"))
+
+  /** Evaluate a query form, e.g. `tc(A,B).` or bound `tc(0,B).`.
+    * Output columns take the query variables' names (lowercased);
+    * constant positions keep a positional name and stay in the output
+    * (matching the reference's result shape). */
+  def query(queryText: String): DataFrame = {
+    val qf = Parser.parseQuery(queryText)
+    val ev = evaluator.getOrElse {
+      val e = new Evaluator(analysis, edb); evaluator = Some(e); e
+    }
+    var df = ev.predDF(qf.pred)
+    require(df.columns.length == qf.args.length,
+      s"${qf.pred} has arity ${df.columns.length}, query uses ${qf.args.length}")
+    val cols = df.columns
+    // bound arguments → filters (v1: post-filter; the reference pushes
+    // bindings into recursion via the DeAL compiler's adorned programs —
+    // SURVEY.md §4 "magic-set-like rewrite")
+    qf.args.zipWithIndex.foreach {
+      case (Constant(x), i) => df = df.filter(col(cols(i)) === lit(x))
+      case _ => ()
+    }
+    val seen = mutable.Set[String]()
+    val outCols = qf.args.zipWithIndex.map {
+      case (Variable(v), i) =>
+        val n = v.toLowerCase
+        // repeated query variable → equality filter, suffixed column
+        if (seen(n)) { df = df.filter(col(cols(i)) === col(cols(qf.args.indexWhere {
+          case Variable(w) => w.toLowerCase == n; case _ => false
+        }))); col(cols(i)).as(n + "_" + i) }
+        else { seen += n; col(cols(i)).as(n) }
+      case (_, i) => col(cols(i)).as(s"c$i")
+    }
+    df.select(outCols: _*)
+  }
+
+  /** Evaluate and collect as the reference's test harness renders rows
+    * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */
+  def queryStrings(queryText: String): Seq[String] =
+    query(queryText).collect().toSeq.map(_.toString)
+}

@@ -1,0 +1,209 @@
+package graft.datalog
+
+import Ast._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Bottom-up evaluation of a Datalog program over DataFrames.
+  *
+  * Non-recursive predicates: union of rule plans + distinct (set
+  * semantics; reference wraps unions in Distinct when
+  * `uniondistinct.enabled`, LogicalPlanGenerator.scala:168-171).
+  *
+  * Recursive cliques: driver-side semi-naive fixpoint (the Spark-4-native
+  * equivalent of the reference's Recursion physical operator & SetRDD
+  * layer, SURVEY.md §2.3-2.4): `delta = T(delta) \ all; all ∪= delta`,
+  * with `localCheckpoint` per iteration for lineage truncation (replacing
+  * the fork's RDD.memoryCheckpoint) and delta-emptiness as the
+  * fixed-point test.
+  *
+  * Monotonic-aggregate cliques (mmin/mmax in recursion): state is the
+  * aggregate map as a DataFrame; per iteration new candidates merge into
+  * the state via re-aggregation and the delta is the set of groups whose
+  * value strictly improved (the relational formulation of the reference's
+  * AggregateSetRDD.update, AggregateRecursion.scala:26-177).
+  */
+final class Evaluator(
+    analysis: Analysis,
+    edb: String => DataFrame,
+    maxIterations: Int = 10000) {
+
+  final class EvalException(msg: String) extends RuntimeException(msg)
+
+  private val memo = mutable.Map[String, DataFrame]()
+
+  def predDF(p: String): DataFrame = memo.getOrElseUpdate(p, {
+    if (!analysis.isIdb(p)) edb(p)
+    else if (analysis.isRecursive(p)) { evalClique(p); memo(p) }
+    else evalNonRecursive(p)
+  })
+
+  private def baseResolver: RuleCompiler.Resolver = (pred, _) => predDF(pred)
+
+  private def evalNonRecursive(p: String): DataFrame = {
+    val rules = analysis.rulesFor(p)
+    val dfs = rules.map(r => RuleCompiler.compile(r, baseResolver))
+    val u = dfs.reduce(_ union _)
+    if (rules.length == 1 && rules.head.head.isAggregate) u else u.distinct()
+  }
+
+  // ------------------------------------------------------------ recursion
+
+  private def evalClique(p: String): Unit = {
+    val clique = analysis.cliqueOf(p)
+    // evaluate all lower strata referenced by the clique first
+    for (pred <- clique.preds.toSeq.sorted; r <- analysis.rulesFor(pred);
+         a <- r.bodyAtoms if !clique.preds(a.pred))
+      predDF(a.pred)
+    if (clique.monotonic) evalMonotonicClique(clique)
+    else evalSemiNaiveClique(clique)
+  }
+
+  /** Resolver for one semi-naive rule variant: clique-member occurrence
+    * `chosen` reads the delta, other occurrences read the all-set
+    * (delta⊆all after merge, so delta⋈delta pairs are covered).
+    * Reference: linear recursion reads only the delta
+    * (LinearRecursiveRelation); second+ occurrences read all facts
+    * (NonLinearRecursiveRelation) — operators.scala:75-84. */
+  private def variantResolver(
+      clique: Analysis#Clique,
+      delta: Map[String, DataFrame],
+      all: Map[String, DataFrame],
+      chosen: Int): RuleCompiler.Resolver = {
+    var cliqueOcc = -1
+    (pred, _) =>
+      if (clique.preds(pred)) {
+        cliqueOcc += 1
+        val m = if (cliqueOcc == chosen) delta else all
+        m.getOrElse(pred, throw new RuleCompiler.SkipRule)
+      } else predDF(pred)
+  }
+
+  /** All semi-naive contributions of one rule this iteration. */
+  private def ruleVariants(
+      rule: Rule,
+      clique: Analysis#Clique,
+      delta: Map[String, DataFrame],
+      all: Map[String, DataFrame]): Seq[DataFrame] = {
+    val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
+    (0 until k).flatMap { chosen =>
+      try Some(RuleCompiler.compile(rule, variantResolver(clique, delta, all, chosen)))
+      catch { case _: RuleCompiler.SkipRule => None }
+    }
+  }
+
+  private def evalSemiNaiveClique(clique: Analysis#Clique): Unit = {
+    val preds = clique.preds.toSeq.sorted
+    var all = Map[String, DataFrame]()
+    var delta = Map[String, DataFrame]()
+
+    // iteration 0: exit rules
+    for (p <- preds) {
+      val exits = clique.exitRules(p)
+      if (exits.nonEmpty) {
+        val d = exits.map(r => RuleCompiler.compile(r, baseResolver))
+          .reduce(_ union _).distinct().localCheckpoint()
+        if (d.count() > 0) { all += p -> d; delta += p -> d }
+      }
+    }
+
+    var iter = 0
+    while (delta.nonEmpty) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new EvalException(s"fixpoint exceeded $maxIterations iterations")
+      var newDelta = Map[String, DataFrame]()
+      for (p <- preds) {
+        val contribs = clique.recursiveRules(p)
+          .flatMap(r => ruleVariants(r, clique, delta, all))
+        if (contribs.nonEmpty) {
+          val u = contribs.reduce(_ union _)
+          val d = (all.get(p) match {
+            case Some(a) => u.except(a) // EXCEPT dedups (set difference)
+            case None => u.distinct()
+          }).localCheckpoint()
+          if (d.count() > 0) newDelta += p -> d
+        }
+      }
+      // merge: all ∪= delta (union of checkpointed leaves — plan stays flat)
+      for ((p, d) <- newDelta)
+        all += p -> all.get(p).map(_ union d).getOrElse(d)
+      delta = newDelta
+    }
+
+    for (p <- preds) {
+      val df = all.getOrElse(p,
+        throw new EvalException(
+          s"recursive predicate $p derived no facts and has no schema"))
+      memo(p) = df
+    }
+  }
+
+  // ------------------------------------- monotonic aggregate recursion
+
+  private def evalMonotonicClique(clique: Analysis#Clique): Unit = {
+    if (clique.preds.size > 1)
+      throw new EvalException(
+        s"mutual monotonic-aggregate recursion not supported: ${clique.preds}")
+    val p = clique.preds.head
+    val rules = analysis.rulesFor(p)
+    val head = rules.head.head
+    val aggIdxs = head.args.zipWithIndex.collect { case (_: AggArg, i) => i }
+    if (aggIdxs.length != 1)
+      throw new EvalException(s"$p must have exactly one mmin/mmax argument")
+    val aggIdx = aggIdxs.head
+    val isMin = head.args(aggIdx).asInstanceOf[AggArg].func == "mmin"
+    val groupCols = head.args.indices.filterNot(_ == aggIdx).map(i => s"c$i")
+    val aggCol = s"c$aggIdx"
+    val headOrder = head.args.indices.map(i => col(s"c$i"))
+
+    def reAgg(df: DataFrame): DataFrame = {
+      val f = if (isMin) min(col(aggCol)) else max(col(aggCol))
+      val agged =
+        if (groupCols.isEmpty) df.agg(f.as(aggCol))
+        else df.groupBy(groupCols.map(col): _*).agg(f.as(aggCol))
+      agged.select(headOrder: _*)
+    }
+
+    val exits = clique.exitRules(p)
+    if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
+    var state = reAgg(
+      exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _))
+      .localCheckpoint()
+    var delta = state
+
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new EvalException(s"aggregate fixpoint exceeded $maxIterations iterations")
+      val deltaMap = Map(p -> delta)
+      val stateMap = Map(p -> state)
+      val contribs = clique.recursiveRules(p)
+        .flatMap(r => ruleVariants(r, clique, deltaMap, stateMap))
+      if (contribs.isEmpty) done = true
+      else {
+        val cand = reAgg(contribs.reduce(_ union _))
+        val merged = reAgg(state.union(cand)).localCheckpoint()
+        val old = state.select(
+          (groupCols.map(col) :+ col(aggCol).as("__old")): _*)
+        val improved: Column =
+          if (isMin) col("__old").isNull || col(aggCol) < col("__old")
+          else col("__old").isNull || col(aggCol) > col("__old")
+        val d = (if (groupCols.isEmpty) {
+          merged.crossJoin(old).filter(
+            if (isMin) col(aggCol) < col("__old") else col(aggCol) > col("__old"))
+            .select(headOrder: _*)
+        } else {
+          merged.join(old, groupCols.toSeq, "left_outer").filter(improved)
+            .select(headOrder: _*)
+        }).localCheckpoint()
+        if (d.count() == 0) done = true
+        else { state = merged; delta = d }
+      }
+    }
+    memo(p) = state
+  }
+}
