@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val packs: Seq[graft.queries.QueryPack] = Seq(
-    graft.queries.RelationalQueries)
+    graft.queries.RelationalQueries,
+    graft.queries.DatalogQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.datalog.DatalogContext
+
+/** Recursive-query coverage for the correctness gate, run through the
+  * real Datalog engine (parser → stratification → rule compiler →
+  * semi-naive / monotonic-aggregate fixpoint), not hand-written DataFrame
+  * loops. Mirrors the reference's benchmark set (SURVEY.md §6: TC LL/NL,
+  * SG, SSSP, CC, Reach, top-k) re-expressed over the driver's synthetic
+  * parquet tables.
+  *
+  * The graph is derived deterministically from `customer`: node k for
+  * every c_custkey (contiguous 0..N-1), partitioned into blocks of 16
+  * with intra-block edges k→k+1 (cost 2) and k→k+3 (cost 5). Edges never
+  * cross a block boundary, so components = blocks, the longest path is 15
+  * hops (fixpoints converge in ≤15 iterations at every scale factor), and
+  * the transitive closure is Θ(N·16²/2) rows — the result grows linearly
+  * with the data, which is what keeps these queries runnable at 100 TB:
+  * fixpoint depth is scale-invariant and each iteration is one
+  * delta-join shuffle keyed on the join column.
+  *
+  * Oracles are DuckDB `WITH RECURSIVE` CTEs over the same tables.
+  */
+object DatalogQueries extends QueryPack {
+
+  private val B = 16 // block size
+
+  /** Declarations shared by all programs. */
+  private val db =
+    "database({arc(X:long, Y:long, C:long), edge(X:long, Y:long), node(X:long)})."
+
+  /** Weighted intra-block DAG edges from customer keys. */
+  private def arcDF(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+    val mx = keys.agg(max("k").as("m"))
+    val withMax = keys.crossJoin(broadcast(mx))
+    val step = withMax
+      .filter(col("k") % B =!= (B - 1) && col("k") + 1 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 1).as("y"), lit(2L).as("c"))
+    val skip = withMax
+      .filter(col("k") % B <= (B - 4) && col("k") + 3 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 3).as("y"), lit(5L).as("c"))
+    step.union(skip)
+  }
+
+  /** Fresh context with arc (weighted DAG), edge (symmetric closure of
+    * arc) and node registered. */
+  private def ctx(s: SparkSession, dir: String, program: String): DatalogContext = {
+    val c = new DatalogContext(s)
+    c.loadProgram(db + program)
+    val arc = arcDF(s, dir)
+    c.registerTable("arc", arc)
+    val fwd = arc.select(col("x"), col("y"))
+    c.registerTable("edge", fwd.union(arc.select(col("y").as("x"), col("x").as("y"))))
+    c.registerTable("node",
+      Tables.load(s, dir, "customer").select(col("c_custkey").as("x")))
+    c
+  }
+
+  /** Shared oracle CTE prefix defining the same graph in DuckDB. */
+  private val arcSql =
+    s"""mx AS (SELECT max(c_custkey) AS m FROM customer),
+       arc AS (
+         SELECT c_custkey AS src, c_custkey + 1 AS dst, 2 AS cost
+         FROM customer, mx WHERE c_custkey % $B != ${B - 1} AND c_custkey + 1 <= m
+         UNION ALL
+         SELECT c_custkey, c_custkey + 3, 5
+         FROM customer, mx WHERE c_custkey % $B <= ${B - 4} AND c_custkey + 3 <= m
+       )"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Linear transitive closure (reference benchmark program 11, TC-LL).
+    "dl_tc" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "tc(A,B) <- arc(A,B,_). tc(A,B) <- tc(A,C), arc(C,B,_).")
+      c.query("tc(A,B).")
+    }),
+
+    // Non-linear TC (program 13): delta⋈all + all⋈delta semi-naive variants.
+    "dl_tc_nl" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "tc(A,B) <- arc(A,B,_). tc(A,B) <- tc(A,C), tc(C,B).")
+      c.query("tc(A,B).")
+    }),
+
+    // Reachability from a constant seed (program 51).
+    "dl_reach" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "reach(X) <- X=0. reach(Y) <- reach(X), arc(X,Y,_).")
+      c.query("reach(A).")
+    }),
+
+    // Same-generation (program 21): non-linear with two base joins/iter.
+    "dl_sg" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "sg(X,Y) <- arc(P,X,_), arc(P,Y,_), X~=Y. " +
+          "sg(X,Y) <- arc(A,X,_), sg(A,B), arc(B,Y,_).")
+      c.query("sg(A,B).")
+    }),
+
+    // Single-source shortest paths via monotonic mmin + tuple seed
+    // (program 32): aggregate-recursion fixpoint, delta = improved groups.
+    "dl_sssp" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "mminpath(X,mmin<D>) <- X=0, D=0. " +
+          "mminpath(Z,mmin<D>) <- mminpath(X,D1), arc(X,Z,C), D=D1+C. " +
+          "sssp(X,min<D>) <- mminpath(X,D).")
+      c.query("sssp(A,D).")
+    }),
+
+    // Connected components via mmin label propagation (program 41) over
+    // the symmetric edge relation; components = blocks of 16.
+    "dl_cc" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "cc3(X,mmin<X>) <- node(X). " +
+          "cc3(Y,mmin<V>) <- cc3(X,V), edge(X,Y). " +
+          "cc2(X,min<Y>) <- cc3(X,Y).")
+      c.query("cc2(A,B).")
+    }),
+
+    // Stratified countd above the recursive clique: number of components.
+    "dl_cc_count" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "cc3(X,mmin<X>) <- node(X). " +
+          "cc3(Y,mmin<V>) <- cc3(X,V), edge(X,Y). " +
+          "cc2(X,min<Y>) <- cc3(X,Y). " +
+          "cc(countd<Z>) <- cc2(_,Z).")
+      c.query("cc(A).")
+    }),
+
+    // Aggregation + sort/limit pseudo-predicates (PYMK-style top-k,
+    // reference program 73): top-10 nodes by out-degree.
+    "dl_topdeg" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "deg(X,count<Y>) <- arc(X,Y,_). " +
+          "topdeg(X,C) <- deg(X,C), sort((C,desc),(X,asc)), limit(10).")
+      c.query("topdeg(A,B).")
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val tcSql =
+      s"""WITH RECURSIVE $arcSql,
+          tc(a,b) AS (
+            SELECT src, dst FROM arc
+            UNION
+            SELECT tc.a, arc.dst FROM tc JOIN arc ON arc.src = tc.b)
+          SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM tc"""
+    val ccSql =
+      s"""SELECT CAST(c_custkey AS BIGINT) AS a,
+          CAST(c_custkey - (c_custkey % $B) AS BIGINT) AS b FROM customer"""
+    Map(
+      "dl_tc" -> tcSql,
+      "dl_tc_nl" -> tcSql,
+      "dl_reach" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(x) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT arc.dst FROM r JOIN arc ON arc.src = r.x)
+            SELECT CAST(x AS BIGINT) AS a FROM r""",
+      "dl_sg" ->
+        s"""WITH RECURSIVE $arcSql,
+            sg(x,y) AS (
+              SELECT a1.dst, a2.dst FROM arc a1 JOIN arc a2 ON a1.src = a2.src
+              WHERE a1.dst != a2.dst
+              UNION
+              SELECT a1.dst, a2.dst
+              FROM sg JOIN arc a1 ON a1.src = sg.x JOIN arc a2 ON a2.src = sg.y)
+            SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b FROM sg""",
+      "dl_sssp" ->
+        s"""WITH RECURSIVE $arcSql,
+            p(n,d) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.n)
+            SELECT CAST(n AS BIGINT) AS a, CAST(min(d) AS BIGINT) AS d
+            FROM p GROUP BY n""",
+      "dl_cc" -> ccSql,
+      "dl_cc_count" ->
+        s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
+            FROM customer""",
+      "dl_topdeg" ->
+        s"""WITH $arcSql
+            SELECT CAST(x AS BIGINT) AS a, CAST(c AS BIGINT) AS b FROM (
+              SELECT src AS x, count(*) AS c FROM arc GROUP BY src
+            ) ORDER BY c DESC, x ASC LIMIT 10"""
+    )
+  }
+}

@@ -188,7 +188,7 @@ object RelationalQueries extends QueryPack {
          SUM(l_quantity) AS sum_qty,
          MIN(l_quantity) AS min_qty,
          MAX(l_quantity) AS max_qty,
-         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
          COUNT(*) AS n_rows,
          COUNT(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -197,7 +197,7 @@ object RelationalQueries extends QueryPack {
          WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05""",
     "q3_join_agg" ->
       """SELECT n_name, COUNT(*) AS n_orders,
-         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS sum_total_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_total_cents
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
@@ -256,7 +256,7 @@ object RelationalQueries extends QueryPack {
     "q16_time_bucket" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sum_value_cents
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, 2"""
   )
 }
