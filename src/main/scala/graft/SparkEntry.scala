@@ -14,7 +14,11 @@ object SparkEntry {
 
   private val packs: Seq[graft.queries.QueryPack] = Seq(
     graft.queries.RelationalQueries,
-    graft.queries.DatalogQueries)
+    graft.queries.DatalogQueries,
+    graft.queries.TextQueries,
+    graft.queries.EmbeddingQueries,
+    graft.queries.StreamingQueries,
+    graft.queries.MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

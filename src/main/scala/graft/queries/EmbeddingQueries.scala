@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Scores are inner products over per-element quantized values
+  * (floor(x·1000) as int64): integer arithmetic is order-independent and
+  * engine-exact, so brute-force results hash-match the DuckDB oracle
+  * bit-for-bit — float cosine would be summation-order-dependent.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (a
+  * broadcast of the query set against a scan of the corpus — at 100 TB
+  * the corpus side stays partition-parallel and nothing shuffles but the
+  * per-query top-k); the LSH variant buckets by random-hyperplane signs
+  * so candidate generation joins on the bucket key instead of comparing
+  * all pairs — that's the 100 TB path. Per-label centroids are the IVF
+  * building block (one partial-aggregated shuffle keyed by label).
+  */
+object EmbeddingQueries extends QueryPack {
+
+  /** int64-quantized embedding (float → double widen is exact). */
+  private val quant =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
+
+  /** integer dot product of two quantized arrays */
+  private def dot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (s, v) -> s + v)"
+
+  /** 8-hyperplane sign bucket; plane weights w(i,j) = ((i*31+j*17) % 7) - 3. */
+  private def bucket(v: String) =
+    s"""aggregate(transform(sequence(0,7), j ->
+          if(aggregate(transform(sequence(0,63), i ->
+               $v[i] * (((i*31 + j*17) % 7) - 3)), cast(0 as bigint), (s, x) -> s + x) > 0,
+             shiftleft(1L, j), 0L)),
+        0L, (s, x) -> s + x)"""
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").selectExpr("vec_id", s"$quant as q", "label")
+
+  import org.apache.spark.sql.expressions.Window
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force inner-product top-10 for query vectors vec_id < 5.
+    "emb_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+      val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      cands.crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .selectExpr("qid", "cid", s"${dot("qv", "cv")} as dot")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
+    }),
+
+    // LSH variant: candidates restricted to the query's hyperplane-sign
+    // bucket; top-5 by the same exact dot product.
+    "emb_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt"))
+      val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("bkt"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      cands.join(broadcast(queries), "bkt")
+        .filter(col("cid") =!= col("qid"))
+        .selectExpr("qid", "cid", s"${dot("qv", "cv")} as dot")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
+    }),
+
+    // Per-label centroids (IVF coarse quantizer building block), kept as
+    // exact integer sums per dimension.
+    "emb_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .selectExpr("label", "posexplode(q) as (i, v)")
+        .groupBy(col("label"), col("i"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .selectExpr("cast(label as bigint) as label", "cast(i as bigint) as i",
+          "s", "n"))
+  )
+
+  // ---- DuckDB oracles (1-based lists; same integer formulas) ----
+
+  private val quantD =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+
+  private val dotD =
+    "CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) AS BIGINT)"
+
+  private val bucketD =
+    """CAST(list_sum(list_transform(range(8), j ->
+         CASE WHEN list_sum(list_transform(range(64), i ->
+                v[i+1] * (((i*31 + j*17) % 7) - 3))) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+  val oracles: Map[String, String] = Map(
+    "emb_knn" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              CAST(list_sum(list_transform(range(1, len(q.v)+1),
+                i -> q.v[i]*c.v[i])) AS BIGINT) AS dot
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 5),
+          ranked AS (SELECT qid, cid, dot,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
+            FROM scored)
+          SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 10""",
+    "emb_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          eb AS (SELECT vec_id, v, $bucketD AS bkt FROM e),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              CAST(list_sum(list_transform(range(1, len(q.v)+1),
+                i -> q.v[i]*c.v[i])) AS BIGINT) AS dot
+            FROM eb q JOIN eb c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+            WHERE q.vec_id < 5),
+          ranked AS (SELECT qid, cid, dot,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
+            FROM scored)
+          SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5""",
+    "emb_centroids" ->
+      s"""WITH e AS (SELECT label, $quantD AS v FROM embeddings)
+          SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+            CAST(sum(v[i+1]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM e, range(64) r(i) GROUP BY label, i"""
+  )
+}

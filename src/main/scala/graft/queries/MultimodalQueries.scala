@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, batch feature extraction via `mapPartitions` over a typed
+  * Dataset — the Spark-side shape a real image/audio pipeline needs
+  * (binary column in, per-record features out, executed partition-
+  * parallel with no driver collect).
+  *
+  * STUB: this container has no image/audio codecs, so "decode" is a
+  * deterministic fake — the payload is the document text as UTF-8 bytes
+  * and the extracted "features" are byte length, codepoint checksum and
+  * a fake frame count. The plumbing (binary encoding, partition-batched
+  * iteration, typed output schema) is real and is what would carry a
+  * JPEG/WAV decode at 100 TB; swap `decodeStub` for the codec call.
+  */
+object MultimodalQueries extends QueryPack {
+
+  private val P = 1000000007L
+
+  /** The clearly-marked stand-in for a real media decoder. */
+  private def decodeStub(bytes: Array[Byte]): (Long, Long) = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    var sum = 0L
+    text.codePoints().toArray.foreach(c => sum = (sum + c) % P)
+    (sum, bytes.length.toLong / 1000 + 1) // checksum, fake frame count
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      payloads.select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (cpSum, frames) = decodeStub(bytes)
+            (id, bytes.length.toLong, cpSum, frames)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "cp_sum", "n_frames")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // text is ASCII, so UTF-8 byte length == char length and the
+    // codepoint checksum is the unicode() sum
+    "mm_features" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(length(text)), i -> CAST(unicode(substr(text, i+1, 1)) AS BIGINT))),
+            (h, x) -> (h + x) % $P) AS cp_sum,
+          CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
+          FROM documents"""
+  )
+}

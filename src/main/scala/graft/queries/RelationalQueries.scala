@@ -170,6 +170,39 @@ object RelationalQueries extends QueryPack {
         .select("c_mktsegment", "o_orderkey", "rk")
     }),
 
+    // INTERSECT — nations having both customers and suppliers.
+    "q17_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nk"))
+        .intersect(su.select(col("s_nationkey").as("nk")))
+    }),
+
+    // EXCEPT — customers who never placed an order.
+    "q18_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.select(col("c_custkey").as("k"))
+        .except(o.select(col("o_custkey").as("k")))
+    }),
+
+    // String function library over customer names.
+    "q19_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0)
+        .selectExpr("c_custkey",
+          "upper(c_name) as uname",
+          "substr(c_name, 1, 8) as prefix",
+          "length(c_name) as name_len",
+          "concat(c_mktsegment, ':', c_name) as tagged",
+          "replace(c_name, '#', '-') as dashed")),
+
+    // Date/time extraction + grouped counts over order dates.
+    "q20_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))),
+
     // Time-bucketed aggregation over events (streaming-shape as batch).
     // ts is epoch-nanos BIGINT (see Tables.load); integer `div` keeps the
     // bucket computation exact on both engines.
@@ -253,6 +286,24 @@ object RelationalQueries extends QueryPack {
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM customer JOIN orders ON c_custkey = o_custkey) t
          WHERE rk <= 3""",
+    "q17_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nk FROM supplier""",
+    "q18_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders""",
+    "q19_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+         length(c_name) AS name_len,
+         concat(c_mktsegment, ':', c_name) AS tagged,
+         replace(c_name, '#', '-') AS dashed
+         FROM customer WHERE c_custkey % 50 = 0""",
+    "q20_date_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
+         FROM orders GROUP BY 1, 2""",
     "q16_time_bucket" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,

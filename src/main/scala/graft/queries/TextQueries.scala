@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (tokenize, quality-score, language
+  * guess, fingerprint, exact dedup, MinHash+LSH near-dup, n-gram Jaccard,
+  * SimHash) built scale-first:
+  *
+  *   - every per-doc feature is a codegen'd higher-order-function
+  *     expression over `split(text)` — no UDFs, no collect;
+  *   - near-dup candidate generation is *blocked* (LSH band buckets /
+  *     first-token blocks / SimHash bit-bands), never all-pairs: the only
+  *     shuffles are groupBy/join on the block key, so the plan is the
+  *     same one you'd run at 100 TB;
+  *   - all scores are exact integers (hash prefixes of md5, integer
+  *     ratios ×100/×1000) so the DuckDB oracle hash-matches bit-for-bit.
+  *
+  * Determinism contract with the oracle: token hash = first 8 hex chars
+  * of md5 parsed as u32; shingle = word 3-gram; minhash_j over distinct
+  * shingle hashes with (2j+1)·h + (1000003j+12345) mod 1e9+7.
+  */
+object TextQueries extends QueryPack {
+
+  private val P = 1000000007L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- shared SQL fragments (Spark side; arrays are 0-based in expr) ----
+
+  /** u32 token hash from the md5 hex prefix. */
+  private def th(e: String) = s"cast(conv(substr(md5($e),1,8),16,10) as bigint)"
+
+  private val toks = "split(text, ' ')"
+
+  /** distinct word-3-gram shingle hashes, as an array column */
+  private val shingles =
+    s"""array_distinct(transform(
+          sequence(0, size($toks)-3),
+          i -> ${th(s"concat($toks[i], ' ', $toks[i+1], ' ', $toks[i+2])")}))"""
+
+  /** 16-element minhash signature from distinct shingle hashes `s` */
+  private def minhashSig(s: String) =
+    s"""transform(sequence(0,15), j ->
+          array_min(transform($s, h -> ((2*j+1)*h + (1000003*j + 12345)) % $P)))"""
+
+  /** 32-bit simhash from token hash array `h` */
+  private def simhash(h: String) =
+    s"""aggregate(transform(sequence(0,31), b ->
+          if(aggregate($h, 0L, (acc, x) -> acc + if((shiftright(x, b) & 1) = 1, 1, -1)) > 0,
+             shiftleft(1L, b), 0L)),
+        0L, (acc, x) -> acc + x)"""
+
+  /** doc_id + distinct shingle-hash set */
+  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).selectExpr("doc_id", s"$shingles as s")
+
+  /** doc_id, band(0..3), band key = 4 consecutive minhashes joined */
+  private def bandsDF(s: SparkSession, dir: String): DataFrame =
+    shingleDF(s, dir)
+      .selectExpr("doc_id", s"${minhashSig("s")} as sig")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0,3), b -> struct(b as band,
+             concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
+           as bk""")
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
+    * over distinct shingle sets, kept when num/den ≥ threshold. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+                          num: Int, den: Int): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .selectExpr("d1", "d2",
+        "cast(size(array_intersect(s1, s2)) as bigint) as n_inter",
+        "cast(size(s1) + size(s2) - size(array_intersect(s1, s2)) as bigint) as n_union")
+      .filter(col("n_inter") * den >= col("n_union") * num)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenizer; the BPE-ish regex variant is
+    // txt_quality's char-level stats).
+    "txt_tokens" -> ((s, dir) =>
+      docs(s, dir).selectExpr(
+        "doc_id",
+        s"size($toks) as n_tokens",
+        "length(text) as n_chars_len")),
+
+    // Quality scoring: exact integer length/stopword ratios.
+    "txt_quality" -> ((s, dir) =>
+      docs(s, dir).selectExpr(
+        "doc_id",
+        "length(text) as n_chars_len",
+        s"size($toks) as n_tokens",
+        s"(length(replace(text,' ','')) * 100) div size($toks) as avg_tok_len_x100",
+        s"size(filter($toks, t -> t = 'the' or t = 'a')) as stop_hits",
+        s"(size(filter($toks, t -> t = 'the' or t = 'a')) * 1000) div size($toks) as stop_ratio_x1000")),
+
+    // Language-ID heuristic: stopword-density n-gram classifier (the
+    // corpus is synthetic word-soup, so this exercises the operator
+    // shape deterministically rather than real linguistics).
+    "txt_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          s"(size(filter($toks, t -> t = 'the')) * 1000) div size($toks) as the_x1000")
+        .selectExpr("doc_id", "the_x1000",
+          """case when the_x1000 >= 60 then 'en'
+                  when the_x1000 >= 20 then 'romance'
+                  else 'other' end as guess""")),
+
+    // Document fingerprint: rolling polynomial hash over token hashes.
+    "txt_fingerprint" -> ((s, dir) =>
+      docs(s, dir).selectExpr(
+        "doc_id",
+        s"""aggregate(transform($toks, t -> ${th("t")}),
+             cast(0 as bigint), (h, x) -> (h*31 + x) % $P) as fp""")),
+
+    // Exact dedup by content hash over a doubled corpus (hash-groupBy;
+    // canonical id = min, copies counted). Map-side partial agg makes
+    // this one shuffle of distinct hashes at any scale.
+    "txt_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.union(d.select(col("doc_id") + 1000000, col("text")))
+      corpus.groupBy(expr("md5(text)").as("h"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // MinHash signatures (flattened to doc_id × j for the oracle hash).
+    "txt_minhash" -> ((s, dir) =>
+      shingleDF(s, dir)
+        .selectExpr("doc_id", s"posexplode(${minhashSig("s")}) as (j, mh)")
+        .selectExpr("doc_id", "cast(j as bigint) as j", "mh")),
+
+    // MinHash + LSH near-dup pairs: 4 bands × 4 rows candidate buckets,
+    // exact-Jaccard verify ≥ 0.5. Shuffle key = (band, key): at 100 TB
+    // the candidate join touches only colliding buckets.
+    "txt_lsh_pairs" -> ((s, dir) => {
+      val bands = bandsDF(s, dir)
+      val b1 = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
+      val b2 = bands.select(col("band"), col("key"), col("doc_id").as("d2"))
+      val cand = b1.join(b2, Seq("band", "key"))
+        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+      verifyPairs(cand, shingleDF(s, dir), 1, 2)
+    }),
+
+    // n-gram Jaccard near-dup with first-token blocking (cheap blocked
+    // pairwise compare; blocks are vocabulary-sized, not corpus-sized).
+    "txt_ngram_jaccard" -> ((s, dir) => {
+      val blocked = docs(s, dir).selectExpr("doc_id", s"$toks[0] as tok1")
+      val cand = blocked.select(col("tok1"), col("doc_id").as("d1"))
+        .join(blocked.select(col("tok1"), col("doc_id").as("d2")), "tok1")
+        .filter(col("d1") < col("d2")).select("d1", "d2")
+      verifyPairs(cand, shingleDF(s, dir), 3, 10)
+    }),
+
+    // 32-bit SimHash per doc.
+    "txt_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
+        .selectExpr("doc_id", s"${simhash("h")} as simhash")),
+
+    // SimHash near-dup pairs: 4×8-bit bit-band blocking (any pair with
+    // hamming ≤ 3 shares an intact band by pigeonhole), verify ham ≤ 3.
+    "txt_simhash_pairs" -> ((s, dir) => {
+      val sim = docs(s, dir)
+        .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
+        .selectExpr("doc_id", s"${simhash("h")} as sim")
+      val bands = sim.selectExpr("doc_id", "sim",
+        "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
+        .select(col("doc_id"), col("sim"), col("e.band").as("band"), col("e.bk").as("bk"))
+      val b1 = bands.select(col("band"), col("bk"), col("doc_id").as("d1"), col("sim").as("sim1"))
+      val b2 = bands.select(col("band"), col("bk"), col("doc_id").as("d2"), col("sim").as("sim2"))
+      b1.join(b2, Seq("band", "bk"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("sim1"), col("sim2")).distinct()
+        .selectExpr("d1", "d2", "cast(bit_count(sim1 ^ sim2) as bigint) as ham")
+        .filter(col("ham") <= 3)
+    })
+  )
+
+  // ---- DuckDB oracles (lists are 1-based) ----
+
+  private val thD = "CAST(concat('0x', substr(md5(%s),1,8)) AS BIGINT)"
+  private def thDuck(e: String) = thD.format(e)
+
+  private val shinglesDuck =
+    s"""list_distinct(list_transform(range(len(t)-2),
+          i -> ${thDuck("concat(t[i+1],' ',t[i+2],' ',t[i+3])")}))"""
+
+  private val shCte =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        sh AS (SELECT doc_id, $shinglesDuck AS s FROM toks)"""
+
+  private val sigCte =
+    s"""sig AS (SELECT doc_id, list_transform(range(16), j ->
+          list_min(list_transform(s, h -> ((2*j+1)*h + (1000003*j + 12345)) % $P))) AS g
+        FROM sh)"""
+
+  private val simhashDuck =
+    s"""CAST(list_sum(list_transform(range(32), b ->
+          CASE WHEN list_sum(list_transform(h, x ->
+                 CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+  private def verifyDuck(num: Int, den: Int) =
+    s"""SELECT d1, d2,
+          CAST(len(list_filter(s1.s, x -> list_contains(s2.s, x))) AS BIGINT) AS n_inter,
+          CAST(len(s1.s) + len(s2.s)
+               - len(list_filter(s1.s, x -> list_contains(s2.s, x))) AS BIGINT) AS n_union
+        FROM cand JOIN sh s1 ON s1.doc_id = cand.d1 JOIN sh s2 ON s2.doc_id = cand.d2
+        WHERE $den*len(list_filter(s1.s, x -> list_contains(s2.s, x))) >=
+              $num*(len(s1.s) + len(s2.s) - len(list_filter(s1.s, x -> list_contains(s2.s, x))))"""
+
+  val oracles: Map[String, String] = Map(
+    "txt_tokens" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+         length(text) AS n_chars_len FROM documents""",
+    "txt_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_len,
+         len(string_split(text,' ')) AS n_tokens,
+         length(replace(text,' ','')) * 100 // len(string_split(text,' ')) AS avg_tok_len_x100,
+         len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) AS stop_hits,
+         len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a')) * 1000
+           // len(string_split(text,' ')) AS stop_ratio_x1000
+         FROM documents""",
+    "txt_langid" ->
+      """WITH b AS (SELECT doc_id,
+           len(list_filter(string_split(text,' '), t -> t = 'the')) * 1000
+             // len(string_split(text,' ')) AS the_x1000 FROM documents)
+         SELECT doc_id, the_x1000,
+           CASE WHEN the_x1000 >= 60 THEN 'en'
+                WHEN the_x1000 >= 20 THEN 'romance'
+                ELSE 'other' END AS guess FROM b""",
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text,' '), t -> ${thDuck("t")})),
+            (h, x) -> (h*31 + x) % $P) AS fp
+          FROM documents""",
+    "txt_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                CAST(count(*) AS BIGINT) AS n_copies
+         FROM corpus GROUP BY md5(text)""",
+    "txt_minhash" ->
+      s"""WITH $shCte, $sigCte
+          SELECT doc_id, CAST(j AS BIGINT) AS j, g[j+1] AS mh
+          FROM sig, range(16) r(j)""",
+    "txt_lsh_pairs" ->
+      s"""WITH $shCte, $sigCte,
+          bands AS (SELECT doc_id, b,
+            concat(g[4*b+1], ',', g[4*b+2], ',', g[4*b+3], ',', g[4*b+4]) AS key
+            FROM sig, range(4) r(b)),
+          cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+            FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.key = b2.key
+            WHERE b1.doc_id < b2.doc_id)
+          ${verifyDuck(1, 2)}""",
+    "txt_ngram_jaccard" ->
+      s"""WITH $shCte,
+          blocked AS (SELECT doc_id, t[1] AS tok1 FROM toks),
+          cand AS (SELECT b1.doc_id AS d1, b2.doc_id AS d2
+            FROM blocked b1 JOIN blocked b2 ON b1.tok1 = b2.tok1
+            WHERE b1.doc_id < b2.doc_id)
+          ${verifyDuck(3, 10)}""",
+    "txt_simhash" ->
+      s"""WITH hs AS (SELECT doc_id,
+            list_transform(string_split(text,' '), t -> ${thDuck("t")}) AS h
+          FROM documents)
+          SELECT doc_id, $simhashDuck AS simhash FROM hs""",
+    "txt_simhash_pairs" ->
+      s"""WITH hs AS (SELECT doc_id,
+            list_transform(string_split(text,' '), t -> ${thDuck("t")}) AS h
+          FROM documents),
+          sim AS (SELECT doc_id, $simhashDuck AS sim FROM hs),
+          bands AS (SELECT doc_id, sim, b, (sim >> (8*b)) & 255 AS bk
+            FROM sim, range(4) r(b)),
+          cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+              b1.sim AS sim1, b2.sim AS sim2
+            FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.bk = b2.bk
+            WHERE b1.doc_id < b2.doc_id)
+          SELECT d1, d2, CAST(bit_count(CAST(xor(sim1, sim2) AS BIT)) AS BIGINT) AS ham
+          FROM cand WHERE bit_count(CAST(xor(sim1, sim2) AS BIT)) <= 3"""
+  )
+}
