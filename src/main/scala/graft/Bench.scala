@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb JVM/whole-stage-codegen JIT cost so the
+    // first timed query reflects steady-state execution, not startup.
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, sum}
+      val w = spark.range(2000000).selectExpr("id % 97 as k", "id as v")
+      w.groupBy("k").agg(sum("v")).count()
+      w.selectExpr(
+        "aggregate(transform(sequence(0,15), i -> v+i), 0L, (a,b) -> a+b) as x")
+        .agg(sum("x")).count()
+      spark.range(1000).join(broadcast(spark.range(10)), "id").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -104,7 +104,7 @@ final class Evaluator(
       if (exits.nonEmpty) {
         val d = exits.map(r => RuleCompiler.compile(r, baseResolver))
           .reduce(_ union _).distinct().localCheckpoint()
-        if (d.count() > 0) { all += p -> d; delta += p -> d }
+        if (!d.isEmpty) { all += p -> d; delta += p -> d }
       }
     }
 
@@ -123,12 +123,15 @@ final class Evaluator(
             case Some(a) => u.except(a) // EXCEPT dedups (set difference)
             case None => u.distinct()
           }).localCheckpoint()
-          if (d.count() > 0) newDelta += p -> d
+          if (!d.isEmpty) newDelta += p -> d
         }
       }
-      // merge: all ∪= delta (union of checkpointed leaves — plan stays flat)
-      for ((p, d) <- newDelta)
-        all += p -> all.get(p).map(_ union d).getOrElse(d)
+      // merge: all ∪= delta (union of checkpointed leaves); compact the
+      // union chain periodically so per-iteration analysis stays flat
+      for ((p, d) <- newDelta) {
+        val merged = all.get(p).map(_ union d).getOrElse(d)
+        all += p -> (if (iter % 4 == 0) merged.localCheckpoint() else merged)
+      }
       delta = newDelta
     }
 
@@ -185,23 +188,29 @@ final class Evaluator(
         .flatMap(r => ruleVariants(r, clique, deltaMap, stateMap))
       if (contribs.isEmpty) done = true
       else {
-        val cand = reAgg(contribs.reduce(_ union _))
-        val merged = reAgg(state.union(cand)).localCheckpoint()
-        val old = state.select(
-          (groupCols.map(col) :+ col(aggCol).as("__old")): _*)
+        // Single-shuffle merge+delta: tag prior state rows (__s=1) and
+        // candidates (__s=0), aggregate once to get both the new value
+        // and the prior value per group; improved/new groups are the
+        // delta. Replaces the reference's AggregateSetRDD.update (state
+        // map merge returning changed-group delta) with one relational
+        // aggregation instead of an agg followed by a state join.
+        val f: Column => Column = if (isMin) min else max
+        val candidate = contribs.reduce(_ union _)
+        val combined = state.withColumn("__s", lit(1))
+          .union(candidate.withColumn("__s", lit(0)))
+        val aggs = Seq(
+          f(col(aggCol)).as(aggCol),
+          f(when(col("__s") === 1, col(aggCol))).as("__old"))
+        val agged =
+          (if (groupCols.isEmpty) combined.agg(aggs.head, aggs.tail: _*)
+           else combined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+            .localCheckpoint()
         val improved: Column =
           if (isMin) col("__old").isNull || col(aggCol) < col("__old")
           else col("__old").isNull || col(aggCol) > col("__old")
-        val d = (if (groupCols.isEmpty) {
-          merged.crossJoin(old).filter(
-            if (isMin) col(aggCol) < col("__old") else col(aggCol) > col("__old"))
-            .select(headOrder: _*)
-        } else {
-          merged.join(old, groupCols.toSeq, "left_outer").filter(improved)
-            .select(headOrder: _*)
-        }).localCheckpoint()
-        if (d.count() == 0) done = true
-        else { state = merged; delta = d }
+        val d = agged.filter(improved).select(headOrder: _*)
+        if (d.isEmpty) done = true
+        else { state = agged.select(headOrder: _*); delta = d }
       }
     }
     memo(p) = state

@@ -38,8 +38,13 @@ object EmbeddingQueries extends QueryPack {
              shiftleft(1L, j), 0L)),
         0L, (s, x) -> s + x)"""
 
+  /** Materialized quantized vectors: stops projection collapse from
+    * re-inlining the quantization transform into every per-pair dot
+    * product after the joins. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings").selectExpr("vec_id", s"$quant as q", "label")
+    Tables.load(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$quant as q", "label")
+      .localCheckpoint()
 
   import org.apache.spark.sql.expressions.Window
 

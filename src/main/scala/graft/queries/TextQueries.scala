@@ -54,9 +54,12 @@ object TextQueries extends QueryPack {
              shiftleft(1L, b), 0L)),
         0L, (acc, x) -> acc + x)"""
 
-  /** doc_id + distinct shingle-hash set */
+  /** doc_id + distinct shingle-hash set, materialized: Catalyst's
+    * projection collapse would otherwise inline the md5/shingle
+    * expression into every downstream lambda (16× per minhash
+    * signature), recomputing it per reference. */
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).selectExpr("doc_id", s"$shingles as s")
+    docs(s, dir).selectExpr("doc_id", s"$shingles as s").localCheckpoint()
 
   /** doc_id, band(0..3), band key = 4 consecutive minhashes joined */
   private def bandsDF(s: SparkSession, dir: String): DataFrame =
@@ -139,12 +142,19 @@ object TextQueries extends QueryPack {
     // exact-Jaccard verify ≥ 0.5. Shuffle key = (band, key): at 100 TB
     // the candidate join touches only colliding buckets.
     "txt_lsh_pairs" -> ((s, dir) => {
-      val bands = bandsDF(s, dir)
+      val sh = shingleDF(s, dir)
+      val bands = sh
+        .selectExpr("doc_id", s"${minhashSig("s")} as sig")
+        .selectExpr("doc_id",
+          """explode(transform(sequence(0,3), b -> struct(b as band,
+               concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
+             as bk""")
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       val b1 = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
       val b2 = bands.select(col("band"), col("key"), col("doc_id").as("d2"))
       val cand = b1.join(b2, Seq("band", "key"))
         .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
-      verifyPairs(cand, shingleDF(s, dir), 1, 2)
+      verifyPairs(cand, sh, 1, 2)
     }),
 
     // n-gram Jaccard near-dup with first-token blocking (cheap blocked
@@ -169,6 +179,7 @@ object TextQueries extends QueryPack {
       val sim = docs(s, dir)
         .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
         .selectExpr("doc_id", s"${simhash("h")} as sim")
+        .localCheckpoint() // materialize: reused by both join sides
       val bands = sim.selectExpr("doc_id", "sim",
         "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
         .select(col("doc_id"), col("sim"), col("e.band").as("band"), col("e.bk").as("bk"))
