@@ -59,6 +59,33 @@ object StreamingQueries extends QueryPack {
       s.table(sink).selectExpr(
         "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
         "event_type", "n", "sum_value_cents")
+    }),
+
+    // Sessionization via typed group processing (KeyValueGroupedDataset
+    // .flatMapGroups): per-user event-time sort, session break on >1h
+    // gap. The per-group sort is in-memory here; at 100 TB the same
+    // logic runs on repartition(user_id).sortWithinPartitions with a
+    // mapPartitions boundary walk — group volumes per user are small,
+    // the shuffle key is the session key either way.
+    "evt_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "ts div 1000 as tsu", "event_id")
+        .as[(Long, Long, Long)]
+      e.groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+          val evs = it.toArray.sortBy(r => (r._2, r._3))
+          var sessions = 0L
+          var n = 0L
+          var prev = 0L
+          evs.foreach { case (_, tsu, _) =>
+            if (n == 0L || tsu - prev > 3600000000L) sessions += 1
+            prev = tsu
+            n += 1
+          }
+          Iterator((uid, sessions, n))
+        }
+        .toDF("user_id", "n_sessions", "n_events")
     })
   )
 
@@ -67,6 +94,16 @@ object StreamingQueries extends QueryPack {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    "evt_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+         s AS (SELECT user_id, tsu,
+                 lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+               FROM e)
+         SELECT user_id,
+           CAST(1 + sum(CASE WHEN tsu - prev > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id"""
   )
 }

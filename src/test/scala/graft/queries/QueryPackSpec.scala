@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.TestSpark
+
+/** Invariant checks for the pipeline query packs at sf0.001 — the DuckDB
+  * oracle gate is the authoritative value check (tools/check_oracle.py);
+  * these specs assert structural properties cheaply in-JVM, plus
+  * cross-paradigm consistency (streaming vs batch, LSH vs blocked
+  * exact). */
+class QueryPackSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("oracle keys cover every query (weaker rows-only check avoided)") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+  }
+
+  test("txt_dedup_exact: doubled corpus dedups to exactly 2 copies each") {
+    val rows = run("txt_dedup_exact").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_copies") == 2L))
+    assert(rows.forall(_.getAs[Long]("canonical_id") < 1000000L))
+  }
+
+  test("txt_lsh_pairs: verified pairs satisfy the Jaccard threshold") {
+    val rows = run("txt_lsh_pairs").collect()
+    assert(rows.nonEmpty, "LSH found no near-dup pairs")
+    assert(rows.forall(r =>
+      2 * r.getAs[Long]("n_inter") >= r.getAs[Long]("n_union")))
+  }
+
+  test("txt_lsh_pairs ⊆ txt_ngram_jaccard at a looser threshold") {
+    // every LSH-confirmed pair (J ≥ 0.5) must also be found by the
+    // blocked exact-Jaccard pass (J ≥ 0.3) — cross-method consistency
+    val lsh = run("txt_lsh_pairs").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = run("txt_ngram_jaccard").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(ng), s"LSH pairs missing from exact pass: ${lsh -- ng}")
+  }
+
+  test("emb_knn: exactly 10 ranked neighbors per query, dot non-increasing") {
+    val rows = run("emb_knn").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk"), r.getAs[Long]("dot")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("emb_knn_lsh results are a subset of brute-force candidates' scores") {
+    val brute = run("emb_knn").collect()
+      .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("cid")), r.getAs[Long]("dot"))).toMap
+    val lsh = run("emb_knn_lsh").collect()
+    // any LSH hit that brute-force also ranked must agree on the score
+    lsh.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      brute.get(k).foreach(d => assert(d == r.getAs[Long]("dot")))
+    }
+  }
+
+  test("stream_hourly (Structured Streaming) equals the batch aggregation") {
+    val streamed = run("stream_hourly")
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(expr("(ts div 3600000000000) * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_value_cents"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("evt_sessions: session counts bounded by event counts") {
+    val rows = run("evt_sessions").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_sessions"); val n = r.getAs[Long]("n_events")
+      assert(s >= 1L && s <= n)
+    }
+  }
+
+  test("mm_features: byte length matches text length (ASCII corpus)") {
+    val joined = run("mm_features")
+      .join(graft.Tables.load(spark, dir, "documents"), "doc_id")
+      .selectExpr("n_bytes", "length(text) as l", "n_frames")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") == r.getAs[Int]("l").toLong)
+      assert(r.getAs[Long]("n_frames") == r.getAs[Long]("n_bytes") / 1000 + 1)
+    }
+  }
+
+  test("dl_tc: closure contains the arc base and is transitively closed (sample)") {
+    val tc = run("dl_tc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // base edges k -> k+1 within a block must be present
+    assert(tc.contains((0L, 1L)) && tc.contains((1L, 2L)))
+    // block-local: no pair crosses a 16-block boundary
+    assert(tc.forall { case (a, b) => a / 16 == b / 16 })
+    // transitivity spot-check inside block 0
+    for ((a, b) <- tc if a < 16 && b < 15; if tc.contains((b, b + 1)))
+      assert(tc.contains((a, b + 1)))
+  }
+}
