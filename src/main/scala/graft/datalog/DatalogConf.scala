@@ -1,0 +1,33 @@
+package graft.datalog
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine configuration, read from `spark.datalog.*` session confs —
+  * the knobs the reference exposes (README conf table; SURVEY.md §1b)
+  * re-expressed for the Spark-4-native evaluator:
+  *
+  *   - `spark.datalog.uniondistinct.enabled` (default true): wrap
+  *     multi-rule unions in distinct (set semantics). Disabling gives
+  *     bag semantics for pipelines that dedup later.
+  *   - `spark.datalog.jointype` (default `auto`): join-strategy hint for
+  *     the *non-recursive* side of recursive-rule joins — `broadcast`,
+  *     `shuffle`(hash), `sortmerge`, or `auto` (no hint; AQE re-plans
+  *     per iteration from the checkpointed delta's actual size). The
+  *     reference defaults to broadcast; on Spark 4 `auto` usually wins
+  *     because AQE demotes/promotes per iteration.
+  *   - `spark.datalog.recursion.maxIterations` (default 10000): guard
+  *     against non-terminating fixpoints.
+  */
+final case class DatalogConf(
+    unionDistinct: Boolean = true,
+    joinType: String = "auto",
+    maxIterations: Int = 10000)
+
+object DatalogConf {
+  def from(spark: SparkSession): DatalogConf = DatalogConf(
+    unionDistinct =
+      spark.conf.get("spark.datalog.uniondistinct.enabled", "true").toBoolean,
+    joinType = spark.conf.get("spark.datalog.jointype", "auto"),
+    maxIterations =
+      spark.conf.get("spark.datalog.recursion.maxIterations", "10000").toInt)
+}

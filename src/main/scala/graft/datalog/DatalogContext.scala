@@ -113,18 +113,24 @@ final class DatalogContext(val spark: SparkSession) {
   def query(queryText: String): DataFrame = {
     val qf = Parser.parseQuery(queryText)
     val ev = evaluator.getOrElse {
-      val e = new Evaluator(analysis, edb); evaluator = Some(e); e
+      val e = new Evaluator(analysis, edb, DatalogConf.from(spark))
+      evaluator = Some(e); e
     }
-    var df = ev.predDF(qf.pred)
+    val bindings: Map[Int, Any] = qf.args.zipWithIndex.collect {
+      case (Constant(x), i) => i -> x
+    }.toMap
+    // Bound arguments: push into the recursion's exit rules when the
+    // bound positions are stable through every recursive rule
+    // (Evaluator.boundQueryDF — the engine-side equivalent of the DeAL
+    // compiler's adorned programs, SURVEY.md §4); otherwise evaluate the
+    // full relation and post-filter.
+    var df = ev.boundQueryDF(qf.pred, bindings).getOrElse(ev.predDF(qf.pred))
     require(df.columns.length == qf.args.length,
       s"${qf.pred} has arity ${df.columns.length}, query uses ${qf.args.length}")
     val cols = df.columns
-    // bound arguments → filters (v1: post-filter; the reference pushes
-    // bindings into recursion via the DeAL compiler's adorned programs —
-    // SURVEY.md §4 "magic-set-like rewrite")
-    qf.args.zipWithIndex.foreach {
-      case (Constant(x), i) => df = df.filter(col(cols(i)) === lit(x))
-      case _ => ()
+    bindings.foreach { case (i, x) =>
+      // idempotent when pushdown already restricted the fixpoint
+      df = df.filter(col(cols(i)) === lit(x))
     }
     val seen = mutable.Set[String]()
     val outCols = qf.args.zipWithIndex.map {
@@ -139,6 +145,9 @@ final class DatalogContext(val spark: SparkSession) {
     }
     df.select(outCols: _*)
   }
+
+  /** Did the most recent `query` push bound arguments into the fixpoint? */
+  def lastBoundPushdown: Boolean = evaluator.exists(_.lastBoundPushdown)
 
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */

@@ -27,11 +27,26 @@ import scala.collection.mutable
 final class Evaluator(
     analysis: Analysis,
     edb: String => DataFrame,
-    maxIterations: Int = 10000) {
+    conf: DatalogConf = DatalogConf()) {
 
   final class EvalException(msg: String) extends RuntimeException(msg)
 
   private val memo = mutable.Map[String, DataFrame]()
+
+  private def maxIterations: Int = conf.maxIterations
+
+  /** Join-strategy hint for the non-recursive side of recursive-rule
+    * joins (reference policy: hint broadcast/cached-shuffle-hash on the
+    * static side, never on recursive relations —
+    * LogicalPlanGenerator.scala:218-244). `auto` leaves it to Catalyst
+    * + AQE, which re-plans per iteration from the checkpointed delta's
+    * real size — usually the right call on Spark 4. */
+  private def hinted(df: DataFrame): DataFrame = conf.joinType match {
+    case "broadcast" => org.apache.spark.sql.functions.broadcast(df)
+    case "shuffle" | "shufflehash" => df.hint("shuffle_hash")
+    case "sortmerge" => df.hint("merge")
+    case _ => df
+  }
 
   def predDF(p: String): DataFrame = memo.getOrElseUpdate(p, {
     if (!analysis.isIdb(p)) edb(p)
@@ -45,7 +60,8 @@ final class Evaluator(
     val rules = analysis.rulesFor(p)
     val dfs = rules.map(r => RuleCompiler.compile(r, baseResolver))
     val u = dfs.reduce(_ union _)
-    if (rules.length == 1 && rules.head.head.isAggregate) u else u.distinct()
+    if ((rules.length == 1 && rules.head.head.isAggregate) || !conf.unionDistinct) u
+    else u.distinct()
   }
 
   // ------------------------------------------------------------ recursion
@@ -77,7 +93,7 @@ final class Evaluator(
         cliqueOcc += 1
         val m = if (cliqueOcc == chosen) delta else all
         m.getOrElse(pred, throw new RuleCompiler.SkipRule)
-      } else predDF(pred)
+      } else hinted(predDF(pred)) // static side of a recursive-rule join
   }
 
   /** All semi-naive contributions of one rule this iteration. */
@@ -94,16 +110,29 @@ final class Evaluator(
   }
 
   private def evalSemiNaiveClique(clique: Analysis#Clique): Unit = {
+    for ((p, df) <- runSemiNaive(clique, Map.empty)) memo(p) = df
+  }
+
+  /** The semi-naive PSN loop. `exitFilter` optionally restricts a
+    * predicate's exit rules (bound-argument pushdown). */
+  private def runSemiNaive(
+      clique: Analysis#Clique,
+      exitFilter: Map[String, DataFrame => DataFrame]): Map[String, DataFrame] = {
     val preds = clique.preds.toSeq.sorted
     var all = Map[String, DataFrame]()
     var delta = Map[String, DataFrame]()
+    // schema prototypes so an empty fixpoint still yields a typed result
+    var proto = Map[String, DataFrame]()
 
     // iteration 0: exit rules
     for (p <- preds) {
       val exits = clique.exitRules(p)
       if (exits.nonEmpty) {
-        val d = exits.map(r => RuleCompiler.compile(r, baseResolver))
-          .reduce(_ union _).distinct().localCheckpoint()
+        val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
+          .reduce(_ union _)
+        proto += p -> u
+        val d = exitFilter.get(p).map(f => f(u)).getOrElse(u)
+          .distinct().localCheckpoint()
         if (!d.isEmpty) { all += p -> d; delta += p -> d }
       }
     }
@@ -135,12 +164,62 @@ final class Evaluator(
       delta = newDelta
     }
 
-    for (p <- preds) {
-      val df = all.getOrElse(p,
+    preds.map { p =>
+      p -> all.getOrElse(p, proto.get(p).map(_.filter(lit(false))).getOrElse(
         throw new EvalException(
-          s"recursive predicate $p derived no facts and has no schema"))
-      memo(p) = df
+          s"recursive predicate $p derived no facts and has no schema")))
+    }.toMap
+  }
+
+  // --------------------------- bound-argument pushdown (magic-set-lite)
+
+  /** Result cache for bound fixpoints, keyed by (pred, bindings). */
+  private val boundMemo = mutable.Map[(String, Map[Int, Any]), DataFrame]()
+
+  /** True iff the last `boundQueryDF` call used pushdown (spec hook). */
+  var lastBoundPushdown: Boolean = false
+
+  /** Evaluate a bound query form over a recursive predicate by pushing
+    * the bindings into the fixpoint's exit rules, when sound: every
+    * recursive rule of the clique must be linear and must propagate the
+    * bound head position unchanged from the same position of its single
+    * recursive body atom (e.g. left-linear TC `tc(A,B) <- tc(A,C),
+    * arc(C,B)` with the first argument bound). The recursion then only
+    * derives facts matching the binding — the reference gets the same
+    * effect from the DeAL compiler's adorned programs (SURVEY.md §4
+    * "magic-set-like rewrite"); right-linear forms fall back to the
+    * caller's post-filter. */
+  def boundQueryDF(p: String, bindings: Map[Int, Any]): Option[DataFrame] = {
+    lastBoundPushdown = false
+    if (bindings.isEmpty || !analysis.isIdb(p) || !analysis.isRecursive(p))
+      return None
+    val clique = analysis.cliqueOf(p)
+    if (clique.monotonic || clique.preds.size > 1) return None
+    val recRules = clique.recursiveRules(p)
+    if (recRules.isEmpty || clique.exitRules(p).isEmpty) return None
+    // a position is stable when every recursive rule is linear and
+    // propagates it unchanged from its recursive body atom
+    val stableBindings = bindings.filter { case (i, _) =>
+      recRules.forall { r =>
+        val recAtoms = r.bodyAtoms.filter(a => clique.preds(a.pred))
+        recAtoms.length == 1 && i < r.head.args.length &&
+          ((r.head.args(i), recAtoms.head.args(i)) match {
+            case (PlainArg(TermExpr(Variable(hv))), Variable(bv)) => hv == bv
+            case _ => false
+          })
+      }
     }
+    if (stableBindings.isEmpty) return None
+    lastBoundPushdown = true
+    // unstable positions stay unbound here; the caller's post-filter
+    // applies every binding idempotently
+    Some(boundMemo.getOrElseUpdate((p, stableBindings), {
+      val filter: DataFrame => DataFrame = df =>
+        stableBindings.foldLeft(df) { case (d, (i, v)) =>
+          d.filter(col(d.columns(i)) === lit(v))
+        }
+      runSemiNaive(clique, Map(p -> filter))(p)
+    }))
   }
 
   // ------------------------------------- monotonic aggregate recursion

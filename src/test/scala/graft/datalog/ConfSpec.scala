@@ -1,0 +1,72 @@
+package graft.datalog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `spark.datalog.*` conf knobs (reference README conf table). */
+class ConfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withConf[T](kvs: (String, String)*)(f: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val db = "database({arc(X:integer, Y:integer)})."
+  private val tc =
+    "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B)."
+
+  test("jointype hints produce identical fixpoint results") {
+    val expected = withConf() {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + tc)
+      ctx.registerData("arc", Fixtures.graph1b)
+      ctx.queryStrings("tc(A,B).").toSet
+    }
+    for (jt <- Seq("broadcast", "shuffle", "sortmerge")) {
+      val rows = withConf("spark.datalog.jointype" -> jt) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + tc)
+        ctx.registerData("arc", Fixtures.graph1b)
+        ctx.queryStrings("tc(A,B).").toSet
+      }
+      assert(rows == expected, s"jointype=$jt changed results")
+    }
+  }
+
+  test("uniondistinct.enabled=false yields bag semantics for multi-rule unions") {
+    // p derives 0 from both rules: set semantics → 1 row, bag → 2 rows
+    val prog = "p(X) <- arc(X,1). p(X) <- arc(X,2)."
+    val data = Seq("0,1", "0,2")
+    val setRows = withConf() {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + prog)
+      ctx.registerData("arc", data)
+      ctx.query("p(A).").count()
+    }
+    val bagRows = withConf("spark.datalog.uniondistinct.enabled" -> "false") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + prog)
+      ctx.registerData("arc", data)
+      ctx.query("p(A).").count()
+    }
+    assert(setRows == 1L && bagRows == 2L)
+  }
+
+  test("maxIterations guard fires on deep recursion") {
+    val chain = (0 until 30).map(i => s"$i,${i + 1}")
+    val err = intercept[Exception] {
+      withConf("spark.datalog.recursion.maxIterations" -> "5") {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + tc)
+        ctx.registerData("arc", chain)
+        ctx.query("tc(A,B).").count()
+      }
+    }
+    assert(err.getMessage.contains("5 iterations"))
+  }
+}
