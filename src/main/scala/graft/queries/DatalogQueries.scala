@@ -139,6 +139,47 @@ object DatalogQueries extends QueryPack {
     "dl_cc_count" -> ((s, dir) =>
       sharedCtx(s, dir, ccProgram).query("cc(A).")),
 
+    // Mutual recursion (reference RecursiveQuerySuites mutual-recursion
+    // tests): nodes at even path distance from node 0 — the even/odd
+    // cliques iterate cooperatively until both deltas drain.
+    "dl_evenodd" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "even(X) <- node(X), X=0. " +
+          "even(Y) <- odd(X), arc(X,Y,_). " +
+          "odd(Y) <- even(X), arc(X,Y,_).")
+      c.query("even(A).")
+    }),
+
+    // All-pairs shortest paths (reference benchmark program 31):
+    // multi-key monotonic aggregation — state keyed on (src, dst).
+    "dl_apsp" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "mminpath(X,Y,mmin<C>) <- arc(X,Y,C). " +
+          "mminpath(X,Z,mmin<D>) <- mminpath(X,Y,D1), arc(Y,Z,C), D=D1+C. " +
+          "apsp(X,Y,min<D>) <- mminpath(X,Y,D).")
+      c.query("apsp(A,B,C).")
+    }),
+
+    // Triangle counting (reference benchmark program 71): 3-way self-join
+    // with inequality filters + count aggregate, on a dedicated
+    // triple-group edge relation derived from customer keys.
+    "dl_triangles" -> ((s, dir) => {
+      val c = new DatalogContext(s)
+      c.loadProgram(
+        "database({e(X:long, Y:long)}). " +
+          "tri(X,Y,Z) <- e(X,Y), e(Y,Z), e(X,Z), X<Y, Y<Z. " +
+          "tcount(count<_>) <- tri(X,Y,Z).")
+      val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+      val mx = keys.agg(max("k").as("m"))
+      val base = keys.crossJoin(broadcast(mx))
+        .filter(col("k") % 8 === 0 && col("k") + 4 <= col("m"))
+      c.registerTable("e",
+        base.select(col("k").as("x"), (col("k") + 2).as("y"))
+          .union(base.select((col("k") + 2).as("x"), (col("k") + 4).as("y")))
+          .union(base.select(col("k").as("x"), (col("k") + 4).as("y"))))
+      c.query("tcount(A).")
+    }),
+
     // Aggregation + sort/limit pseudo-predicates (PYMK-style top-k,
     // reference program 73): top-10 nodes by out-degree.
     "dl_topdeg" -> ((s, dir) => {
@@ -187,6 +228,38 @@ object DatalogQueries extends QueryPack {
               SELECT arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.n)
             SELECT CAST(n AS BIGINT) AS a, CAST(min(d) AS BIGINT) AS d
             FROM p GROUP BY n""",
+      "dl_evenodd" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(x,p) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT arc.dst, 1 - r.p FROM r JOIN arc ON arc.src = r.x)
+            SELECT DISTINCT x AS a FROM r WHERE p = 0""",
+      "dl_apsp" ->
+        s"""WITH RECURSIVE $arcSql,
+            p(x,y,d) AS (
+              SELECT src, dst, cost FROM arc
+              UNION
+              SELECT p.x, arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.y)
+            SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b,
+                   CAST(min(d) AS BIGINT) AS c
+            FROM p GROUP BY x, y""",
+      "dl_triangles" ->
+        """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+           e AS (
+             SELECT c_custkey AS src, c_custkey + 2 AS dst FROM customer, mx
+             WHERE c_custkey % 8 = 0 AND c_custkey + 4 <= m
+             UNION ALL
+             SELECT c_custkey + 2, c_custkey + 4 FROM customer, mx
+             WHERE c_custkey % 8 = 0 AND c_custkey + 4 <= m
+             UNION ALL
+             SELECT c_custkey, c_custkey + 4 FROM customer, mx
+             WHERE c_custkey % 8 = 0 AND c_custkey + 4 <= m)
+           SELECT CAST(count(*) AS BIGINT) AS a FROM (
+             SELECT DISTINCT e1.src AS x, e1.dst AS y, e2.dst AS z
+             FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+             WHERE e1.src < e1.dst AND e1.dst < e2.dst)""",
       "dl_cc" -> ccSql,
       "dl_cc_count" ->
         s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
