@@ -26,9 +26,10 @@ object EmbeddingQueries extends QueryPack {
   private val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
 
-  /** integer dot product of two quantized arrays */
-  private def dot(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (s, v) -> s + v)"
+  // dot products use the native codegen'd DotI64 expression — a tight
+  // generated loop over the quantized arrays instead of interpreted
+  // zip_with/aggregate lambdas (this is the per-pair inner kernel)
+  import graft.functions.GraftFunctions.dotI64
 
   /** 8-hyperplane sign bucket; plane weights w(i,j) = ((i*31+j*17) % 7) - 3. */
   private def bucket(v: String) =
@@ -58,7 +59,7 @@ object EmbeddingQueries extends QueryPack {
       val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
       cands.crossJoin(broadcast(queries))
         .filter(col("cid") =!= col("qid"))
-        .selectExpr("qid", "cid", s"${dot("qv", "cv")} as dot")
+        .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
@@ -74,7 +75,7 @@ object EmbeddingQueries extends QueryPack {
       val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
       cands.join(broadcast(queries), "bkt")
         .filter(col("cid") =!= col("qid"))
-        .selectExpr("qid", "cid", s"${dot("qv", "cv")} as dot")
+        .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")

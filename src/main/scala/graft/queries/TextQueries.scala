@@ -36,51 +36,44 @@ object TextQueries extends QueryPack {
 
   private val toks = "split(text, ' ')"
 
-  /** distinct word-3-gram shingle hashes, as an array column */
+  /** distinct word-3-gram shingle hashes, sorted ascending so the
+    * pairwise verify can use the O(n+m) SortedIntersectCount kernel */
   private val shingles =
-    s"""array_distinct(transform(
+    s"""array_sort(array_distinct(transform(
           sequence(0, size($toks)-3),
-          i -> ${th(s"concat($toks[i], ' ', $toks[i+1], ' ', $toks[i+2])")}))"""
+          i -> ${th(s"concat($toks[i], ' ', $toks[i+1], ' ', $toks[i+2])")})))"""
 
-  /** 16-element minhash signature from distinct shingle hashes `s` */
-  private def minhashSig(s: String) =
-    s"""transform(sequence(0,15), j ->
-          array_min(transform($s, h -> ((2*j+1)*h + (1000003*j + 12345)) % $P)))"""
+  // minhash signatures and simhash use the native codegen'd expressions
+  // (graft.functions.MinHashSig / SimHash32) — same formulas as the
+  // DuckDB oracles, but tight generated loops instead of interpreted
+  // higher-order-function lambdas
+  import graft.functions.GraftFunctions.{minhashSig, simhash32}
 
-  /** 32-bit simhash from token hash array `h` */
-  private def simhash(h: String) =
-    s"""aggregate(transform(sequence(0,31), b ->
-          if(aggregate($h, 0L, (acc, x) -> acc + if((shiftright(x, b) & 1) = 1, 1, -1)) > 0,
-             shiftleft(1L, b), 0L)),
-        0L, (acc, x) -> acc + x)"""
-
-  /** doc_id + distinct shingle-hash set, materialized: Catalyst's
+  /** doc_id + distinct sorted shingle-hash set, materialized: Catalyst's
     * projection collapse would otherwise inline the md5/shingle
     * expression into every downstream lambda (16× per minhash
-    * signature), recomputing it per reference. */
-  private def shingleDF(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).selectExpr("doc_id", s"$shingles as s").localCheckpoint()
+    * signature), recomputing it per reference. Memoized per (session,
+    * dir) — three near-dup queries share one shingling pass. */
+  private val shingleMemo =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
-  /** doc_id, band(0..3), band key = 4 consecutive minhashes joined */
-  private def bandsDF(s: SparkSession, dir: String): DataFrame =
-    shingleDF(s, dir)
-      .selectExpr("doc_id", s"${minhashSig("s")} as sig")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0,3), b -> struct(b as band,
-             concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
-           as bk""")
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  private def shingleDF(s: SparkSession, dir: String): DataFrame =
+    shingleMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+      docs(s, dir).selectExpr("doc_id", s"$shingles as s").localCheckpoint())
 
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
     * over distinct shingle sets, kept when num/den ≥ threshold. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
                           num: Int, den: Int): DataFrame = {
+    import graft.functions.GraftFunctions.sortedIntersectCount
     val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
     cand.join(s1, "d1").join(s2, "d2")
-      .selectExpr("d1", "d2",
-        "cast(size(array_intersect(s1, s2)) as bigint) as n_inter",
-        "cast(size(s1) + size(s2) - size(array_intersect(s1, s2)) as bigint) as n_union")
+      .select(col("d1"), col("d2"),
+        sortedIntersectCount(col("s1"), col("s2")).as("n_inter"),
+        (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
+      .select(col("d1"), col("d2"), col("n_inter"),
+        (col("sz") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * den >= col("n_union") * num)
   }
 
@@ -135,8 +128,8 @@ object TextQueries extends QueryPack {
     // MinHash signatures (flattened to doc_id × j for the oracle hash).
     "txt_minhash" -> ((s, dir) =>
       shingleDF(s, dir)
-        .selectExpr("doc_id", s"posexplode(${minhashSig("s")}) as (j, mh)")
-        .selectExpr("doc_id", "cast(j as bigint) as j", "mh")),
+        .select(col("doc_id"), posexplode(minhashSig(col("s"))))
+        .selectExpr("doc_id", "cast(pos as bigint) as j", "col as mh")),
 
     // MinHash + LSH near-dup pairs: 4 bands × 4 rows candidate buckets,
     // exact-Jaccard verify ≥ 0.5. Shuffle key = (band, key): at 100 TB
@@ -144,7 +137,7 @@ object TextQueries extends QueryPack {
     "txt_lsh_pairs" -> ((s, dir) => {
       val sh = shingleDF(s, dir)
       val bands = sh
-        .selectExpr("doc_id", s"${minhashSig("s")} as sig")
+        .select(col("doc_id"), minhashSig(col("s")).as("sig"))
         .selectExpr("doc_id",
           """explode(transform(sequence(0,3), b -> struct(b as band,
                concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
@@ -171,14 +164,14 @@ object TextQueries extends QueryPack {
     "txt_simhash" -> ((s, dir) =>
       docs(s, dir)
         .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
-        .selectExpr("doc_id", s"${simhash("h")} as simhash")),
+        .select(col("doc_id"), simhash32(col("h")).as("simhash"))),
 
     // SimHash near-dup pairs: 4×8-bit bit-band blocking (any pair with
     // hamming ≤ 3 shares an intact band by pigeonhole), verify ham ≤ 3.
     "txt_simhash_pairs" -> ((s, dir) => {
       val sim = docs(s, dir)
         .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
-        .selectExpr("doc_id", s"${simhash("h")} as sim")
+        .select(col("doc_id"), simhash32(col("h")).as("sim"))
         .localCheckpoint() // materialize: reused by both join sides
       val bands = sim.selectExpr("doc_id", "sim",
         "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
