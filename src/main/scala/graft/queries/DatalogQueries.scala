@@ -139,6 +139,18 @@ object DatalogQueries extends QueryPack {
     "dl_cc_count" -> ((s, dir) =>
       sharedCtx(s, dir, ccProgram).query("cc(A).")),
 
+    // Stratified negation OVER a recursive predicate (reference
+    // NegationQuerySuite shape): nodes not reachable from node 0 —
+    // the reach fixpoint evaluates in a lower stratum, then the
+    // negation compiles to a left_anti join.
+    "dl_unreachable" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "reach(X) <- node(X), X=0. " +
+          "reach(Y) <- reach(X), arc(X,Y,_). " +
+          "unreach(X) <- node(X), ~reach(X).")
+      c.query("unreach(A).")
+    }),
+
     // Mutual recursion (reference RecursiveQuerySuites mutual-recursion
     // tests): nodes at even path distance from node 0 — the even/odd
     // cliques iterate cooperatively until both deltas drain.
@@ -228,6 +240,14 @@ object DatalogQueries extends QueryPack {
               SELECT arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.n)
             SELECT CAST(n AS BIGINT) AS a, CAST(min(d) AS BIGINT) AS d
             FROM p GROUP BY n""",
+      "dl_unreachable" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(x) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT arc.dst FROM r JOIN arc ON arc.src = r.x)
+            SELECT CAST(c_custkey AS BIGINT) AS a FROM customer
+            WHERE c_custkey NOT IN (SELECT x FROM r)""",
       "dl_evenodd" ->
         s"""WITH RECURSIVE $arcSql,
             r(x,p) AS (

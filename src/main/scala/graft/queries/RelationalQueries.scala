@@ -203,6 +203,14 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))),
 
+    // Semi-structured JSON extraction (events.props) + aggregation.
+    "q21_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("event_type",
+          "cast(get_json_object(props, '$.k') as bigint) as k")
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), countDistinct("k").as("n_k"))),
+
     // Time-bucketed aggregation over events (streaming-shape as batch).
     // ts is epoch-nanos BIGINT (see Tables.load); integer `div` keeps the
     // bucket computation exact on both engines.
@@ -304,6 +312,11 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
          FROM orders GROUP BY 1, 2""",
+    "q21_json" ->
+      """SELECT event_type,
+         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_k
+         FROM events GROUP BY event_type""",
     "q16_time_bucket" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,
