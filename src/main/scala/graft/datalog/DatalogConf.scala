@@ -17,11 +17,18 @@ import org.apache.spark.sql.SparkSession
   *     because AQE demotes/promotes per iteration.
   *   - `spark.datalog.recursion.maxIterations` (default 10000): guard
   *     against non-terminating fixpoints.
+  *   - `spark.datalog.recursion.localDeltaRows` (default 10000):
+  *     iteration deltas at or under this row count are collected into a
+  *     LocalRelation so the next iteration joins them broadcast with no
+  *     shuffle stages (small-frontier fixpoints like SSSP collapse to
+  *     driver-latency iterations; the reference's analog is within-task
+  *     iteration for decomposable programs). 0 disables.
   */
 final case class DatalogConf(
     unionDistinct: Boolean = true,
     joinType: String = "auto",
-    maxIterations: Int = 10000)
+    maxIterations: Int = 10000,
+    localDeltaRows: Long = 10000L)
 
 object DatalogConf {
   def from(spark: SparkSession): DatalogConf = DatalogConf(
@@ -29,5 +36,7 @@ object DatalogConf {
       spark.conf.get("spark.datalog.uniondistinct.enabled", "true").toBoolean,
     joinType = spark.conf.get("spark.datalog.jointype", "auto"),
     maxIterations =
-      spark.conf.get("spark.datalog.recursion.maxIterations", "10000").toInt)
+      spark.conf.get("spark.datalog.recursion.maxIterations", "10000").toInt,
+    localDeltaRows =
+      spark.conf.get("spark.datalog.recursion.localDeltaRows", "10000").toLong)
 }

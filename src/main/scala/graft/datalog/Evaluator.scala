@@ -96,7 +96,22 @@ final class Evaluator(
         cliqueOcc += 1
         val m = if (cliqueOcc == chosen) delta else all
         m.getOrElse(pred, throw new RuleCompiler.SkipRule)
-      } else hinted(predDF(pred)) // static side of a recursive-rule join
+      } else hinted(cachedStatic(pred)) // static side of a recursive-rule join
+  }
+
+  /** Relations on the static side of recursive-rule joins are persisted
+    * on first use so iterations don't re-scan/re-derive them (the
+    * reference persists the hashed build side across iterations —
+    * ShuffleHashJoin.cachebuildside, CacheHint; SURVEY.md §2.3). */
+  private val persistedStatic = mutable.Set[String]()
+
+  private def cachedStatic(pred: String): DataFrame = {
+    val df = predDF(pred)
+    if (!persistedStatic(pred)) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedStatic += pred
+    }
+    df
   }
 
   /** All semi-naive contributions of one rule this iteration. */
@@ -114,6 +129,23 @@ final class Evaluator(
 
   private def evalSemiNaiveClique(clique: Analysis#Clique): Unit = {
     for ((p, df) <- runSemiNaive(clique, Map.empty)) memo(p) = df
+  }
+
+  /** Materialize an iteration artifact (one job) and, when it is tiny,
+    * pull it into a LocalRelation: subsequent joins against it become
+    * broadcast joins with zero shuffle stages and the convergence check
+    * is driver-side — collapsing per-iteration latency for fixpoints
+    * whose frontier is small (e.g. single-source shortest paths). The
+    * reference gets the same effect from within-task iteration for
+    * decomposable programs (FixedPointResultTask, SURVEY.md §2.5). */
+  private def materialize(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint()
+    val n = ck.count()
+    if (n > 0 && n <= conf.localDeltaRows) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      import scala.jdk.CollectionConverters._
+      (spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema), n)
+    } else (ck, n)
   }
 
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
@@ -134,9 +166,9 @@ final class Evaluator(
         val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
           .reduce(_ union _)
         proto += p -> u
-        val d = exitFilter.get(p).map(f => f(u)).getOrElse(u)
-          .distinct().localCheckpoint()
-        if (!d.isEmpty) { all += p -> d; delta += p -> d }
+        val (d, n) = materialize(
+          exitFilter.get(p).map(f => f(u)).getOrElse(u).distinct())
+        if (n > 0) { all += p -> d; delta += p -> d }
       }
     }
 
@@ -151,11 +183,11 @@ final class Evaluator(
           .flatMap(r => ruleVariants(r, clique, delta, all))
         if (contribs.nonEmpty) {
           val u = contribs.reduce(_ union _)
-          val d = (all.get(p) match {
+          val (d, n) = materialize(all.get(p) match {
             case Some(a) => u.except(a) // EXCEPT dedups (set difference)
             case None => u.distinct()
-          }).localCheckpoint()
-          if (!d.isEmpty) newDelta += p -> d
+          })
+          if (n > 0) newDelta += p -> d
         }
       }
       // merge: all ∪= delta (union of checkpointed leaves); compact the
@@ -253,9 +285,8 @@ final class Evaluator(
 
     val exits = clique.exitRules(p)
     if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
-    var state = reAgg(
-      exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _))
-      .localCheckpoint()
+    var state = materialize(reAgg(
+      exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _)))._1
     var delta = state
 
     var iter = 0
@@ -283,10 +314,9 @@ final class Evaluator(
         val aggs = Seq(
           f(col(aggCol)).as(aggCol),
           f(when(col("__s") === 1, col(aggCol))).as("__old"))
-        val agged =
-          (if (groupCols.isEmpty) combined.agg(aggs.head, aggs.tail: _*)
-           else combined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
-            .localCheckpoint()
+        val agged = materialize(
+          if (groupCols.isEmpty) combined.agg(aggs.head, aggs.tail: _*)
+          else combined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))._1
         val improved: Column =
           if (isMin) col("__old").isNull || col(aggCol) < col("__old")
           else col("__old").isNull || col(aggCol) > col("__old")
