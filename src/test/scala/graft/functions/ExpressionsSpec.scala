@@ -64,6 +64,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("SQL surface via GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sig(array(5L, 17L), 4) AS sig,
+                simhash32(array(5L, 17L)) AS sim,
+                dot_i64(array(1L, 2L), array(3L, 4L)) AS dot,
+                sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c""")
+      .collect().head
+    assert(r.getSeq[Long](r.fieldIndex("sig")).length == 4)
+    assert(r.getAs[Long]("dot") == 11L)
+    assert(r.getAs[Long]("c") == 2L)
+    // 5 = 0b101, 17 = 0b10001: bit0 votes +2 → set; bit2 votes 0 → unset
+    assert((r.getAs[Long]("sim") & 1L) == 1L)
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating via collect on a plan with
     // codegen disabled
