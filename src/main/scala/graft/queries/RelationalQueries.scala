@@ -203,6 +203,46 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))),
 
+    // Running-total window (ROWS UNBOUNDED PRECEDING) per customer.
+    "q22_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(expr("cast(round(o_totalprice*100,0) as bigint)")).over(w)
+          .as("running_cents"))
+    }),
+
+    // Ordered array aggregation (sort_array ∘ collect_list), emitted as
+    // a joined string so the hash compare is list-order-exact.
+    "q23_arrayagg" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val su = t(s, dir, "supplier")
+      n.join(su, n("n_nationkey") === su("s_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(s_suppkey)), x -> cast(x as string)), ',')")
+          .as("supps"))
+    }),
+
+    // Exact integer moments (count/sum/sum-of-squares in whole dollars)
+    // — the building blocks of mean/variance without float drift.
+    "q24_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectExpr("l_returnflag", "cast(floor(l_extendedprice) as bigint) as d")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("d").as("sum_dollars"),
+          sum(expr("d*d")).as("sum_sq"))),
+
+    // SQL front door + correlated scalar subquery (Catalyst decorrelates
+    // it into an aggregate join).
+    "q25_sql_corr" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders o
+           WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                     WHERE i.o_custkey = o.o_custkey)""")
+    }),
+
     // Semi-structured JSON extraction (events.props) + aggregation.
     "q21_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -312,6 +352,27 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
          FROM orders GROUP BY 1, 2""",
+    "q22_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM orders""",
+    "q23_arrayagg" ->
+      """SELECT n_nationkey,
+         string_agg(CAST(s_suppkey AS VARCHAR), ',' ORDER BY s_suppkey) AS supps
+         FROM nation JOIN supplier ON s_nationkey = n_nationkey
+         GROUP BY n_nationkey""",
+    "q24_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_dollars,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_sq
+         FROM lineitem GROUP BY l_returnflag""",
+    "q25_sql_corr" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                   WHERE i.o_custkey = o.o_custkey)""",
     "q21_json" ->
       """SELECT event_type,
          CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
