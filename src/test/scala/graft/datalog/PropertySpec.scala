@@ -1,0 +1,128 @@
+package graft.datalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import scala.util.Random
+
+/** Property tests against in-memory Scala oracles on random graphs —
+  * cycles included (the engine's fixpoints must terminate and agree
+  * with Warshall closure / Dijkstra / union-find on every instance). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deterministic random instances (scalatestplus isn't resolvable in
+  // the offline build, so the property harness is a seeded loop)
+  private val cases = 5
+
+  private def randomGraph(rnd: Random): Seq[(Int, Int)] = {
+    val n = 4 + rnd.nextInt(7)
+    val m = 1 + rnd.nextInt(2 * n)
+    (0 until m).map { _ =>
+      val a = rnd.nextInt(n)
+      val b = (a + 1 + rnd.nextInt(n - 1)) % n
+      (a, b)
+    }.distinct
+  }
+
+  private def forAllGraphs(seed: Long)(body: Seq[(Int, Int)] => Unit): Unit = {
+    val rnd = new Random(seed)
+    (1 to cases).foreach { i =>
+      val g = randomGraph(rnd)
+      withClue(s"case $i graph $g: ") { body(g) }
+    }
+  }
+
+  private def warshall(edges: Seq[(Int, Int)]): Set[(Int, Int)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var tc = edges.toSet
+    var grew = true
+    while (grew) {
+      val next = tc ++ (for ((a, b) <- tc; (c, d) <- tc if b == c) yield (a, d))
+      grew = next.size > tc.size
+      tc = next
+    }
+    tc
+  }
+
+  test("TC (left-linear) agrees with Warshall closure on random digraphs") {
+    forAllGraphs(42L) { edges =>
+      {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(
+          "database({arc(X:integer, Y:integer)})." +
+            "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B).")
+        ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+        val got = ctx.query("tc(A,B).").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+        assert(got == warshall(edges))
+      }
+    }
+  }
+
+  private def forAllWeighted(seed: Long)(body: Seq[(Int, Int, Int)] => Unit): Unit = {
+    val rnd = new Random(seed)
+    (1 to cases).foreach { i =>
+      val g = randomGraph(rnd).map { case (a, b) => (a, b, 1 + rnd.nextInt(9)) }
+      withClue(s"case $i graph $g: ") { body(g) }
+    }
+  }
+
+  private def dijkstra(edges: Seq[(Int, Int, Int)], src: Int): Map[Int, Int] = {
+    val adj = edges.groupBy(_._1)
+    val dist = mutable.Map(src -> 0)
+    val pq = mutable.PriorityQueue((0, src))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d)
+        for ((_, v, w) <- adj.getOrElse(u, Nil)
+             if dist.get(v).forall(_ > d + w)) {
+          dist(v) = d + w; pq.enqueue((d + w, v))
+        }
+    }
+    dist.toMap
+  }
+
+  test("SSSP via mmin agrees with Dijkstra on random weighted digraphs (cycles ok)") {
+    forAllWeighted(7L) { edges =>
+      {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(
+          "database({arc(X:integer, Y:integer, C:integer)})." +
+            "mminpath(X,mmin<D>) <- X=0, D=0. " +
+            "mminpath(Z,mmin<D>) <- mminpath(X,D1), arc(X,Z,C), D=D1+C. " +
+            "sssp(X,min<D>) <- mminpath(X,D).")
+        ctx.registerData("arc", edges.map { case (a, b, w) => s"$a,$b,$w" })
+        val got = ctx.query("sssp(A,D).").collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        assert(got == dijkstra(edges, 0))
+      }
+    }
+  }
+
+  test("CC via mmin agrees with union-find on random undirected graphs") {
+    forAllGraphs(1234L) { edges =>
+      {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val parent = mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        for ((a, b) <- edges) parent(find(a)) = find(b)
+        val expected = nodes.map(n =>
+          n -> nodes.filter(m => find(m) == find(n)).min).toMap
+
+        val sym = edges ++ edges.map(e => (e._2, e._1))
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(
+          "database({edge(X:integer, Y:integer), node(X:integer)})." +
+            "cc3(X,mmin<X>) <- node(X). " +
+            "cc3(Y,mmin<V>) <- cc3(X,V), edge(X,Y). " +
+            "cc2(X,min<Y>) <- cc3(X,Y).")
+        ctx.registerData("edge", sym.map { case (a, b) => s"$a,$b" })
+        ctx.registerData("node", nodes.map(_.toString))
+        val got = ctx.query("cc2(A,B).").collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+}
