@@ -28,7 +28,11 @@ final case class DatalogConf(
     unionDistinct: Boolean = true,
     joinType: String = "auto",
     maxIterations: Int = 10000,
-    localDeltaRows: Long = 10000L)
+    localDeltaRows: Long = 10000L,
+    /** `spark.datalog.storage.level`: StorageLevel for relations cached
+      * on the static side of recursive-rule joins (reference default
+      * MEMORY_ONLY; ours MEMORY_AND_DISK so huge EDBs spill, not OOM). */
+    storageLevel: String = "MEMORY_AND_DISK")
 
 object DatalogConf {
   def from(spark: SparkSession): DatalogConf = DatalogConf(
@@ -38,5 +42,7 @@ object DatalogConf {
     maxIterations =
       spark.conf.get("spark.datalog.recursion.maxIterations", "10000").toInt,
     localDeltaRows =
-      spark.conf.get("spark.datalog.recursion.localDeltaRows", "10000").toLong)
+      spark.conf.get("spark.datalog.recursion.localDeltaRows", "10000").toLong,
+    storageLevel =
+      spark.conf.get("spark.datalog.storage.level", "MEMORY_AND_DISK"))
 }

@@ -108,7 +108,7 @@ final class Evaluator(
   private def cachedStatic(pred: String): DataFrame = {
     val df = predDF(pred)
     if (!persistedStatic(pred)) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.persist(org.apache.spark.storage.StorageLevel.fromString(conf.storageLevel))
       persistedStatic += pred
     }
     df
