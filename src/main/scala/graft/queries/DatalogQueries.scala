@@ -192,6 +192,18 @@ object DatalogQueries extends QueryPack {
       c.query("tcount(A).")
     }),
 
+    // Non-recursive Datalog over string-typed parquet EDB (the engine's
+    // type surface beyond integers): per-segment customer counts.
+    "dl_segcount" -> ((s, dir) => {
+      val c = new DatalogContext(s)
+      c.loadProgram(
+        "database({cust(C:long, S:string)}). " +
+          "segcount(S, count<C>) <- cust(C, S).")
+      c.registerTable("cust", Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      c.query("segcount(S, N).")
+    }),
+
     // Aggregation + sort/limit pseudo-predicates (PYMK-style top-k,
     // reference program 73): top-10 nodes by out-degree.
     "dl_topdeg" -> ((s, dir) => {
@@ -284,6 +296,9 @@ object DatalogQueries extends QueryPack {
       "dl_cc_count" ->
         s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
             FROM customer""",
+      "dl_segcount" ->
+        """SELECT c_mktsegment AS s, CAST(count(c_custkey) AS BIGINT) AS n
+           FROM customer GROUP BY c_mktsegment""",
       "dl_topdeg" ->
         s"""WITH $arcSql
             SELECT CAST(x AS BIGINT) AS a, CAST(c AS BIGINT) AS b FROM (

@@ -203,6 +203,26 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))),
 
+    // CUBE — all grouping-set combinations (completes the rollup row).
+    "q26_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("sum_cents"))),
+
+    // FULL OUTER join with null-safe projection (reference has inner +
+    // anti only): per-nation customer/supplier presence.
+    "q27_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // Running-total window (ROWS UNBOUNDED PRECEDING) per customer.
     "q22_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -352,6 +372,19 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
          FROM orders GROUP BY 1, 2""",
+    "q26_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q27_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+         COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+               FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk""",
     "q22_running" ->
       """SELECT o_custkey, o_orderkey,
          CAST(sum(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) OVER
