@@ -148,16 +148,65 @@ final class Evaluator(
     } else (ck, n)
   }
 
+  /** One disjoint slice of a predicate's accumulated fact set: either a
+    * co-partitioned claimed-HashPartitioning checkpoint (anti-joins
+    * against it are exchange-free ShuffledHashJoins) or a LocalRelation
+    * (anti-joins against it broadcast). */
+  private case class Slice(df: DataFrame, isLocal: Boolean)
+
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
-    * predicate's exit rules (bound-argument pushdown). */
+    * predicate's exit rules (bound-argument pushdown).
+    *
+    * Dedup design (the SetRDD economics on the public API, SURVEY.md
+    * §2.4): each iteration's candidate set is repartitioned ONCE on the
+    * full row key; `dropDuplicates` and the anti-joins against every
+    * prior delta slice then run with no further exchange, because the
+    * slices were checkpointed with their hash partitioning claimed
+    * (GraftColumnBridge.checkpointWithPartitioning) — per-iteration
+    * network is O(|delta|), not O(|all|). Slices are compacted when the
+    * chain grows. Datalog tuples are non-null (the dialect has no null
+    * literal), so plain equality anti-joins implement set difference. */
   private def runSemiNaive(
       clique: Analysis#Clique,
       exitFilter: Map[String, DataFrame => DataFrame]): Map[String, DataFrame] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val copart = conf.copartitionDedup
     val preds = clique.preds.toSeq.sorted
-    var all = Map[String, DataFrame]()
+    var chains = Map[String, Vector[Slice]]()
     var delta = Map[String, DataFrame]()
     // schema prototypes so an empty fixpoint still yields a typed result
     var proto = Map[String, DataFrame]()
+
+    def allOf(p: String): Option[DataFrame] =
+      chains.get(p).map(_.map(_.df).reduce(_ union _))
+
+    /** repartition on the full row key + exchange-free dedup */
+    def repDedup(df: DataFrame): DataFrame =
+      df.repartition(nParts, df.columns.map(col).toIndexedSeq: _*).dropDuplicates()
+
+    /** claim-checkpoint (or localize when tiny) an iteration result that
+      * is physically hash-partitioned on its full row key */
+    def sliceOf(df: DataFrame): (Slice, Long) = {
+      val ck = org.apache.spark.sql.GraftColumnBridge
+        .checkpointWithPartitioning(df, df.columns.toSeq, nParts)
+      val n = ck.count()
+      if (n > 0 && n <= conf.localDeltaRows) {
+        import scala.jdk.CollectionConverters._
+        (Slice(spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema),
+          isLocal = true), n)
+      } else (Slice(ck, isLocal = false), n)
+    }
+
+    /** set difference against every prior slice: broadcast anti for
+      * local slices, exchange-free shuffled-hash anti for the rest */
+    def diffChain(cand: DataFrame, chain: Vector[Slice]): DataFrame =
+      chain.foldLeft(cand) { (acc, s) =>
+        val cond = acc.columns.zip(s.df.columns)
+          .map { case (a, b) => acc(a) === s.df(b) }.reduce(_ && _)
+        val rhs = if (s.isLocal) s.df else s.df.hint("shuffle_hash")
+        acc.join(rhs, cond, "left_anti")
+      }
 
     // iteration 0: exit rules
     for (p <- preds) {
@@ -166,9 +215,14 @@ final class Evaluator(
         val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
           .reduce(_ union _)
         proto += p -> u
-        val (d, n) = materialize(
-          exitFilter.get(p).map(f => f(u)).getOrElse(u).distinct())
-        if (n > 0) { all += p -> d; delta += p -> d }
+        val seeded = exitFilter.get(p).map(f => f(u)).getOrElse(u)
+        if (copart) {
+          val (s, n) = sliceOf(repDedup(seeded))
+          if (n > 0) { chains += p -> Vector(s); delta += p -> s.df }
+        } else {
+          val (d, n) = materialize(seeded.distinct())
+          if (n > 0) { chains += p -> Vector(Slice(d, isLocal = false)); delta += p -> d }
+        }
       }
     }
 
@@ -177,30 +231,44 @@ final class Evaluator(
       iter += 1
       if (iter > maxIterations)
         throw new EvalException(s"fixpoint exceeded $maxIterations iterations")
+      val allView = preds.flatMap(p => allOf(p).map(p -> _)).toMap
       var newDelta = Map[String, DataFrame]()
       for (p <- preds) {
         val contribs = clique.recursiveRules(p)
-          .flatMap(r => ruleVariants(r, clique, delta, all))
+          .flatMap(r => ruleVariants(r, clique, delta, allView))
         if (contribs.nonEmpty) {
           val u = contribs.reduce(_ union _)
-          val (d, n) = materialize(all.get(p) match {
-            case Some(a) => u.except(a) // EXCEPT dedups (set difference)
-            case None => u.distinct()
-          })
-          if (n > 0) newDelta += p -> d
+          val chain = chains.getOrElse(p, Vector.empty)
+          if (copart) {
+            val (s, n) = sliceOf(diffChain(repDedup(u), chain))
+            if (n > 0) {
+              newDelta += p -> s.df
+              var next = chain :+ s
+              // compact distributed slices so the chain stays short
+              if (next.count(!_.isLocal) > 6) {
+                val (c, _) = sliceOf(repDedup(next.map(_.df).reduce(_ union _)))
+                next = Vector(c)
+              }
+              chains += p -> next
+            }
+          } else {
+            val (d, n) = materialize(allOf(p) match {
+              case Some(a) => u.except(a)
+              case None => u.distinct()
+            })
+            if (n > 0) {
+              newDelta += p -> d
+              chains += p -> (chains.getOrElse(p, Vector.empty) :+
+                Slice(d, isLocal = false))
+            }
+          }
         }
-      }
-      // merge: all ∪= delta (union of checkpointed leaves); compact the
-      // union chain periodically so per-iteration analysis stays flat
-      for ((p, d) <- newDelta) {
-        val merged = all.get(p).map(_ union d).getOrElse(d)
-        all += p -> (if (iter % 4 == 0) merged.localCheckpoint() else merged)
       }
       delta = newDelta
     }
 
     preds.map { p =>
-      p -> all.getOrElse(p, proto.get(p).map(_.filter(lit(false))).getOrElse(
+      p -> allOf(p).getOrElse(proto.get(p).map(_.filter(lit(false))).getOrElse(
         throw new EvalException(
           s"recursive predicate $p derived no facts and has no schema")))
     }.toMap

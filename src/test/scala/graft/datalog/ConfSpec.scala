@@ -38,6 +38,19 @@ class ConfSpec extends AnyFunSuite {
     }
   }
 
+  test("copartition dedup and legacy except produce identical fixpoints") {
+    def tcRows(copart: String): Set[String] =
+      withConf("spark.datalog.recursion.copartition.enabled" -> copart,
+        // force distributed slices so the chain path is exercised
+        "spark.datalog.recursion.localDeltaRows" -> "0") {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + tc)
+        ctx.registerData("arc", Fixtures.graph1b)
+        ctx.queryStrings("tc(A,B).").toSet
+      }
+    assert(tcRows("true") == tcRows("false"))
+  }
+
   test("uniondistinct.enabled=false yields bag semantics for multi-rule unions") {
     // p derives 0 from both rules: set semantics → 1 row, bag → 2 rows
     val prog = "p(X) <- arc(X,1). p(X) <- arc(X,2)."
