@@ -81,6 +81,20 @@ object EmbeddingQueries extends QueryPack {
         .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
     }),
 
+    // Embedding near-duplicate pairs (the brief's embedding-cosine
+    // near-dup dedup operator): hyperplane-bucket blocking, exact
+    // quantized inner product ≥ threshold — candidate generation joins
+    // on the bucket key, never all-pairs.
+    "emb_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val a = e.select(col("bkt"), col("vec_id").as("v1"), col("q").as("q1"))
+      val b = e.select(col("bkt"), col("vec_id").as("v2"), col("q").as("q2"))
+      a.join(b, Seq("bkt"))
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), dotI64(col("q1"), col("q2")).as("dot"))
+        .filter(col("dot") >= 300000)
+    }),
+
     // Per-label centroids (IVF coarse quantizer building block), kept as
     // exact integer sums per dimension.
     "emb_centroids" -> ((s, dir) =>
@@ -132,6 +146,15 @@ object EmbeddingQueries extends QueryPack {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
             FROM scored)
           SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5""",
+    "emb_neardup" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          eb AS (SELECT vec_id, v, $bucketD AS bkt FROM e)
+          SELECT a.vec_id AS v1, b.vec_id AS v2,
+            CAST(list_sum(list_transform(range(1, len(a.v)+1),
+              i -> a.v[i]*b.v[i])) AS BIGINT) AS dot
+          FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.v)+1),
+              i -> a.v[i]*b.v[i])) >= 300000""",
     "emb_centroids" ->
       s"""WITH e AS (SELECT label, $quantD AS v FROM embeddings)
           SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
