@@ -61,6 +61,56 @@ object StreamingQueries extends QueryPack {
         "event_type", "n", "sum_value_cents")
     }),
 
+    // Stateful streaming dedup: dropDuplicates on the event key with a
+    // watermark bounding state, then per-type counts — the
+    // exactly-once ingestion primitive of a training-data pipeline.
+    // Counts after exact dedup are arrival-order independent, so the
+    // batch oracle checks the streaming result exactly.
+    "stream_dedup_count" -> ((s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val sink = "stream_dedup_sink"
+      val q = s.readStream.schema(schema)
+        .parquet(stageDir(dir))
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts_utc", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
+    // Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
+    // running per-user event counts (state = Long per key), drained with
+    // AvailableNow; update-mode emissions land in the memory sink with
+    // the final count per user.
+    "stream_user_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val schema = Tables.load(s, dir, "events").schema
+      val sink = "stream_user_state_sink"
+      val q = s.readStream.schema(schema)
+        .parquet(stageDir(dir))
+        .select(col("user_id").as[Long], col("event_id").as[Long])
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + events.size
+            state.update(n)
+            (uid, n)
+        }
+        .toDF("user_id", "n")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // update mode may emit a row per micro-batch; keep the final count
+      s.table(sink).groupBy("user_id").agg(max("n").as("n"))
+    }),
+
     // Sessionization via typed group processing (KeyValueGroupedDataset
     // .flatMapGroups): per-user event-time sort, session break on >1h
     // gap. The per-group sort is in-memory here; at 100 TB the same
@@ -95,6 +145,12 @@ object StreamingQueries extends QueryPack {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, 2""",
+    "stream_dedup_count" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+         FROM events GROUP BY event_type""",
+    "stream_user_state" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY user_id""",
     "evt_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
          s AS (SELECT user_id, tsu,
