@@ -42,8 +42,32 @@ object MultimodalQueries extends QueryPack {
           }
         }
         .toDF("doc_id", "n_bytes", "cp_sum", "n_frames")
+    }),
+
+    // One payload → many sampled "frames": mapPartitions emits a row per
+    // fixed-size window with a per-frame checksum (what a real pipeline
+    // does with decoded video frames; decode itself is the stub).
+    "mm_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            bytes.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+              var sum = 0L
+              frame.foreach(b => sum = (sum + (b & 0xff)) % P)
+              (id, i.toLong, frame.length.toLong, sum)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
     })
   )
+
+  /** "Frame" sampling stub: fixed-size byte windows standing in for
+    * decoded video frames — the one-payload→many-frames batch shape. */
+  private val frameBytes = 500
 
   val oracles: Map[String, String] = Map(
     // text is ASCII, so UTF-8 byte length == char length and the
@@ -54,6 +78,23 @@ object MultimodalQueries extends QueryPack {
             list_transform(range(length(text)), i -> CAST(unicode(substr(text, i+1, 1)) AS BIGINT))),
             (h, x) -> (h + x) % $P) AS cp_sum,
           CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
-          FROM documents"""
+          FROM documents""",
+    // ASCII text: frame windows are substrings; byte values = unicode()
+    "mm_frames" ->
+      s"""WITH idx AS (
+            SELECT doc_id, text,
+              unnest(range((length(text) + ${frameBytes - 1}) // $frameBytes)) AS i
+            FROM documents),
+          f AS (
+            SELECT doc_id, i AS frame_idx,
+              substr(text, CAST(i*$frameBytes + 1 AS INTEGER), $frameBytes) AS frame
+            FROM idx)
+          SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+            CAST(length(frame) AS BIGINT) AS frame_bytes,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(length(frame)),
+                i -> CAST(unicode(substr(frame, i+1, 1)) AS BIGINT))),
+              (h, x) -> (h + x) % $P) AS frame_sum
+          FROM f"""
   )
 }
