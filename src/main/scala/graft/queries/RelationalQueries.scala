@@ -61,7 +61,6 @@ object RelationalQueries extends QueryPack {
         .groupBy(n("n_name"))
         .agg(count(lit(1)).as("n_orders"),
           cents(col("o_totalprice")).as("sum_total_cents"))
-        .withColumnRenamed("n_name", "n_name")
     }),
 
     // 3-way dim chain with filter — both dims broadcast.
