@@ -86,6 +86,16 @@ object TextQueries extends QueryPack {
         s"size($toks) as n_tokens",
         "length(text) as n_chars_len")),
 
+    // BPE-ish token counting: greedy fixed-width subword chunks plus
+    // alpha-run counts via regexp_extract_all (the regex-tokenizer
+    // variant of txt_tokens; both engines use greedy matching so the
+    // counts are engine-exact).
+    "txt_tokens_bpe" -> ((s, dir) =>
+      docs(s, dir).selectExpr(
+        "doc_id",
+        "size(regexp_extract_all(text, '[a-z]{1,4}', 0)) as n_subwords",
+        "size(regexp_extract_all(text, '[a-z]+', 0)) as n_alpha_runs")),
+
     // Quality scoring: exact integer length/stopword ratios.
     "txt_quality" -> ((s, dir) =>
       docs(s, dir).selectExpr(
@@ -223,6 +233,11 @@ object TextQueries extends QueryPack {
     "txt_tokens" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
          length(text) AS n_chars_len FROM documents""",
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subwords,
+         len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs
+         FROM documents""",
     "txt_quality" ->
       """SELECT doc_id, length(text) AS n_chars_len,
          len(string_split(text,' ')) AS n_tokens,
