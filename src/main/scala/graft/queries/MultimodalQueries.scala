@@ -44,6 +44,27 @@ object MultimodalQueries extends QueryPack {
         .toDF("doc_id", "n_bytes", "cp_sum", "n_frames")
     }),
 
+    // "Resize" stub: stride-4 downsample of the payload (what a real
+    // pipeline does to image dimensions), emitting the resized length
+    // and checksum — shape-preserving binary→binary transform.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val resized = bytes.indices.collect {
+              case i if i % 4 == 0 => bytes(i)
+            }
+            var sum = 0L
+            resized.foreach(b => sum = (sum + (b & 0xff)) % P)
+            (id, resized.length.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "resized_bytes", "resized_sum")
+    }),
+
     // One payload → many sampled "frames": mapPartitions emits a row per
     // fixed-size window with a per-frame checksum (what a real pipeline
     // does with decoded video frames; decode itself is the stub).
@@ -78,6 +99,14 @@ object MultimodalQueries extends QueryPack {
             list_transform(range(length(text)), i -> CAST(unicode(substr(text, i+1, 1)) AS BIGINT))),
             (h, x) -> (h + x) % $P) AS cp_sum,
           CAST(length(text) // 1000 + 1 AS BIGINT) AS n_frames
+          FROM documents""",
+    "mm_resize" ->
+      s"""SELECT doc_id,
+          CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range((length(text) + 3) // 4),
+              i -> CAST(unicode(substr(text, CAST(4*i + 1 AS INTEGER), 1)) AS BIGINT))),
+            (h, x) -> (h + x) % $P) AS resized_sum
           FROM documents""",
     // ASCII text: frame windows are substrings; byte values = unicode()
     "mm_frames" ->

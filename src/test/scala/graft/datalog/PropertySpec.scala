@@ -44,17 +44,18 @@ class PropertySpec extends AnyFunSuite {
     tc
   }
 
-  test("TC (left-linear) agrees with Warshall closure on random digraphs") {
+  test("TC (left-linear and non-linear) agrees with Warshall closure on random digraphs") {
     forAllGraphs(42L) { edges =>
-      {
+      for (rec <- Seq("tc(A,B) <- tc(A,C), arc(C,B).",
+                      "tc(A,B) <- tc(A,C), tc(C,B).")) {
         val ctx = new DatalogContext(spark)
         ctx.loadProgram(
           "database({arc(X:integer, Y:integer)})." +
-            "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B).")
+            s"tc(A,B) <- arc(A,B). $rec")
         ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
         val got = ctx.query("tc(A,B).").collect()
           .map(r => (r.getInt(0), r.getInt(1))).toSet
-        assert(got == warshall(edges))
+        assert(got == warshall(edges), s"rule: $rec")
       }
     }
   }
