@@ -258,8 +258,14 @@ final class Evaluator(
             })
             if (n > 0) {
               newDelta += p -> d
-              chains += p -> (chains.getOrElse(p, Vector.empty) :+
-                Slice(d, isLocal = false))
+              var next = chain :+ Slice(d, isLocal = false)
+              // compact the union chain so per-iteration analysis and
+              // the except's right side stay flat
+              if (next.length > 6) {
+                val (c, _) = materialize(next.map(_.df).reduce(_ union _))
+                next = Vector(Slice(c, isLocal = false))
+              }
+              chains += p -> next
             }
           }
         }
