@@ -146,6 +146,18 @@ final class DatalogContext(val spark: SparkSession) {
     df.select(outCols: _*)
   }
 
+  /** Result-surface parity with the reference's `BigDatalogProgram`
+    * (dl/BigDatalogProgram.scala:30-45: toDF / execute / count). */
+  final class DatalogProgram private[datalog] (df: DataFrame) {
+    def toDF: DataFrame = df
+    def execute(): org.apache.spark.rdd.RDD[Row] = df.rdd
+    def count(): Long = df.count()
+  }
+
+  /** Compile a query form into a re-runnable program handle. */
+  def program(queryText: String): DatalogProgram =
+    new DatalogProgram(query(queryText))
+
   /** Did the most recent `query` push bound arguments into the fixpoint? */
   def lastBoundPushdown: Boolean = evaluator.exists(_.lastBoundPushdown)
 

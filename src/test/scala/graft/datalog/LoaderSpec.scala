@@ -22,6 +22,18 @@ class LoaderSpec extends AnyFunSuite {
     assert(rows == Set("[0,1]", "[1,2]", "[2,3]", "[0,2]", "[1,3]", "[0,3]"))
   }
 
+  test("program handle: toDF / execute / count parity surface") {
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(
+      "database({arc(X:integer, Y:integer)}). tc(A,B) <- arc(A,B)." +
+        "tc(A,B) <- tc(A,C), arc(C,B).")
+    ctx.registerData("arc", Seq("0,1", "1,2"))
+    val p = ctx.program("tc(A,B).")
+    assert(p.count() == 3L)
+    assert(p.toDF.columns.toSeq == Seq("a", "b"))
+    assert(p.execute().count() == 3L)
+  }
+
   test("registerAndLoadTable: tab-delimited (non-.csv path)") {
     val f = Files.createTempFile("arc", ".txt")
     Files.writeString(f, "5\t6\n6\t7\n")
