@@ -192,6 +192,17 @@ object DatalogQueries extends QueryPack {
       c.query("tcount(A).")
     }),
 
+    // PYMK composite (reference benchmark program 73): triangle-closing
+    // candidates via 2-path join + negation, counted, then top-k with
+    // the sort/limit pseudo-predicates — the reference's flagship
+    // non-recursive pipeline in one program.
+    "dl_pymk" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "pymkcand(X,Z,count<Y>) <- arc(X,Y,_), arc(Y,Z,_), ~arc(X,Z,_), X~=Z. " +
+          "pymk(X,Z,C) <- pymkcand(X,Z,C), sort((C,desc),(X,asc),(Z,asc)), limit(10).")
+      c.query("pymk(X,Z,C).")
+    }),
+
     // Non-recursive Datalog over string-typed parquet EDB (the engine's
     // type surface beyond integers): per-segment customer counts.
     "dl_segcount" -> ((s, dir) => {
@@ -296,6 +307,18 @@ object DatalogQueries extends QueryPack {
       "dl_cc_count" ->
         s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
             FROM customer""",
+      "dl_pymk" ->
+        s"""WITH $arcSql,
+            cand AS (
+              SELECT a1.src AS x, a2.dst AS z, count(*) AS c
+              FROM arc a1 JOIN arc a2 ON a2.src = a1.dst
+              WHERE a1.src != a2.dst
+                AND NOT EXISTS (SELECT 1 FROM arc e
+                                WHERE e.src = a1.src AND e.dst = a2.dst)
+              GROUP BY a1.src, a2.dst)
+            SELECT CAST(x AS BIGINT) AS x, CAST(z AS BIGINT) AS z,
+                   CAST(c AS BIGINT) AS c
+            FROM cand ORDER BY c DESC, x ASC, z ASC LIMIT 10""",
       "dl_segcount" ->
         """SELECT c_mktsegment AS s, CAST(count(c_custkey) AS BIGINT) AS n
            FROM customer GROUP BY c_mktsegment""",
