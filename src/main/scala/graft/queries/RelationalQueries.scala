@@ -262,6 +262,25 @@ object RelationalQueries extends QueryPack {
                                      WHERE i.o_custkey = o.o_custkey)""")
     }),
 
+    // Exact median (sort-based percentile; interpolated halves of
+    // integer cents are exact in double on both engines).
+    "q28_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "cast(round(l_extendedprice*100,0) as bigint) as cents")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"))),
+
+    // LAG window: day gaps between a customer's consecutive orders
+    // (first order per customer → -1, keeping the column null-free).
+    "q29_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        coalesce(datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)),
+          lit(-1)).cast("long").as("gap_days"))
+    }),
+
     // Semi-structured JSON extraction (events.props) + aggregation.
     "q21_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -371,6 +390,17 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
          FROM orders GROUP BY 1, 2""",
+    "q28_median" ->
+      """SELECT l_returnflag,
+         quantile_cont(CAST(ROUND(l_extendedprice*100,0) AS BIGINT), 0.5) AS median_cents
+         FROM lineitem GROUP BY l_returnflag""",
+    "q29_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(COALESCE(date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate), -1) AS BIGINT) AS gap_days
+         FROM orders""",
     "q26_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
