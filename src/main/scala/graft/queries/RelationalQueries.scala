@@ -262,6 +262,14 @@ object RelationalQueries extends QueryPack {
                                      WHERE i.o_custkey = o.o_custkey)""")
     }),
 
+    // PIVOT with an explicit value list (deterministic column set).
+    "q30_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)),
+
     // Exact median (sort-based percentile; interpolated halves of
     // integer cents are exact in double on both engines).
     "q28_median" -> ((s, dir) =>
@@ -390,6 +398,12 @@ object RelationalQueries extends QueryPack {
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
          COUNT(*) AS n, COUNT(DISTINCT day(o_orderdate)) AS n_days
          FROM orders GROUP BY 1, 2""",
+    "q30_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+         CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+         CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
     "q28_median" ->
       """SELECT l_returnflag,
          quantile_cont(CAST(ROUND(l_extendedprice*100,0) AS BIGINT), 0.5) AS median_cents
