@@ -29,6 +29,7 @@ case class MinHashSig(child: Expression, k: Int = 16, p: Long = 1000000007L)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, arr, GraftFunctions.elemNullable(child))
     val n = arr.numElements()
     val out = new Array[Long](k)
     var j = 0
@@ -57,6 +58,7 @@ case class MinHashSig(child: Expression, k: Int = 16, p: Long = 1000000007L)
       val m = ctx.freshName("m")
       val v = ctx.freshName("v")
       s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, c, GraftFunctions.elemNullable(child))}
         final int $n = $c.numElements();
         final long[] $out = new long[$k];
         for (int $j = 0; $j < $k; $j++) {
@@ -88,6 +90,7 @@ case class SimHash32(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, arr, GraftFunctions.elemNullable(child))
     val n = arr.numElements()
     var sim = 0L
     var b = 0
@@ -112,6 +115,7 @@ case class SimHash32(child: Expression)
       val b = ctx.freshName("b")
       val i = ctx.freshName("i")
       s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, c, GraftFunctions.elemNullable(child))}
         final int $n = $c.numElements();
         long $sim = 0L;
         for (int $b = 0; $b < 32; $b++) {
@@ -144,6 +148,8 @@ case class DotI64(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, la, GraftFunctions.elemNullable(left))
+    GraftFunctions.checkNulls(prettyName, ra, GraftFunctions.elemNullable(right))
     val n = math.min(la.numElements(), ra.numElements())
     var s = 0L
     var i = 0
@@ -157,6 +163,8 @@ case class DotI64(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, l, GraftFunctions.elemNullable(left))}
+        ${GraftFunctions.nullScanCode(ctx, prettyName, r, GraftFunctions.elemNullable(right))}
         final int $n = java.lang.Math.min($l.numElements(), $r.numElements());
         long $s = 0L;
         for (int $i = 0; $i < $n; $i++) {
@@ -188,6 +196,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, la, GraftFunctions.elemNullable(left))
+    GraftFunctions.checkNulls(prettyName, ra, GraftFunctions.elemNullable(right))
     val (n, m) = (la.numElements(), ra.numElements())
     var (i, j) = (0, 0)
     var c = 0L
@@ -207,6 +217,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val a = ctx.freshName("a"); val b = ctx.freshName("b")
       s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, l, GraftFunctions.elemNullable(left))}
+        ${GraftFunctions.nullScanCode(ctx, prettyName, r, GraftFunctions.elemNullable(right))}
         final int $n = $l.numElements();
         final int $m = $r.numElements();
         int $i = 0; int $j = 0; long $c = 0L;
@@ -233,6 +245,46 @@ object GraftFunctions {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$name requires array<bigint>, got ${other.catalogString}")
   }
+
+  /** Does this array expression's type admit null elements? When true the
+    * kernels add an upfront null scan (getLong on a null slot would read
+    * garbage silently); when the schema proves non-null the generated
+    * loops stay branch-free. */
+  private[functions] def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  /** Public (not private[functions]): called from generated code, which
+    * needs the JVM static forwarder package-private members don't get. */
+  def failNullElement(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: null array element (kernels require non-null array<bigint>)")
+
+  /** Interpreted-path guard: scan for null slots when the type admits them. */
+  private[functions] def checkNulls(name: String, arr: ArrayData, nullable: Boolean): Unit =
+    if (nullable) {
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (arr.isNullAt(i)) failNullElement(name)
+        i += 1
+      }
+    }
+
+  /** Codegen guard: emits the null scan only when the type admits nulls. */
+  private[functions] def nullScanCode(
+      ctx: CodegenContext, name: String, arr: String, nullable: Boolean): String =
+    if (!nullable) ""
+    else {
+      val i = ctx.freshName("ni")
+      s"""
+        for (int $i = 0; $i < $arr.numElements(); $i++) {
+          if ($arr.isNullAt($i))
+            graft.functions.GraftFunctions.failNullElement("$name");
+        }
+      """
+    }
 
   def minhashSig(c: Column, k: Int = 16): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), k))

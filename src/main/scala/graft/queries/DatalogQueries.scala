@@ -65,11 +65,10 @@ object DatalogQueries extends QueryPack {
     * dl_cc and dl_cc_count then run the cc3 fixpoint once, like two
     * queries over the same materialized view. */
   private val ctxMemo =
-    scala.collection.concurrent.TrieMap[(Int, String, String), DatalogContext]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DatalogContext]()
 
   private def sharedCtx(s: SparkSession, dir: String, program: String): DatalogContext =
-    ctxMemo.getOrElseUpdate((System.identityHashCode(s), dir, program),
-      ctx(s, dir, program))
+    ctxMemo.getOrElseUpdate((s, dir, program), ctx(s, dir, program))
 
   /** cc program shared by dl_cc / dl_cc_count. */
   private val ccProgram =

@@ -25,14 +25,22 @@ object StreamingQueries extends QueryPack {
   private def stageDir(dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(dir, "events.parquet")
-    val stage = Paths.get("/tmp/graft_stream",
-      Integer.toHexString(dir.hashCode), "events")
+    // key by the canonical path (hashCode collides; symlinked paths alias)
+    val canon = src.toRealPath().getParent.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val stage = Paths.get("/tmp/graft_stream", canon, "events")
     val dst = stage.resolve("events.parquet")
+    // refresh when the source was regenerated (size or mtime differs)
+    val stale = Files.exists(dst) &&
+      (Files.size(dst) != Files.size(src) ||
+        Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src))
+    if (stale) Files.delete(dst)
     if (!Files.exists(dst)) {
       Files.createDirectories(stage)
       try Files.createLink(dst, src)
       catch { case _: Exception =>
-        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES,
+          StandardCopyOption.REPLACE_EXISTING)
       }
     }
     stage.toString
@@ -111,31 +119,23 @@ object StreamingQueries extends QueryPack {
       s.table(sink).groupBy("user_id").agg(max("n").as("n"))
     }),
 
-    // Sessionization via typed group processing (KeyValueGroupedDataset
-    // .flatMapGroups): per-user event-time sort, session break on >1h
-    // gap. The per-group sort is in-memory here; at 100 TB the same
-    // logic runs on repartition(user_id).sortWithinPartitions with a
-    // mapPartitions boundary walk — group volumes per user are small,
-    // the shuffle key is the session key either way.
+    // Sessionization, relational formulation: lag window over
+    // (user_id, event time) + running sum of >1h gap breaks — the same
+    // shape its oracle uses. One shuffle on user_id; the window sort is
+    // Spark's spillable ExternalSorter, so a skewed user (bot traffic)
+    // spills instead of OOMing an executor — no per-group array
+    // buffering anywhere in the plan.
     "evt_sessions" -> ((s, dir) => {
-      import s.implicits._
-      val e = Tables.load(s, dir, "events")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      Tables.load(s, dir, "events")
         .selectExpr("user_id", "ts div 1000 as tsu", "event_id")
-        .as[(Long, Long, Long)]
-      e.groupByKey(_._1)
-        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
-          val evs = it.toArray.sortBy(r => (r._2, r._3))
-          var sessions = 0L
-          var n = 0L
-          var prev = 0L
-          evs.foreach { case (_, tsu, _) =>
-            if (n == 0L || tsu - prev > 3600000000L) sessions += 1
-            prev = tsu
-            n += 1
-          }
-          Iterator((uid, sessions, n))
-        }
-        .toDF("user_id", "n_sessions", "n_events")
+        .withColumn("prev", lag("tsu", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          (lit(1L) + sum(when(col("tsu") - col("prev") > 3600000000L, 1L)
+            .otherwise(0L))).as("n_sessions"),
+          count(lit(1)).as("n_events"))
     })
   )
 

@@ -55,10 +55,10 @@ object TextQueries extends QueryPack {
     * signature), recomputing it per reference. Memoized per (session,
     * dir) — three near-dup queries share one shingling pass. */
   private val shingleMemo =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
-    shingleMemo.getOrElseUpdate((System.identityHashCode(s), dir),
+    shingleMemo.getOrElseUpdate((s, dir),
       docs(s, dir).selectExpr("doc_id", s"$shingles as s").localCheckpoint())
 
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
@@ -126,12 +126,14 @@ object TextQueries extends QueryPack {
              cast(0 as bigint), (h, x) -> (h*31 + x) % $P) as fp""")),
 
     // Exact dedup by content hash over a doubled corpus (hash-groupBy;
-    // canonical id = min, copies counted). Map-side partial agg makes
-    // this one shuffle of distinct hashes at any scale.
+    // canonical id = min, copies counted). Hash BEFORE the union so
+    // everything downstream of the scan carries 16-byte digests, never
+    // documents; map-side partial agg then makes this one shuffle of
+    // distinct hashes at any scale.
     "txt_dedup_exact" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val corpus = d.union(d.select(col("doc_id") + 1000000, col("text")))
-      corpus.groupBy(expr("md5(text)").as("h"))
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val corpus = d.union(d.select(col("doc_id") + 1000000, col("h")))
+      corpus.groupBy("h")
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
 

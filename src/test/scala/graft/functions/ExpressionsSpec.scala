@@ -79,6 +79,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((r.getAs[Long]("sim") & 1L) == 1L)
   }
 
+  test("null array elements fail loudly instead of reading garbage") {
+    // array() of nullable exprs types as array<bigint> with containsNull —
+    // the kernels must reject a null slot, not silently getLong(0) it
+    val df = spark.sql("SELECT array(1L, if(rand() < 2, null, 2L), 3L) AS h")
+    val err = intercept[Exception] {
+      df.select(GraftFunctions.minhashSig(col("h"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null).mkString(" | "))
+    assert(rootMsg(err).contains("null array element"))
+    // non-null values through the same nullable-typed column still work
+    val ok = spark.sql("SELECT array(5L, if(rand() < 2, 17L, null)) AS h")
+      .select(GraftFunctions.simhash32(col("h")).as("sim")).collect().head
+    assert((ok.getAs[Long]("sim") & 1L) == 1L)
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating via collect on a plan with
     // codegen disabled
