@@ -48,7 +48,15 @@ object GraftExtensions {
     ("sorted_intersect_count",
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - common-element count of two sorted distinct array<bigint>"),
-      { case Seq(l, r) => SortedIntersectCount(l, r) })
+      { case Seq(l, r) => SortedIntersectCount(l, r) }),
+    ("token_hash64",
+      info("token_hash64",
+        "token_hash64(arr) - u32 polynomial hash per token of an array<string>"),
+      { case Seq(c) => TokenHash64(c) }),
+    ("shingle3_sorted_set",
+      info("shingle3_sorted_set",
+        "shingle3_sorted_set(arr) - sorted distinct 3-gram shingle hashes of an array<bigint>"),
+      { case Seq(c) => Shingle3SortedSet(c) })
   )
 
   /** Runtime registration on an existing session. */

@@ -18,9 +18,14 @@ import graft.Tables
   *   - all scores are exact integers (hash prefixes of md5, integer
   *     ratios ×100/×1000) so the DuckDB oracle hash-matches bit-for-bit.
   *
-  * Determinism contract with the oracle: token hash = first 8 hex chars
-  * of md5 parsed as u32; shingle = word 3-gram; minhash_j over distinct
-  * shingle hashes with (2j+1)·h + (1000003j+12345) mod 1e9+7.
+  * Determinism contract with the oracle (ASCII corpus): token hash =
+  * (poly31-over-char-codes mod 1e9+7)·2654435761 mod 2^32 (u32, all 32
+  * bits mixed); shingle = arithmetic 3-gram combine of token hashes mod
+  * 1e9+7; minhash_j over distinct shingle hashes with
+  * (2j+1)·h + (1000003j+12345) mod 1e9+7. r02 used md5-prefix token
+  * hashes — one MessageDigest call per word-3-gram was 24% of the whole
+  * bench (VERDICT r02), so both engines moved to the polynomial in
+  * lockstep.
   */
 object TextQueries extends QueryPack {
 
@@ -31,35 +36,30 @@ object TextQueries extends QueryPack {
 
   // ---- shared SQL fragments (Spark side; arrays are 0-based in expr) ----
 
-  /** u32 token hash from the md5 hex prefix. */
-  private def th(e: String) = s"cast(conv(substr(md5($e),1,8),16,10) as bigint)"
-
   private val toks = "split(text, ' ')"
 
-  /** distinct word-3-gram shingle hashes, sorted ascending so the
-    * pairwise verify can use the O(n+m) SortedIntersectCount kernel */
-  private val shingles =
-    s"""array_sort(array_distinct(transform(
-          sequence(0, size($toks)-3),
-          i -> ${th(s"concat($toks[i], ' ', $toks[i+1], ' ', $toks[i+2])")})))"""
-
-  // minhash signatures and simhash use the native codegen'd expressions
-  // (graft.functions.MinHashSig / SimHash32) — same formulas as the
+  // per-token u32 hashes + sorted distinct shingle set + minhash/simhash
+  // are native codegen'd expressions (graft.functions.TokenHash64 /
+  // Shingle3SortedSet / MinHashSig / SimHash32) — same formulas as the
   // DuckDB oracles, but tight generated loops instead of interpreted
-  // higher-order-function lambdas
-  import graft.functions.GraftFunctions.{minhashSig, simhash32}
+  // higher-order-function lambdas (or md5 calls)
+  import graft.functions.GraftFunctions.{minhashSig, shingle3SortedSet, simhash32, tokenHash64}
+
+  /** the token-hash array column for the current row's `text` */
+  private def tokHashes = tokenHash64(split(col("text"), " "))
 
   /** doc_id + distinct sorted shingle-hash set, materialized: Catalyst's
-    * projection collapse would otherwise inline the md5/shingle
-    * expression into every downstream lambda (16× per minhash
-    * signature), recomputing it per reference. Memoized per (session,
-    * dir) — three near-dup queries share one shingling pass. */
+    * projection collapse would otherwise inline the shingle expression
+    * into every downstream lambda (16× per minhash signature),
+    * recomputing it per reference. Memoized per (session, dir) — three
+    * near-dup queries share one shingling pass. */
   private val shingleMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
     shingleMemo.getOrElseUpdate((s, dir),
-      docs(s, dir).selectExpr("doc_id", s"$shingles as s").localCheckpoint())
+      docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s"))
+        .localCheckpoint())
 
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
     * over distinct shingle sets, kept when num/den ≥ threshold. */
@@ -120,10 +120,9 @@ object TextQueries extends QueryPack {
 
     // Document fingerprint: rolling polynomial hash over token hashes.
     "txt_fingerprint" -> ((s, dir) =>
-      docs(s, dir).selectExpr(
-        "doc_id",
-        s"""aggregate(transform($toks, t -> ${th("t")}),
-             cast(0 as bigint), (h, x) -> (h*31 + x) % $P) as fp""")),
+      docs(s, dir).select(
+        col("doc_id"),
+        aggregate(tokHashes, lit(0L), (h, x) => (h * 31 + x) % P).as("fp"))),
 
     // Exact dedup by content hash over a doubled corpus (hash-groupBy;
     // canonical id = min, copies counted). Hash BEFORE the union so
@@ -174,16 +173,13 @@ object TextQueries extends QueryPack {
 
     // 32-bit SimHash per doc.
     "txt_simhash" -> ((s, dir) =>
-      docs(s, dir)
-        .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
-        .select(col("doc_id"), simhash32(col("h")).as("simhash"))),
+      docs(s, dir).select(col("doc_id"), simhash32(tokHashes).as("simhash"))),
 
     // SimHash near-dup pairs: 4×8-bit bit-band blocking (any pair with
     // hamming ≤ 3 shares an intact band by pigeonhole), verify ham ≤ 3.
     "txt_simhash_pairs" -> ((s, dir) => {
       val sim = docs(s, dir)
-        .selectExpr("doc_id", s"transform($toks, t -> ${th("t")}) as h")
-        .select(col("doc_id"), simhash32(col("h")).as("sim"))
+        .select(col("doc_id"), simhash32(tokHashes).as("sim"))
         .localCheckpoint() // materialize: reused by both join sides
       val bands = sim.selectExpr("doc_id", "sim",
         "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
@@ -200,16 +196,22 @@ object TextQueries extends QueryPack {
 
   // ---- DuckDB oracles (lists are 1-based) ----
 
-  private val thD = "CAST(concat('0x', substr(md5(%s),1,8)) AS BIGINT)"
+  /** the same polynomial token hash, on the token expression `%1$s` */
+  private val thD =
+    s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(length(%1$$s)), ci -> CAST(ascii(substr(%1$$s, ci+1, 1)) AS BIGINT))),
+          (ph, pc) -> (ph*31 + pc) %% $P) * 2654435761) %% 4294967296"""
   private def thDuck(e: String) = thD.format(e)
 
+  /** arithmetic 3-gram combine over the token-hash list `h` */
   private val shinglesDuck =
-    s"""list_distinct(list_transform(range(len(t)-2),
-          i -> ${thDuck("concat(t[i+1],' ',t[i+2],' ',t[i+3])")}))"""
+    s"""list_distinct(list_transform(range(len(h)-2),
+          i -> ((((h[i+1] % $P)*1000003 + h[i+2]) % $P)*1000003 + h[i+3]) % $P))"""
 
   private val shCte =
     s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        sh AS (SELECT doc_id, $shinglesDuck AS s FROM toks)"""
+        th AS (SELECT doc_id, list_transform(t, tok -> ${thDuck("tok")}) AS h FROM toks),
+        sh AS (SELECT doc_id, $shinglesDuck AS s FROM th)"""
 
   private val sigCte =
     s"""sig AS (SELECT doc_id, list_transform(range(16), j ->
