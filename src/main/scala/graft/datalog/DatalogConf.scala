@@ -29,16 +29,23 @@ final case class DatalogConf(
     joinType: String = "auto",
     maxIterations: Int = 10000,
     localDeltaRows: Long = 10000L,
-    /** `spark.datalog.recursion.copartition.enabled` (default false):
+    /** `spark.datalog.recursion.copartition.enabled` (default `auto`):
       * dedup each iteration's candidates via exchange-free anti-joins
-      * against claimed-hash-partitioned delta slices — per-iteration
+      * against pivot-hash-partitioned delta slices — per-iteration
       * NETWORK is O(|delta|) instead of re-shuffling the whole fact set
-      * (the SetRDD economics). Enable on real clusters where shuffle =
-      * network + disk; on local[N] shuffles are memory copies and the
-      * extra join stages cost more than they save (measured same-JVM:
-      * legacy 11-13s vs chain 22-39s for TC/SG at sf0.1), so the
-      * default stays the single `except(all)` shuffle. */
-    copartitionDedup: Boolean = false,
+      * (the SetRDD + generalized-pivot economics). `auto` enables it
+      * exactly when the master is non-local: on a real cluster shuffle
+      * = network + disk, so the slice chain wins; on local[N] shuffles
+      * are memory copies and the extra join stages cost more than they
+      * save (measured same-JVM: legacy 11-13s vs chain 22-39s for
+      * TC/SG at sf0.1), so local keeps the single `except(all)`
+      * shuffle. `true`/`false` force either path. */
+    copartitionMode: String = "auto",
+    /** `spark.datalog.recursion.logplans` (default false): record each
+      * fixpoint slice's executed physical plan + shuffle-exchange count
+      * in `Evaluator.iterationPlanLog` — the plan-audit hook PLANS.md
+      * captures come from. */
+    logPlans: Boolean = false,
     /** `spark.datalog.storage.level`: StorageLevel for relations cached
       * on the static side of recursive-rule joins (reference default
       * MEMORY_ONLY; ours MEMORY_AND_DISK so huge EDBs spill, not OOM). */
@@ -53,8 +60,10 @@ object DatalogConf {
       spark.conf.get("spark.datalog.recursion.maxIterations", "10000").toInt,
     localDeltaRows =
       spark.conf.get("spark.datalog.recursion.localDeltaRows", "10000").toLong,
-    copartitionDedup =
-      spark.conf.get("spark.datalog.recursion.copartition.enabled", "false").toBoolean,
+    copartitionMode =
+      spark.conf.get("spark.datalog.recursion.copartition.enabled", "auto"),
+    logPlans =
+      spark.conf.get("spark.datalog.recursion.logplans", "false").toBoolean,
     storageLevel =
       spark.conf.get("spark.datalog.storage.level", "MEMORY_AND_DISK"))
 }

@@ -161,6 +161,16 @@ final class DatalogContext(val spark: SparkSession) {
   /** Did the most recent `query` push bound arguments into the fixpoint? */
   def lastBoundPushdown: Boolean = evaluator.exists(_.lastBoundPushdown)
 
+  /** Pivot positions chosen for the most recent recursive clique. */
+  def lastPivot: Map[String, Seq[Int]] =
+    evaluator.map(_.lastPivot).getOrElse(Map.empty)
+
+  /** (pred, iteration, shuffle-exchange count, executed plan) per
+    * fixpoint slice — populated when
+    * `spark.datalog.recursion.logplans=true`. */
+  def iterationPlanLog: Seq[(String, Int, Int, String)] =
+    evaluator.map(_.iterationPlanLog.toSeq).getOrElse(Nil)
+
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */
   def queryStrings(queryText: String): Seq[String] =

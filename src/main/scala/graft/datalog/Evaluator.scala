@@ -35,6 +35,17 @@ final class Evaluator(
 
   private def maxIterations: Int = conf.maxIterations
 
+  /** Resolve the copartition mode: `auto` = on exactly when the master
+    * is non-local (cluster shuffles are network+disk; local[N] shuffles
+    * are memory copies and the legacy except(all) path measures
+    * faster). */
+  private def copartitionEnabled: Boolean = conf.copartitionMode match {
+    case "true" => true
+    case "false" => false
+    case _ =>
+      !org.apache.spark.sql.SparkSession.active.sparkContext.isLocal
+  }
+
   /** Join-strategy hint for the non-recursive side of recursive-rule
     * joins (reference policy: hint broadcast/cached-shuffle-hash on the
     * static side, never on recursive relations —
@@ -84,19 +95,27 @@ final class Evaluator(
     * (delta⊆all after merge, so delta⋈delta pairs are covered).
     * Reference: linear recursion reads only the delta
     * (LinearRecursiveRelation); second+ occurrences read all facts
-    * (NonLinearRecursiveRelation) — operators.scala:75-84. */
+    * (NonLinearRecursiveRelation) — operators.scala:75-84.
+    * `broadcastStatic` forces broadcast on static sides — the
+    * generalized-pivot loop needs the join to preserve the delta's
+    * partitioning, which only the broadcast join does. */
   private def variantResolver(
       clique: Analysis#Clique,
       delta: Map[String, DataFrame],
       all: Map[String, DataFrame],
-      chosen: Int): RuleCompiler.Resolver = {
+      chosen: Int,
+      broadcastStatic: Boolean): RuleCompiler.Resolver = {
     var cliqueOcc = -1
     (pred, _) =>
       if (clique.preds(pred)) {
         cliqueOcc += 1
         val m = if (cliqueOcc == chosen) delta else all
         m.getOrElse(pred, throw new RuleCompiler.SkipRule)
-      } else hinted(cachedStatic(pred)) // static side of a recursive-rule join
+      } else {
+        val st = cachedStatic(pred) // static side of a recursive-rule join
+        if (broadcastStatic) org.apache.spark.sql.functions.broadcast(st)
+        else hinted(st)
+      }
   }
 
   /** Relations on the static side of recursive-rule joins are persisted
@@ -119,13 +138,63 @@ final class Evaluator(
       rule: Rule,
       clique: Analysis#Clique,
       delta: Map[String, DataFrame],
-      all: Map[String, DataFrame]): Seq[DataFrame] = {
+      all: Map[String, DataFrame],
+      broadcastStatic: Boolean = false): Seq[DataFrame] = {
     val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
     (0 until k).flatMap { chosen =>
-      try Some(RuleCompiler.compile(rule, variantResolver(clique, delta, all, chosen)))
+      try Some(RuleCompiler.compile(rule,
+        variantResolver(clique, delta, all, chosen, broadcastStatic)))
       catch { case _: RuleCompiler.SkipRule => None }
     }
   }
+
+  // ---------------------------------------- generalized pivot selection
+
+  /** Positions of `p`'s head that every recursive rule propagates
+    * unchanged from every clique-member body atom. Partitioning the
+    * fixpoint on such a position survives the iteration's join (the
+    * delta streams through a broadcast join) and the alias-aware head
+    * projection — so dedup, the anti-join chain, and the next
+    * iteration's join all reuse one layout: the whole iteration runs
+    * with zero shuffle exchanges. This is the Spark-4-native analog of
+    * the reference's generalized pivot set
+    * (GeneralizedPivotSetInfo.scala:30-170, RecursionBase.scala:53-69). */
+  private def stablePositions(clique: Analysis#Clique, p: String): Seq[Int] = {
+    val recRules = clique.recursiveRules(p)
+    if (recRules.isEmpty) return Nil
+    val arity = recRules.head.head.args.length
+    (0 until arity).filter { i =>
+      recRules.forall { r =>
+        r.head.args.lift(i) match {
+          case Some(PlainArg(TermExpr(Variable(hv)))) =>
+            r.bodyAtoms.filter(a => clique.preds(a.pred))
+              .forall(a => a.args.lift(i).contains(Variable(hv)))
+          case _ => false
+        }
+      }
+    }
+  }
+
+  /** `spark.datalog.partitioning.<name>` user override, reference
+    * format `[1,0,...]` (1 = pivot position;
+    * LogicalPlanGenerator.scala:607-619). */
+  private def pivotOverride(p: String): Option[Seq[Int]] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(s"spark.datalog.partitioning.$p")
+      .map { s =>
+        val flags = s.trim.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim.toInt)
+        flags.zipWithIndex.collect { case (1, i) => i }.toIndexedSeq
+      }
+      .filter(_.nonEmpty)
+
+  /** Pivot chosen for the last evaluated clique (spec hook). */
+  var lastPivot: Map[String, Seq[Int]] = Map.empty
+
+  /** (pred, iteration, shuffle-exchange count, final physical plan) per
+    * materialized fixpoint slice, recorded when
+    * `spark.datalog.recursion.logplans=true` — plan-audit/spec hook. */
+  val iterationPlanLog = mutable.Buffer[(String, Int, Int, String)]()
 
   private def evalSemiNaiveClique(clique: Analysis#Clique): Unit = {
     for ((p, df) <- runSemiNaive(clique, Map.empty)) memo(p) = df
@@ -150,52 +219,95 @@ final class Evaluator(
 
   /** One disjoint slice of a predicate's accumulated fact set: either a
     * co-partitioned claimed-HashPartitioning checkpoint (anti-joins
-    * against it are exchange-free ShuffledHashJoins) or a LocalRelation
-    * (anti-joins against it broadcast). */
-  private case class Slice(df: DataFrame, isLocal: Boolean)
+    * against it are exchange-free ShuffledHashJoins), a LocalRelation
+    * (anti-joins against it broadcast), or — when the runtime claim
+    * validation rejected the layout — a plain unclaimed checkpoint. */
+  private case class Slice(df: DataFrame, isLocal: Boolean, claimed: Boolean = false)
 
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
     * predicate's exit rules (bound-argument pushdown).
     *
-    * Dedup design (the SetRDD economics on the public API, SURVEY.md
-    * §2.4): each iteration's candidate set is repartitioned ONCE on the
-    * full row key; `dropDuplicates` and the anti-joins against every
-    * prior delta slice then run with no further exchange, because the
-    * slices were checkpointed with their hash partitioning claimed
-    * (GraftColumnBridge.checkpointWithPartitioning) — per-iteration
-    * network is O(|delta|), not O(|all|). Slices are compacted when the
-    * chain grows. Datalog tuples are non-null (the dialect has no null
-    * literal), so plain equality anti-joins implement set difference. */
+    * Dedup + partitioning design (the SetRDD economics + generalized
+    * pivot set on the public API, SURVEY.md §2.4): every slice of a
+    * predicate's fact set is hash-partitioned on its PIVOT columns —
+    * the user's `spark.datalog.partitioning.<name>` override, else the
+    * head positions stable through the recursion, else column 0 (the
+    * reference default). Rows equal on all columns are equal on the
+    * pivot subset, so `dropDuplicates` and the full-row anti-joins
+    * against prior slices run with no exchange on that layout
+    * (HashPartitioning on a subset satisfies ClusteredDistribution of
+    * the full key set). When the pivot is stable and static sides are
+    * broadcast, the iteration join *preserves* the delta's layout
+    * through the alias-aware head projection — the candidate set skips
+    * its repartition and the entire iteration runs with ZERO shuffle
+    * exchanges; otherwise the one delta-sized repartition per iteration
+    * is the floor. Per-iteration network is O(|delta|) either way,
+    * never O(|all|). Slices are compacted when the chain grows.
+    * Datalog tuples are non-null (the dialect has no null literal), so
+    * plain equality anti-joins implement set difference. */
   private def runSemiNaive(
       clique: Analysis#Clique,
       exitFilter: Map[String, DataFrame => DataFrame]): Map[String, DataFrame] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val copart = conf.copartitionDedup
+    val copart = copartitionEnabled
     val preds = clique.preds.toSeq.sorted
     var chains = Map[String, Vector[Slice]]()
-    var delta = Map[String, DataFrame]()
+    var delta = Map[String, Slice]()
     // schema prototypes so an empty fixpoint still yields a typed result
     var proto = Map[String, DataFrame]()
 
+    val stable = preds.map(p => p -> stablePositions(clique, p)).toMap
+    val pivots: Map[String, Seq[Int]] = preds.map { p =>
+      p -> pivotOverride(p).getOrElse {
+        if (stable(p).nonEmpty) stable(p) else Seq(0)
+      }
+    }.toMap
+    lastPivot = pivots
+    def pivotCols(p: String, df: DataFrame): Seq[String] =
+      pivots(p).filter(_ < df.columns.length).map(i => df.columns(i))
+    // The zero-exchange loop: single-predicate clique whose pivot is a
+    // stable position set → broadcast static sides so the iteration
+    // join streams the delta through unchanged.
+    val broadcastStatic = copart && conf.joinType == "auto" &&
+      clique.preds.size == 1 &&
+      preds.forall(p => pivots(p).nonEmpty && pivots(p).forall(stable(p).contains))
+
+    /** The accumulated fact set: a partition-preserving narrow union
+      * when every slice carries the pivot claim (so NL-recursion joins
+      * and final results keep the layout — no O(|all|) re-exchange),
+      * else a plain union. */
     def allOf(p: String): Option[DataFrame] =
-      chains.get(p).map(_.map(_.df).reduce(_ union _))
+      chains.get(p).map { chain =>
+        if (chain.length == 1) chain.head.df
+        else if (copart && chain.forall(s => s.claimed && !s.isLocal))
+          org.apache.spark.sql.GraftColumnBridge
+            .unionClaimed(chain.map(_.df), nParts)
+            .getOrElse(chain.map(_.df).reduce(_ union _))
+        else chain.map(_.df).reduce(_ union _)
+      }
 
-    /** repartition on the full row key + exchange-free dedup */
-    def repDedup(df: DataFrame): DataFrame =
-      df.repartition(nParts, df.columns.map(col).toIndexedSeq: _*).dropDuplicates()
+    /** repartition on the pivot + exchange-free full-row dedup */
+    def repDedup(df: DataFrame, pivot: Seq[String]): DataFrame =
+      df.repartition(nParts, pivot.map(df.col).toIndexedSeq: _*).dropDuplicates()
 
-    /** claim-checkpoint (or localize when tiny) an iteration result that
-      * is physically hash-partitioned on its full row key */
-    def sliceOf(df: DataFrame): (Slice, Long) = {
-      val ck = org.apache.spark.sql.GraftColumnBridge
-        .checkpointWithPartitioning(df, df.columns.toSeq, nParts)
+    /** claim-checkpoint (or localize when tiny) an iteration result
+      * that is physically hash-partitioned on the pivot; the claim is
+      * validated against the executed plan and dropped if the layout
+      * does not hold (self-healing: the next iteration repartitions). */
+    def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int): (Slice, Long) = {
+      val (ck, held) = org.apache.spark.sql.GraftColumnBridge
+        .checkpointWithPartitioning(df, pivot, nParts)
+      if (conf.logPlans)
+        iterationPlanLog += ((pred, iter,
+          org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(df),
+          org.apache.spark.sql.GraftColumnBridge.executedPlanString(df)))
       val n = ck.count()
       if (n > 0 && n <= conf.localDeltaRows) {
         import scala.jdk.CollectionConverters._
         (Slice(spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema),
           isLocal = true), n)
-      } else (Slice(ck, isLocal = false), n)
+      } else (Slice(ck, isLocal = false, claimed = held), n)
     }
 
     /** set difference against every prior slice: broadcast anti for
@@ -208,6 +320,18 @@ final class Evaluator(
         acc.join(rhs, cond, "left_anti")
       }
 
+    // The anti-joins compare full rows but both sides are partitioned
+    // on the pivot SUBSET; Spark only accepts subset co-partitioning
+    // when this conf is off (on = re-shuffle both sides onto all join
+    // keys). Scoped to the fixpoint and restored after — pivot
+    // partitionings are hash-uniform here (the pivot is a join/head
+    // column, not a low-cardinality bucket), so the skew concern the
+    // default guards against does not apply.
+    val coPartConf = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCoPart = spark.conf.getOption(coPartConf)
+    if (copart) spark.conf.set(coPartConf, "false")
+    try {
+
     // iteration 0: exit rules
     for (p <- preds) {
       val exits = clique.exitRules(p)
@@ -217,11 +341,15 @@ final class Evaluator(
         proto += p -> u
         val seeded = exitFilter.get(p).map(f => f(u)).getOrElse(u)
         if (copart) {
-          val (s, n) = sliceOf(repDedup(seeded))
-          if (n > 0) { chains += p -> Vector(s); delta += p -> s.df }
+          val pv = pivotCols(p, u)
+          val (s, n) = sliceOf(repDedup(seeded, pv), pv, p, 0)
+          if (n > 0) { chains += p -> Vector(s); delta += p -> s }
         } else {
           val (d, n) = materialize(seeded.distinct())
-          if (n > 0) { chains += p -> Vector(Slice(d, isLocal = false)); delta += p -> d }
+          if (n > 0) {
+            val s = Slice(d, isLocal = false)
+            chains += p -> Vector(s); delta += p -> s
+          }
         }
       }
     }
@@ -232,22 +360,42 @@ final class Evaluator(
       if (iter > maxIterations)
         throw new EvalException(s"fixpoint exceeded $maxIterations iterations")
       val allView = preds.flatMap(p => allOf(p).map(p -> _)).toMap
-      var newDelta = Map[String, DataFrame]()
+      val deltaView = delta.view.mapValues(_.df).toMap
+      var newDelta = Map[String, Slice]()
       for (p <- preds) {
         val contribs = clique.recursiveRules(p)
-          .flatMap(r => ruleVariants(r, clique, delta, allView))
+          .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
         if (contribs.nonEmpty) {
           val u = contribs.reduce(_ union _)
           val chain = chains.getOrElse(p, Vector.empty)
           if (copart) {
-            val (s, n) = sliceOf(diffChain(repDedup(u), chain))
+            val pv = pivotCols(p, u)
+            // the broadcast join preserved a claimed delta's layout →
+            // dedup and anti-joins reuse it with no repartition at all
+            val skipRepart = broadcastStatic && contribs.length == 1 &&
+              delta.get(p).exists(s => s.claimed && !s.isLocal)
+            val candidate =
+              if (skipRepart) u.dropDuplicates() else repDedup(u, pv)
+            val (s, n) = sliceOf(diffChain(candidate, chain), pv, p, iter)
             if (n > 0) {
-              newDelta += p -> s.df
+              newDelta += p -> s
               var next = chain :+ s
-              // compact distributed slices so the chain stays short
+              // compact so the anti-join chain stays short: slices are
+              // disjoint by construction, so a claimed narrow union
+              // collapses them for free (no job, no dedup, layout
+              // kept); only claim-less chains pay a repartition
               if (next.count(!_.isLocal) > 6) {
-                val (c, _) = sliceOf(repDedup(next.map(_.df).reduce(_ union _)))
-                next = Vector(c)
+                next =
+                  if (next.forall(x => x.claimed && !x.isLocal))
+                    org.apache.spark.sql.GraftColumnBridge
+                      .unionClaimed(next.map(_.df), nParts)
+                      .map(df => Vector(Slice(df, isLocal = false, claimed = true)))
+                      .getOrElse(next)
+                  else {
+                    val (c, _) = sliceOf(
+                      repDedup(next.map(_.df).reduce(_ union _), pv), pv, p, iter)
+                    Vector(c)
+                  }
               }
               chains += p -> next
             }
@@ -257,8 +405,9 @@ final class Evaluator(
               case None => u.distinct()
             })
             if (n > 0) {
-              newDelta += p -> d
-              var next = chain :+ Slice(d, isLocal = false)
+              val s = Slice(d, isLocal = false)
+              newDelta += p -> s
+              var next = chain :+ s
               // compact the union chain so per-iteration analysis and
               // the except's right side stay flat
               if (next.length > 6) {
@@ -278,6 +427,13 @@ final class Evaluator(
         throw new EvalException(
           s"recursive predicate $p derived no facts and has no schema")))
     }.toMap
+
+    } finally {
+      if (copart) prevCoPart match {
+        case Some(v) => spark.conf.set(coPartConf, v)
+        case None => spark.conf.unset(coPartConf)
+      }
+    }
   }
 
   // --------------------------- bound-argument pushdown (magic-set-lite)

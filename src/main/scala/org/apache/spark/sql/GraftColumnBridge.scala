@@ -11,28 +11,139 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Materialize `df` (localCheckpoint semantics) while *preserving* a
-    * hash partitioning claim over `keyCols`: the input MUST physically
-    * have that layout (i.e. be the direct result of
-    * `repartition(numParts, keyCols)` or of exchange-free operators on
-    * top of it — caller's contract). Spark's own
-    * `Dataset.localCheckpoint` loses the partitioning (LogicalRDD comes
-    * back with UnknownPartitioning under AQE), which forces a
-    * re-exchange of the accumulated fact set on every fixpoint
-    * iteration; this keeps iterative anti-joins exchange-free. */
+    * hash partitioning claim over `keyCols`, VALIDATED against the
+    * executed physical plan: after materialization the final (AQE)
+    * plan's outputPartitioning must actually contain
+    * `HashPartitioning(keyCols, numParts)` — otherwise the claim is
+    * dropped and a plain unclaimed checkpoint is returned (correct,
+    * just re-exchanged downstream). Spark's own `Dataset.localCheckpoint`
+    * always loses the partitioning (LogicalRDD comes back with
+    * UnknownPartitioning), which would force a re-exchange of the
+    * accumulated fact set on every fixpoint iteration; the validated
+    * claim keeps iterative anti-joins exchange-free without trusting
+    * the caller's layout contract blindly. Returns (df, claimHeld). */
   def checkpointWithPartitioning(
-      df: DataFrame, keyCols: Seq[String], numParts: Int): DataFrame = {
+      df: DataFrame, keyCols: Seq[String], numParts: Int): (DataFrame, Boolean) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // materialize eagerly
+    rdd.count() // materialize eagerly (also forces the AQE final plan)
     val output = qe.analyzed.output
     val partitioning = catalyst.plans.physical.HashPartitioning(
       keyCols.map(c => output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column $c in ${output.map(_.name)}"))),
       numParts)
-    classic.Dataset.ofRows(spark,
-      execution.LogicalRDD(output, rdd, partitioning, Nil, isStreaming = false)(spark))
+    val held = flatten(finalPlan(qe.executedPlan).outputPartitioning).exists {
+      case h: catalyst.plans.physical.HashPartitioning =>
+        h.numPartitions == numParts &&
+          h.expressions.length == partitioning.expressions.length &&
+          h.expressions.zip(partitioning.expressions)
+            .forall { case (a, b) => a.semanticEquals(b) }
+      case _ => false
+    }
+    val logical =
+      if (held)
+        execution.LogicalRDD(output, rdd, partitioning, Nil, isStreaming = false)(spark)
+      else execution.LogicalRDD(output, rdd)(spark)
+    (classic.Dataset.ofRows(spark, logical), held)
+  }
+
+  private def flatten(p: catalyst.plans.physical.Partitioning)
+      : Seq[catalyst.plans.physical.Partitioning] = p match {
+    case pc: catalyst.plans.physical.PartitioningCollection =>
+      pc.partitionings.flatMap(flatten)
+    case x => Seq(x)
+  }
+
+  /** The executed physical plan with AQE roots/stages unwrapped. */
+  private def finalPlan(p: execution.SparkPlan): execution.SparkPlan = p match {
+    case a: execution.adaptive.AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case q: execution.adaptive.QueryStageExec => finalPlan(q.plan)
+    case other => other
+  }
+
+  /** Count ShuffleExchange operators in the executed (AQE-final) plan —
+    * the per-iteration network bill a fixpoint pays. Descends into
+    * adaptive query stages (their exchanges hide behind leaf
+    * QueryStageExec nodes). */
+  def countShuffleExchanges(df: DataFrame): Int = {
+    def walk(p: execution.SparkPlan): Int = p match {
+      case a: execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: execution.adaptive.QueryStageExec => walk(q.plan)
+      case s: execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** Render the executed (AQE-final) physical plan as text — for plan
+    * audits (PLANS.md) and specs. */
+  def executedPlanString(df: DataFrame): String =
+    finalPlan(df.queryExecution.executedPlan).toString
+
+  /** Partition-preserving union of claimed-checkpoint DataFrames: when
+    * every input is a LogicalRDD claiming the SAME HashPartitioning
+    * positions with the same partition count, partition i of the union
+    * is the concatenation of each input's partition i — a narrow
+    * dependency, so the union KEEPS the hash partitioning claim and
+    * costs zero network. Plain `union` interleaves partitions and
+    * forgets the layout, which forces an O(|union|) re-exchange the
+    * next time a fixpoint joins or dedups the accumulated set — the
+    * exact per-iteration bill this exists to avoid. Returns None when
+    * any input lacks a compatible claim (caller falls back to `union`). */
+  def unionClaimed(dfs: Seq[DataFrame], numParts: Int): Option[DataFrame] = {
+    if (dfs.isEmpty) return None
+    val lrs = dfs.map(_.queryExecution.logical match {
+      case lr: execution.LogicalRDD => lr
+      case _ => return None
+    })
+    // claimed hash positions (indices into the output) per input
+    val positions: Seq[Seq[Int]] = lrs.map { lr =>
+      lr.outputPartitioning match {
+        case h: catalyst.plans.physical.HashPartitioning
+            if h.numPartitions == numParts =>
+          val pos = h.expressions.map {
+            case a: catalyst.expressions.Attribute =>
+              lr.output.indexWhere(_.exprId == a.exprId)
+            case _ => -1
+          }
+          if (pos.forall(_ >= 0)) pos else return None
+        case _ => return None
+      }
+    }
+    if (positions.distinct.length != 1) return None
+    if (lrs.exists(_.rdd.getNumPartitions != numParts)) return None
+    val spark = dfs.head.sparkSession.asInstanceOf[classic.SparkSession]
+    val union = new GraftNarrowUnionRDD(spark.sparkContext, lrs.map(_.rdd))
+    val output = lrs.head.output
+    val partitioning = catalyst.plans.physical.HashPartitioning(
+      positions.head.map(output), numParts)
+    Some(classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(output, union, partitioning, Nil, isStreaming = false)(spark)))
+  }
+
+  /** Same-index narrow union: partition i = concat of every parent's
+    * partition i. All parents must have the same partition count. */
+  private class GraftNarrowUnionRDD(
+      sc: org.apache.spark.SparkContext,
+      parents: Seq[org.apache.spark.rdd.RDD[catalyst.InternalRow]])
+      extends org.apache.spark.rdd.RDD[catalyst.InternalRow](
+        sc, parents.map(p => new org.apache.spark.NarrowDependency(p) {
+          override def getParents(partitionId: Int): Seq[Int] = Seq(partitionId)
+        })) {
+    private val n = parents.head.getNumPartitions
+    require(parents.forall(_.getNumPartitions == n),
+      "narrow union requires equal partition counts")
+
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      Array.tabulate(n)(i => new org.apache.spark.Partition { override val index: Int = i })
+
+    override def compute(
+        split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext): Iterator[catalyst.InternalRow] =
+      parents.iterator.flatMap(p => p.iterator(p.partitions(split.index), context))
   }
 
   /** Register a function builder in an existing session's registry (for
