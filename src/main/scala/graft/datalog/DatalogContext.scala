@@ -96,9 +96,20 @@ final class DatalogContext(val spark: SparkSession) {
   }
 
   def reset(): Unit = {
+    close()
     program = Program(Nil, Nil)
     analysis = new Analysis(program)
     relations.clear()
+  }
+
+  /** Release every block the evaluation pinned (persisted static join
+    * sides, fixpoint slice checkpoints) — the CachedRDDManager
+    * lifecycle (reference CachedRDDManager.scala:26-107). DataFrames
+    * previously returned by `query` must be fully consumed first; the
+    * context itself stays usable (a fresh evaluator re-derives on the
+    * next query). */
+  def close(): Unit = {
+    evaluator.foreach(_.close())
     evaluator = None
   }
 
@@ -170,6 +181,10 @@ final class DatalogContext(val spark: SparkSession) {
     * `spark.datalog.recursion.logplans=true`. */
   def iterationPlanLog: Seq[(String, Int, Int, String)] =
     evaluator.map(_.iterationPlanLog.toSeq).getOrElse(Nil)
+
+  /** Count of fixpoint deltas localized into LocalRelations (spec hook
+    * for the localDeltaRows/localDeltaBytes caps). */
+  def localizedSlices: Int = evaluator.map(_.localizedSlices).getOrElse(0)
 
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */

@@ -121,17 +121,62 @@ final class Evaluator(
   /** Relations on the static side of recursive-rule joins are persisted
     * on first use so iterations don't re-scan/re-derive them (the
     * reference persists the hashed build side across iterations —
-    * ShuffleHashJoin.cachebuildside, CacheHint; SURVEY.md §2.3). */
-  private val persistedStatic = mutable.Set[String]()
+    * ShuffleHashJoin.cachebuildside, CacheHint; SURVEY.md §2.3).
+    * Drained by `close()` — the reference's CachedRDDManager clears its
+    * cache when the fixpoint job ends (CachedRDDManager.scala:26-107). */
+  private val persistedStatic = mutable.Map[String, DataFrame]()
 
-  private def cachedStatic(pred: String): DataFrame = {
-    val df = predDF(pred)
-    if (!persistedStatic(pred)) {
+  private def cachedStatic(pred: String): DataFrame =
+    persistedStatic.getOrElseUpdate(pred, {
+      val df = predDF(pred)
       df.persist(org.apache.spark.storage.StorageLevel.fromString(conf.storageLevel))
-      persistedStatic += pred
-    }
+      df
+    })
+
+  // ------------------------------------------------ checkpoint lifecycle
+
+  /** Every localCheckpointed RDD this evaluator created, so `close()`
+    * frees the executor block manager (a long-lived session running
+    * many programs otherwise accumulates dead fixpoint slices — the
+    * CachedRDDManager lifecycle re-expressed over DataFrames). */
+  private val trackedRDDs = mutable.Buffer[org.apache.spark.rdd.RDD[_]]()
+
+  private def track(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftColumnBridge.checkpointedRDD(df)
+      .foreach(trackedRDDs += _)
     df
   }
+
+  /** Unpersist a checkpointed DataFrame that can never be read again
+    * (superseded state, or a checkpoint replaced by a LocalRelation). */
+  private def retire(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.checkpointedRDD(df).foreach { r =>
+      r.unpersist(blocking = false)
+      trackedRDDs -= r
+    }
+
+  /** Release every block this evaluator pinned: persisted static join
+    * sides and all live fixpoint checkpoints. Results obtained from
+    * this evaluator must be fully consumed first — their slices
+    * unpersist here. */
+  def close(): Unit = {
+    persistedStatic.values.foreach(_.unpersist(blocking = false))
+    persistedStatic.clear()
+    trackedRDDs.foreach(_.unpersist(blocking = false))
+    trackedRDDs.clear()
+    memo.clear()
+    boundMemo.clear()
+  }
+
+  /** Count of deltas localized into LocalRelations (spec hook for the
+    * row/byte caps). */
+  var localizedSlices: Int = 0
+
+  /** A delta localizes only when BOTH the row cap and the byte estimate
+    * (rows × schema default size) allow — wide rows stay distributed. */
+  private def localizable(n: Long, df: DataFrame): Boolean =
+    n > 0 && n <= conf.localDeltaRows &&
+      n * df.schema.fields.map(_.dataType.defaultSize.toLong).sum <= conf.localDeltaBytes
 
   /** All semi-naive contributions of one rule this iteration. */
   private def ruleVariants(
@@ -208,12 +253,15 @@ final class Evaluator(
     * reference gets the same effect from within-task iteration for
     * decomposable programs (FixedPointResultTask, SURVEY.md §2.5). */
   private def materialize(df: DataFrame): (DataFrame, Long) = {
-    val ck = df.localCheckpoint()
+    val ck = track(df.localCheckpoint())
     val n = ck.count()
-    if (n > 0 && n <= conf.localDeltaRows) {
+    if (localizable(n, ck)) {
       val spark = org.apache.spark.sql.SparkSession.active
       import scala.jdk.CollectionConverters._
-      (spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema), n)
+      val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
+      retire(ck) // the checkpoint's blocks are dead once localized
+      localizedSlices += 1
+      (local, n)
     } else (ck, n)
   }
 
@@ -298,15 +346,18 @@ final class Evaluator(
     def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int): (Slice, Long) = {
       val (ck, held) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, pivot, nParts)
+      track(ck)
       if (conf.logPlans)
         iterationPlanLog += ((pred, iter,
           org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(df),
           org.apache.spark.sql.GraftColumnBridge.executedPlanString(df)))
       val n = ck.count()
-      if (n > 0 && n <= conf.localDeltaRows) {
+      if (localizable(n, ck)) {
         import scala.jdk.CollectionConverters._
-        (Slice(spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema),
-          isLocal = true), n)
+        val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
+        retire(ck)
+        localizedSlices += 1
+        (Slice(local, isLocal = true), n)
       } else (Slice(ck, isLocal = false, claimed = held), n)
     }
 
@@ -383,7 +434,10 @@ final class Evaluator(
               // compact so the anti-join chain stays short: slices are
               // disjoint by construction, so a claimed narrow union
               // collapses them for free (no job, no dedup, layout
-              // kept); only claim-less chains pay a repartition
+              // kept — parents stay persisted, the union reads them);
+              // claim-less chains pay a repartition into a fresh copy,
+              // after which the folded slices are dead (single-pred
+              // cliques free them now, mutual defer to close())
               if (next.count(!_.isLocal) > 6) {
                 next =
                   if (next.forall(x => x.claimed && !x.isLocal))
@@ -394,6 +448,8 @@ final class Evaluator(
                   else {
                     val (c, _) = sliceOf(
                       repDedup(next.map(_.df).reduce(_ union _), pv), pv, p, iter)
+                    if (clique.preds.size == 1)
+                      next.dropRight(1).foreach(old => retire(old.df))
                     Vector(c)
                   }
               }
@@ -409,9 +465,18 @@ final class Evaluator(
               newDelta += p -> s
               var next = chain :+ s
               // compact the union chain so per-iteration analysis and
-              // the except's right side stay flat
+              // the except's right side stay flat; in a single-pred
+              // clique the folded slices (all but the fresh delta s,
+              // which newDelta still holds) are dead once the compacted
+              // copy materializes — free their blocks now
+              // (CachedRDDManager semantics: unpersist what no rule
+              // can still read). Mutual cliques defer to close():
+              // later preds in this same iteration may still read the
+              // pre-compaction all-set.
               if (next.length > 6) {
                 val (c, _) = materialize(next.map(_.df).reduce(_ union _))
+                if (clique.preds.size == 1)
+                  next.dropRight(1).foreach(old => retire(old.df))
                 next = Vector(Slice(c, isLocal = false))
               }
               chains += p -> next
@@ -521,6 +586,11 @@ final class Evaluator(
 
     var iter = 0
     var done = false
+    // the live aggregate checkpoint — the previous one is dead as soon
+    // as the next materializes (state and delta both derive from the
+    // current), so long fixpoints hold at most two states in the block
+    // manager instead of one per iteration
+    var liveCkpt: DataFrame = state
     while (!done) {
       iter += 1
       if (iter > maxIterations)
@@ -551,8 +621,17 @@ final class Evaluator(
           if (isMin) col("__old").isNull || col(aggCol) < col("__old")
           else col("__old").isNull || col(aggCol) > col("__old")
         val d = agged.filter(improved).select(headOrder: _*)
-        if (d.isEmpty) done = true
-        else { state = agged.select(headOrder: _*); delta = d }
+        if (d.isEmpty) {
+          // converged: the final state still derives from liveCkpt;
+          // only this iteration's (identical-content) candidate dies
+          done = true
+          retire(agged)
+        } else {
+          state = agged.select(headOrder: _*)
+          delta = d
+          retire(liveCkpt)
+          liveCkpt = agged
+        }
       }
     }
     memo(p) = state

@@ -124,6 +124,16 @@ object GraftColumnBridge {
       execution.LogicalRDD(output, union, partitioning, Nil, isStreaming = false)(spark)))
   }
 
+  /** The checkpointed RDD behind a LogicalRDD-backed DataFrame (the
+    * shape `localCheckpoint` and `checkpointWithPartitioning` produce)
+    * — cache-lifecycle hooks unpersist through this. */
+  def checkpointedRDD(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Same-index narrow union: partition i = concat of every parent's
     * partition i. All parents must have the same partition count. */
   private class GraftNarrowUnionRDD(
