@@ -160,6 +160,8 @@ final class Evaluator(
     * this evaluator must be fully consumed first — their slices
     * unpersist here. */
   def close(): Unit = {
+    subEvaluators.foreach(_.close())
+    subEvaluators.clear()
     persistedStatic.values.foreach(_.unpersist(blocking = false))
     persistedStatic.clear()
     trackedRDDs.foreach(_.unpersist(blocking = false))
@@ -539,17 +541,161 @@ final class Evaluator(
           })
       }
     }
-    if (stableBindings.isEmpty) return None
-    lastBoundPushdown = true
-    // unstable positions stay unbound here; the caller's post-filter
-    // applies every binding idempotently
-    Some(boundMemo.getOrElseUpdate((p, stableBindings), {
-      val filter: DataFrame => DataFrame = df =>
-        stableBindings.foldLeft(df) { case (d, (i, v)) =>
-          d.filter(col(d.columns(i)) === lit(v))
+    if (stableBindings.nonEmpty) {
+      lastBoundPushdown = true
+      // unstable positions stay unbound here; the caller's post-filter
+      // applies every binding idempotently
+      Some(boundMemo.getOrElseUpdate((p, stableBindings), {
+        val filter: DataFrame => DataFrame = df =>
+          stableBindings.foldLeft(df) { case (d, (i, v)) =>
+            d.filter(col(d.columns(i)) === lit(v))
+          }
+        runSemiNaive(clique, Map(p -> filter))(p)
+      }))
+    } else {
+      // not stable (right-linear and friends): magic-set rewrite
+      val r = boundMemo.get((p, bindings)).orElse(
+        magicSetDF(p, clique, bindings).map { df =>
+          boundMemo((p, bindings)) = df; df
+        })
+      if (r.isDefined) lastBoundPushdown = true
+      r
+    }
+  }
+
+  /** Nested evaluators created for magic-set rewrites — drained by
+    * `close()` with this evaluator's own checkpoints. */
+  private val subEvaluators = mutable.Buffer[Evaluator]()
+
+  /** Magic-set pushdown for bound queries whose bound positions are NOT
+    * stable — e.g. right-linear TC `tc(A,B) <- arc(A,C), tc(C,B)` with
+    * `tc(0,B)`. The classic supplementary-magic rewrite, built directly
+    * at the AST level and run through a nested evaluator:
+    *
+    *   m(0).                          (seed = the binding)
+    *   m(C) <- m(A), arc(A,C).        (one rule per recursive rule:
+    *                                   project the recursive call's
+    *                                   bound-position values through
+    *                                   the static atoms)
+    *   tc(A,B) <- m(A), arc(A,B).     (original rules, restricted)
+    *   tc(A,B) <- m(A), arc(A,C), tc(C,B).
+    *
+    * The fixpoint then only explores the reachable subgraph instead of
+    * computing the full closure and post-filtering. The reference gets
+    * the same behavior from the DeAL compiler's adorned programs
+    * (RecursiveQuerySuites.scala:81-94 bf tests). Comparisons/negations
+    * whose variables aren't reachable from the magic context are
+    * dropped from the MAGIC rules only — that widens m (sound), never
+    * the answers. Returns None (caller post-filters the full fixpoint)
+    * when the shape doesn't qualify: non-linear rules, multi-predicate
+    * cliques, arithmetic head terms at bound positions, or an
+    * adornment closure that converges to empty. */
+  private def magicSetDF(
+      p: String,
+      clique: Analysis#Clique,
+      bindings: Map[Int, Any]): Option[DataFrame] = {
+    val recRules = clique.recursiveRules(p)
+    val exitRules = clique.exitRules(p)
+    if (recRules.exists(r => r.bodyAtoms.count(a => clique.preds(a.pred)) != 1))
+      return None
+    if ((recRules ++ exitRules).exists(_.body.exists {
+      case _: SortSpec | _: LimitSpec => true; case _ => false
+    })) return None
+
+    def headTerm(r: Rule, i: Int): Option[Term] = r.head.args.lift(i) match {
+      case Some(PlainArg(TermExpr(t))) => Some(t)
+      case _ => None
+    }
+    def exprVars(e: Expr): Seq[String] = e match {
+      case TermExpr(Variable(v)) => Seq(v)
+      case TermExpr(_) => Nil
+      case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
+    }
+
+    /** Variables computable from the static atoms + head-bound
+      * positions, grown through assignment comparisons; also returns
+      * the comparisons safe to keep in the magic rule. */
+    def availability(r: Rule, s: Set[Int]): (Set[String], Seq[Comparison]) = {
+      val statics = r.bodyAtoms
+        .filterNot(a => clique.preds(a.pred)).filterNot(_.negated)
+      val avail = mutable.Set[String]()
+      avail ++= statics.flatMap(_.args).collect { case Variable(v) => v }
+      avail ++= s.flatMap(i => headTerm(r, i) match {
+        case Some(Variable(v)) => Some(v); case _ => None
+      })
+      val comparisons = r.body.collect { case c: Comparison => c }
+      var grow = true
+      while (grow) {
+        grow = false
+        for (c <- comparisons if c.op == "=") (c.l, c.r) match {
+          case (TermExpr(Variable(v)), e)
+              if !avail(v) && exprVars(e).forall(avail) =>
+            avail += v; grow = true
+          case (e, TermExpr(Variable(v)))
+              if !avail(v) && exprVars(e).forall(avail) =>
+            avail += v; grow = true
+          case _ =>
         }
-      runSemiNaive(clique, Map(p -> filter))(p)
-    }))
+      }
+      val kept = comparisons.filter(c =>
+        (exprVars(c.l) ++ exprVars(c.r)).forall(avail))
+      (avail.toSet, kept)
+    }
+
+    // greatest fixed point of the adornment: a position survives while
+    // every rule computes the recursive call's value there from the
+    // magic context (same adornment for the sub-call)
+    var s = bindings.keySet
+    var changed = true
+    while (changed && s.nonEmpty) {
+      changed = false
+      for (r <- recRules if s.nonEmpty) {
+        val recAtom = r.bodyAtoms.filter(a => clique.preds(a.pred)).head
+        val (avail, _) = availability(r, s)
+        val keep = s.filter { i =>
+          (headTerm(r, i), recAtom.args.lift(i)) match {
+            case (Some(Variable(_) | Constant(_)), Some(Variable(v))) => avail(v)
+            case (Some(Variable(_) | Constant(_)), Some(Constant(_))) => true
+            case _ => false
+          }
+        }
+        if (keep != s) { s = keep; changed = true }
+      }
+    }
+    // exit rules must also expose a joinable term at every kept position
+    if (exitRules.exists(r => s.exists(i => headTerm(r, i) match {
+      case Some(Variable(_) | Constant(_)) => false
+      case _ => true
+    }))) return None
+    if (s.isEmpty) return None
+
+    val sPos = s.toSeq.sorted
+    val mName = "__magic_" + p
+    val seedVars = sPos.map(i => Variable("__MB" + i))
+    val seedRule = Rule(
+      HeadAtom(mName, seedVars.map(v => PlainArg(TermExpr(v)))),
+      sPos.zip(seedVars).map { case (i, v) =>
+        Comparison("=", TermExpr(v), TermExpr(Constant(bindings(i))))
+      })
+    val magicRules = recRules.map { r =>
+      val recAtom = r.bodyAtoms.filter(a => clique.preds(a.pred)).head
+      val statics = r.bodyAtoms
+        .filterNot(a => clique.preds(a.pred)).filterNot(_.negated)
+      val (_, keptCmp) = availability(r, s)
+      Rule(
+        HeadAtom(mName, sPos.map(i => PlainArg(TermExpr(recAtom.args(i))))),
+        (BodyAtom(mName, sPos.map(i => headTerm(r, i).get), negated = false)
+          +: statics) ++ keptCmp)
+    }
+    val restricted = (exitRules ++ recRules).map { r =>
+      Rule(r.head,
+        BodyAtom(mName, sPos.map(i => headTerm(r, i).get), negated = false)
+          +: r.body)
+    }
+    val prog2 = Program(Nil, (seedRule +: magicRules) ++ restricted)
+    val ev2 = new Evaluator(new Analysis(prog2), name => predDF(name), conf)
+    subEvaluators += ev2
+    Some(ev2.predDF(p))
   }
 
   // ------------------------------------- monotonic aggregate recursion

@@ -1,9 +1,10 @@
 package graft.datalog
 
 /** Bound-argument pushdown: a bound query over a *left-linear* recursion
-  * seeds the fixpoint instead of filtering the full closure; right-linear
-  * forms (bound position fed by a non-recursive atom) must fall back to
-  * post-filtering — results are identical either way. */
+  * seeds the fixpoint directly (stable position); right-linear forms go
+  * through the magic-set rewrite (seeded reachability restricting the
+  * fixpoint); non-linear falls back to post-filtering the full closure —
+  * results are identical on every path. */
 class BoundPushdownSpec extends DatalogSuite {
   private val db = "database({arc(X:integer, Y:integer)})."
 
@@ -22,11 +23,43 @@ class BoundPushdownSpec extends DatalogSuite {
     assert(rows == Set("[6,7]", "[6,8]", "[6,9]", "[6,10]"))
   }
 
-  test("right-linear TC falls back to post-filter with identical results") {
+  test("right-linear TC pushes down via the magic-set rewrite") {
     val rl = "tc(A,B) <- arc(A,B). tc(A,B) <- arc(A,C), tc(C,B)."
     val (rows, pushed) = eval(rl, "tc(6,B).")
-    assert(!pushed, "right-linear bound head arg is not stable — no pushdown")
+    assert(pushed, "right-linear bound queries must use the magic-set rewrite")
     assert(rows == Set("[6,7]", "[6,8]", "[6,9]", "[6,10]"))
+  }
+
+  test("magic-set restricts the fixpoint to the reachable subgraph") {
+    // two disconnected chains; binding to the small one must not derive
+    // facts from the big one — observable through the result of the
+    // UNRESTRICTED second argument (whole reachable set from 100)
+    val rl = "tc(A,B) <- arc(A,B). tc(A,B) <- arc(A,C), tc(C,B)."
+    val data = Seq("100,101", "101,102") ++ (0 until 10).map(i => s"$i,${i + 1}")
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(db + rl)
+    ctx.registerData("arc", data)
+    val rows = ctx.queryStrings("tc(100,B).").toSet
+    assert(ctx.lastBoundPushdown)
+    assert(rows == Set("[100,101]", "[100,102]"))
+  }
+
+  test("magic-set with a weighted right-linear rule (extra static columns)") {
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(
+      "database({warc(X:integer, Y:integer, C:integer)}). " +
+        "path(A,B,C) <- warc(A,B,C). " +
+        "path(A,B,C) <- warc(A,M,C1), path(M,B,C2), C=C1+C2.")
+    ctx.registerData("warc", Seq("0,1,1", "1,2,1", "2,3,1", "7,8,1"))
+    val rows = ctx.queryStrings("path(0,B,C).").toSet
+    assert(ctx.lastBoundPushdown, "weighted RL path query must push down")
+    assert(rows == Set("[0,1,1]", "[0,2,2]", "[0,3,3]"))
+  }
+
+  test("magic-set bound seed with no matches yields an empty result") {
+    val rl = "tc(A,B) <- arc(A,B). tc(A,B) <- arc(A,C), tc(C,B)."
+    val (rows, pushed) = eval(rl, "tc(99,B).")
+    assert(pushed && rows.isEmpty)
   }
 
   test("non-linear TC falls back (second occurrence needs full relation)") {
