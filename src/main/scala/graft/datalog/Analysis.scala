@@ -106,10 +106,20 @@ final class Analysis(val program: Program) {
         if (!r.head.isMonotonicAgg)
           throw new AnalysisException(
             s"predicate $p2 mixes monotonic-aggregate and plain rule heads")
-        for (agg <- r.head.aggArgs if !Set("mmin", "mmax")(agg.func))
-          throw new AnalysisException(
-            s"${agg.func} not supported in recursion (reference TODO too: " +
-              "AggregateSetRDD.scala:146-147) — use mmin/mmax")
+        for (agg <- r.head.aggArgs) agg.func match {
+          case "mmin" | "mmax" => ()
+          case "mcount" =>
+            if (agg.e == TermExpr(Anon))
+              throw new AnalysisException(
+                "mcount<_> is not defined under set semantics — count a key: mcount<K>")
+          case "msum" =>
+            if (agg.v.isEmpty)
+              throw new AnalysisException(
+                "msum in recursion takes the tuple form msum<(K,V)>: " +
+                  "sum over distinct support keys K of the max contribution V")
+          case other =>
+            throw new AnalysisException(s"unknown monotonic aggregate $other")
+        }
       }
       if (!preds.forall(monotonicHeads))
         throw new AnalysisException(

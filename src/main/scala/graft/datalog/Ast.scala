@@ -30,10 +30,15 @@ object Ast {
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr
 
   /** Head argument: plain expression or aggregate. Aggregate arg may be
-    * Anon for `count<_>`. */
+    * Anon for `count<_>`. The monotonic sum takes the tuple form
+    * `msum<(K,V)>` — K is the support key, V the contribution value
+    * (sum over distinct K of the max V seen; the partial-monotonic
+    * semantics of the Datalog aggregate literature, left TODO by the
+    * reference at AggregateSetRDD.scala:146-147) — carried in `v`. */
   sealed trait HeadArg
   final case class PlainArg(e: Expr) extends HeadArg
-  final case class AggArg(func: String, e: Expr) extends HeadArg
+  final case class AggArg(func: String, e: Expr, v: Option[Expr] = None)
+      extends HeadArg
 
   object AggArg {
     val stratified = Set("min", "max", "count", "countd", "sum", "avg")

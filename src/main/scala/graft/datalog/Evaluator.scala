@@ -711,6 +711,12 @@ final class Evaluator(
     if (aggIdxs.length != 1)
       throw new EvalException(s"$p must have exactly one mmin/mmax argument")
     val aggIdx = aggIdxs.head
+    head.args(aggIdx).asInstanceOf[AggArg].func match {
+      case "mcount" | "msum" =>
+        evalSupportClique(clique, p, aggIdx)
+        return
+      case _ => ()
+    }
     val isMin = head.args(aggIdx).asInstanceOf[AggArg].func == "mmin"
     val groupCols = head.args.indices.filterNot(_ == aggIdx).map(i => s"c$i")
     val aggCol = s"c$aggIdx"
@@ -781,5 +787,128 @@ final class Evaluator(
       }
     }
     memo(p) = state
+  }
+
+  /** `mcount<K>` / `msum<(K,V)>` monotonic-aggregate recursion — beyond
+    * the reference's TODO (AggregateSetRDD.scala:146-147). Semantics
+    * (the partial-monotonic aggregates of the Datalog literature):
+    * per group, the SUPPORT SET of distinct keys K grows monotonically
+    * and each key carries the max contribution V seen (mcount is msum
+    * with V ≡ 1); the aggregate value is count(K) / sum(max V). The
+    * fixpoint state is the support relation (group…, K, V); per
+    * iteration new candidates merge via the same tagged-union trick as
+    * mmin/mmax but keyed on (group, K), the delta is the set of groups
+    * whose support improved (new key, or a key whose V increased), and
+    * recursive rules read the predicate as (group…, aggregate-value) —
+    * so DAG path counting (`cp(Y, msum<(X,C)>) <- cp(X,C), arc(X,Y)`)
+    * converges to the true counts in topological waves. */
+  private def evalSupportClique(
+      clique: Analysis#Clique, p: String, aggIdx: Int): Unit = {
+    val rules = analysis.rulesFor(p)
+    val head = rules.head.head
+    val agg = head.args(aggIdx).asInstanceOf[AggArg]
+    val isCount = agg.func == "mcount"
+    val arity = head.args.length
+    val groupIdxs = head.args.indices.filterNot(_ == aggIdx)
+
+    // support layout: groups in original relative order, then K, V
+    val gCols = groupIdxs.indices.map(i => s"c$i")
+    val kCol = s"c${groupIdxs.length}"
+    val vCol = s"c${groupIdxs.length + 1}"
+
+    /** the rule, re-headed to project raw support tuples (G…, K, V) */
+    def supportRule(r: Rule): Rule = {
+      val a = r.head.args(aggIdx).asInstanceOf[AggArg]
+      val vExpr = if (isCount) TermExpr(Constant(1L)) else a.v.get
+      Rule(HeadAtom(p,
+        groupIdxs.map(i => r.head.args(i)) ++
+          Seq(PlainArg(a.e), PlainArg(vExpr))), r.body)
+    }
+
+    /** aggregate view in head order: (…, value at aggIdx, …) */
+    def aggView(sup: DataFrame): DataFrame = {
+      val f = if (isCount) count(col(kCol)) else sum(col(vCol))
+      val agged =
+        if (gCols.isEmpty) sup.agg(f.as("__v"))
+        else sup.groupBy(gCols.map(col): _*).agg(f.as("__v"))
+      // restore original head positions
+      val out = head.args.indices.map { i =>
+        if (i == aggIdx) col("__v").as(s"c$i")
+        else col(s"c${groupIdxs.indexOf(i)}").as(s"c$i")
+      }
+      agged.select(out: _*)
+    }
+
+    /** merge support with candidates: per (G, K) keep max V, flag improvement */
+    def mergeMax(s: DataFrame, cand: Option[DataFrame]): DataFrame = {
+      val combined = cand match {
+        case Some(c) => s.withColumn("__s", lit(1)).union(c.withColumn("__s", lit(0)))
+        case None => s.withColumn("__s", lit(0))
+      }
+      combined.groupBy((gCols :+ kCol).map(col): _*)
+        .agg(max(col(vCol)).as(vCol),
+          max(when(col("__s") === 1, col(vCol))).as("__old"))
+    }
+
+    val exits = clique.exitRules(p)
+    if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
+    var supportCkpt = materialize(
+      mergeMax(exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+        .reduce(_ union _)
+        .select((gCols ++ Seq(kCol, vCol)).map(col): _*), None)
+        .select((gCols ++ Seq(kCol, vCol)).map(col): _*))._1
+    // the checkpoint backing the current support view (support itself
+    // initially; later the merged frame the view projects) — retired
+    // when the next merge materializes
+    var supportBacking = supportCkpt
+    var av = materialize(aggView(supportCkpt))._1
+    var delta = av
+
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new EvalException(s"support fixpoint exceeded $maxIterations iterations")
+      val deltaMap = Map(p -> delta)
+      val stateMap = Map(p -> av)
+      val contribs = clique.recursiveRules(p).flatMap { r =>
+        val sr = supportRule(r)
+        val k = r.bodyAtoms.count(a => clique.preds(a.pred))
+        (0 until k).flatMap { chosen =>
+          try Some(RuleCompiler.compile(sr,
+            variantResolver(clique, deltaMap, stateMap, chosen, broadcastStatic = false)))
+          catch { case _: RuleCompiler.SkipRule => None }
+        }
+      }
+      if (contribs.isEmpty) done = true
+      else {
+        val merged = materialize(
+          mergeMax(supportCkpt, Some(contribs.reduce(_ union _))))._1
+        val improvedCol = col("__old").isNull || col(vCol) > col("__old")
+        val improved = merged.filter(improvedCol)
+        if (improved.isEmpty) { done = true; retire(merged) }
+        else {
+          val newSupport = merged.select((gCols ++ Seq(kCol, vCol)).map(col): _*)
+          retire(supportBacking)
+          supportBacking = merged
+          supportCkpt = newSupport
+          val oldAv = av
+          av = materialize(aggView(newSupport))._1
+          retire(oldAv)
+          delta =
+            if (gCols.isEmpty) av
+            else {
+              val changed = improved.select(gCols.map(col): _*).distinct()
+              val cond = gCols.zipWithIndex.map { case (g, gi) =>
+                av(s"c${groupIdxs(gi)}") === changed(g)
+              }.reduce(_ && _)
+              av.join(changed, cond, "left_semi")
+            }
+        }
+      }
+    }
+    retire(supportBacking) // only the aggregate view outlives the fixpoint
+    memo(p) = av
   }
 }

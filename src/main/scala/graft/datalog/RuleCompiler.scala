@@ -230,20 +230,28 @@ object RuleCompiler {
     if (!head.isAggregate) {
       body.select(head.args.zipWithIndex.map {
         case (PlainArg(e), i) => column(e).as(s"c$i")
-        case (AggArg(f, _), _) =>
-          throw new CompileException(s"unexpected aggregate $f") // unreachable
+        case (a: AggArg, _) =>
+          throw new CompileException(s"unexpected aggregate ${a.func}") // unreachable
       }: _*)
     } else {
       val plain = head.args.zipWithIndex.collect {
         case (PlainArg(e), i) => (s"c$i", column(e))
       }
-      val aggs = head.args.zipWithIndex.collect { case (AggArg(f, e), i) =>
+      val aggs = head.args.zipWithIndex.collect { case (AggArg(f, e, v), i) =>
         val c = f match {
           case "min" | "mmin" => min(column(e))
           case "max" | "mmax" => max(column(e))
-          case "sum" | "msum" => sum(column(e))
-          case "count" | "mcount" =>
+          case "sum" => sum(column(e))
+          case "msum" =>
+            if (v.isDefined)
+              throw new CompileException(
+                "msum<(K,V)> is only defined inside recursive cliques")
+            sum(column(e))
+          case "count" =>
             if (e == TermExpr(Anon)) count(lit(1)) else count(column(e))
+          // stratified reading of the monotonic count: distinct keys
+          case "mcount" =>
+            if (e == TermExpr(Anon)) count(lit(1)) else countDistinct(column(e))
           case "countd" => countDistinct(column(e))
           case "avg" => avg(column(e))
           case other => throw new CompileException(s"unknown aggregate $other")

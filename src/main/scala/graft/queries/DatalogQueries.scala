@@ -214,6 +214,26 @@ object DatalogQueries extends QueryPack {
       c.query("segcount(S, N).")
     }),
 
+    // DAG path counting via msum<(K,V)> support-set monotonic
+    // aggregation — BEYOND the reference (mcount/msum are its declared
+    // TODO, AggregateSetRDD.scala:146-147): per node, sum over distinct
+    // predecessors of their (monotonically improving) path counts.
+    "dl_paths_msum" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+          "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y, _).")
+      c.query("cp(N, C).")
+    }),
+
+    // Distinct reachable in-neighbor counts via mcount<K> (support-set
+    // distinct counting inside recursion).
+    "dl_indeg_mcount" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "nb(X, mcount<S>) <- X=0, S= -1. " +
+          "nb(Y, mcount<X>) <- nb(X, _), arc(X, Y, _).")
+      c.query("nb(N, C).")
+    }),
+
     // Aggregation + sort/limit pseudo-predicates (PYMK-style top-k,
     // reference program 73): top-10 nodes by out-degree.
     "dl_topdeg" -> ((s, dir) => {
@@ -318,6 +338,25 @@ object DatalogQueries extends QueryPack {
             SELECT CAST(x AS BIGINT) AS x, CAST(z AS BIGINT) AS z,
                    CAST(c AS BIGINT) AS c
             FROM cand ORDER BY c DESC, x ASC, z ASC LIMIT 10""",
+      "dl_paths_msum" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(n) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT arc.dst FROM r JOIN arc ON arc.src = r.n)
+            SELECT CAST(n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c
+            FROM r GROUP BY n""",
+      "dl_indeg_mcount" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(x) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT arc.dst FROM r JOIN arc ON arc.src = r.x)
+            SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c FROM (
+              SELECT arc.dst AS n, count(DISTINCT arc.src) AS c
+              FROM arc JOIN r ON arc.src = r.x
+              GROUP BY arc.dst
+              UNION ALL SELECT 0, 1)""",
       "dl_segcount" ->
         """SELECT c_mktsegment AS s, CAST(count(c_custkey) AS BIGINT) AS n
            FROM customer GROUP BY c_mktsegment""",

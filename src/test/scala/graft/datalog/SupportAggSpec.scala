@@ -1,0 +1,78 @@
+package graft.datalog
+
+/** `mcount<K>` / `msum<(K,V)>` monotonic aggregates in recursion —
+  * beyond the reference, which declares them TODO
+  * (AggregateSetRDD.scala:146-147). Support-set semantics: per group,
+  * distinct keys K accumulate monotonically, each carrying the max
+  * contribution V; value = count(K) / sum(max V). */
+class SupportAggSpec extends DatalogSuite {
+  private val db = "database({arc(X:integer, Y:integer)})."
+
+  // graph1b: chains 0-1-2-3-4-5 and 0-6-7-8-9-10, plus shortcut 0->2.
+  // DAG path counts from 0: node 1:1, 2:2 (0->1->2 and 0->2), 3..5:2,
+  // 6..10:1, and 0 itself seeds at 1.
+  test("msum<(K,V)> counts DAG paths (sum of predecessor counts)") {
+    val prog =
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+        "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y)."
+    runCase(db + prog, "cp(N, C).",
+      Map("arc" -> Fixtures.graph1b),
+      Seq("[0,1]", "[1,1]", "[2,2]", "[3,2]", "[4,2]", "[5,2]",
+        "[6,1]", "[7,1]", "[8,1]", "[9,1]", "[10,1]"))
+  }
+
+  test("mcount<K> counts distinct reachable in-neighbors") {
+    // reachable-from-0 in-neighbor counts: group Y counts distinct X
+    // (reachable) with arc(X,Y); node 0 seeds with a sentinel key
+    val prog =
+      "nb(X, mcount<S>) <- X=0, S= -1. " +
+        "nb(Y, mcount<X>) <- nb(X, _), arc(X, Y)."
+    // in graph1b every node has in-degree 1 from the reachable set
+    // except 2 (from 0 and 1); sentinel gives node 0 count 1
+    runCase(db + prog, "nb(N, C).",
+      Map("arc" -> Fixtures.graph1b),
+      Seq("[0,1]", "[1,1]", "[2,2]", "[3,1]", "[4,1]", "[5,1]",
+        "[6,1]", "[7,1]", "[8,1]", "[9,1]", "[10,1]"))
+  }
+
+  test("global msum (no group columns) aggregates to one row") {
+    // total number of paths from 0 to anywhere = sum over nodes of
+    // path counts — via a stratified sum over the msum clique
+    val prog =
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+        "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y). " +
+        "total(sum<C>) <- cp(_, C)."
+    // 1+1+2+2+2+2+1+1+1+1+1 = 15
+    runCase(db + prog, "total(C).",
+      Map("arc" -> Fixtures.graph1b), Seq("[15]"))
+  }
+
+  test("msum without the tuple form is rejected inside recursion") {
+    val ctx = new DatalogContext(spark)
+    val err = intercept[Exception] {
+      ctx.loadProgram(db +
+        "cp(X, msum<C>) <- X=0, C=1. cp(Y, msum<C>) <- cp(X, C), arc(X, Y).")
+      ctx.registerData("arc", Fixtures.graph1b)
+      ctx.query("cp(N, C).").count()
+    }
+    assert(err.getMessage.contains("msum"))
+  }
+
+  test("mcount<_> is rejected (undefined under set semantics)") {
+    val ctx = new DatalogContext(spark)
+    val err = intercept[Exception] {
+      ctx.loadProgram(db +
+        "nb(X, mcount<_>) <- X=0. nb(Y, mcount<_>) <- nb(Y, _), arc(_, Y).")
+      ctx.registerData("arc", Fixtures.graph1b)
+      ctx.query("nb(N, C).").count()
+    }
+    assert(err.getMessage.contains("mcount"))
+  }
+
+  test("stratified mcount outside recursion counts distinct keys") {
+    runCase(db + "deg(X, mcount<Y>) <- arc(X, Y).", "deg(N, C).",
+      Map("arc" -> (Fixtures.graph1b :+ "0,1")), // duplicate edge
+      Seq("[0,3]", "[1,1]", "[2,1]", "[3,1]", "[4,1]",
+        "[6,1]", "[7,1]", "[8,1]", "[9,1]"))
+  }
+}
