@@ -861,7 +861,11 @@ final class Evaluator(
     // initially; later the merged frame the view projects) — retired
     // when the next merge materializes
     var supportBacking = supportCkpt
-    var av = materialize(aggView(supportCkpt))._1
+    // materialize() localized the support → the view is a local groupBy
+    var av =
+      if (org.apache.spark.sql.GraftColumnBridge
+          .checkpointedRDD(supportCkpt).isEmpty) aggView(supportCkpt)
+      else materialize(aggView(supportCkpt))._1
     var delta = av
 
     var iter = 0
@@ -894,7 +898,14 @@ final class Evaluator(
           supportBacking = merged
           supportCkpt = newSupport
           val oldAv = av
-          av = materialize(aggView(newSupport))._1
+          // when the merged support localized (small fixpoints), the
+          // aggregate view is a cheap local groupBy — deriving it
+          // lazily saves one whole job per iteration; only distributed
+          // supports pay a dedicated materialization
+          av =
+            if (org.apache.spark.sql.GraftColumnBridge
+                .checkpointedRDD(merged).isEmpty) aggView(newSupport)
+            else materialize(aggView(newSupport))._1
           retire(oldAv)
           delta =
             if (gCols.isEmpty) av
