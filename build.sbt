@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra -D flags for forked run/test JVMs (e.g. forcing
+// spark.datalog.* confs in an A/B verify run):
+//   SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.datalog...=true" sbt "runMain ..."
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

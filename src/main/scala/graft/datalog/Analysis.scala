@@ -112,6 +112,9 @@ final class Analysis(val program: Program) {
             if (agg.e == TermExpr(Anon))
               throw new AnalysisException(
                 "mcount<_> is not defined under set semantics — count a key: mcount<K>")
+            if (agg.v.isDefined)
+              throw new AnalysisException(
+                "mcount takes a single key in recursion: mcount<K>")
           case "msum" =>
             if (agg.v.isEmpty)
               throw new AnalysisException(

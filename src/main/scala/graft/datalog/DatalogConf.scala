@@ -41,11 +41,14 @@ final case class DatalogConf(
       * NETWORK is O(|delta|) instead of re-shuffling the whole fact set
       * (the SetRDD + generalized-pivot economics). `auto` enables it
       * exactly when the master is non-local: on a real cluster shuffle
-      * = network + disk, so the slice chain wins; on local[N] shuffles
-      * are memory copies and the extra join stages cost more than they
-      * save (measured same-JVM: legacy 11-13s vs chain 22-39s for
-      * TC/SG at sf0.1), so local keeps the single `except(all)`
-      * shuffle. `true`/`false` force either path. */
+      * = network + disk, so the pivot slice chain wins; on local[N]
+      * shuffles are memory copies and the r03 A/B at sf0.1 measures
+      * legacy 45.0s vs copart 50.8s across the dl_* pack — stable-pivot
+      * fixpoints now WIN under copart locally too (dl_tc 3.6s vs 4.5s,
+      * the zero-exchange loop) but NL/mutual cliques pay for the
+      * anti-join chain vs one except (dl_tc_nl 7.1s vs 3.3s), so local
+      * keeps the single `except(all)` shuffle as the default.
+      * `true`/`false` force either path. */
     copartitionMode: String = "auto",
     /** `spark.datalog.recursion.logplans` (default false): record each
       * fixpoint slice's executed physical plan + shuffle-exchange count

@@ -238,6 +238,10 @@ object RuleCompiler {
         case (PlainArg(e), i) => (s"c$i", column(e))
       }
       val aggs = head.args.zipWithIndex.collect { case (AggArg(f, e, v), i) =>
+        if (v.isDefined && f != "countd" && f != "msum")
+          throw new CompileException(
+            s"tuple argument is only defined for countd (distinct pairs) " +
+              s"and msum in recursion, not $f")
         val c = f match {
           case "min" | "mmin" => min(column(e))
           case "max" | "mmax" => max(column(e))
@@ -252,7 +256,14 @@ object RuleCompiler {
           // stratified reading of the monotonic count: distinct keys
           case "mcount" =>
             if (e == TermExpr(Anon)) count(lit(1)) else countDistinct(column(e))
-          case "countd" => countDistinct(column(e))
+          // tuple form countd<(A,B)> = distinct pairs — the reference
+          // flattens functor args into the aggregate's expression list
+          // (LogicalPlanGenerator.scala:284-297)
+          case "countd" =>
+            v match {
+              case Some(v2) => countDistinct(column(e), column(v2))
+              case None => countDistinct(column(e))
+            }
           case "avg" => avg(column(e))
           case other => throw new CompileException(s"unknown aggregate $other")
         }

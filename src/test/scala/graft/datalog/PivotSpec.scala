@@ -91,6 +91,21 @@ class PivotSpec extends AnyFunSuite {
     assert(log.isEmpty)
   }
 
+  test("slice path with default localization (mixed local/claimed chains) stays correct") {
+    // default localDeltaRows localizes the small deltas → chains mix
+    // LocalRelation slices with claimed checkpoints; anti-joins must
+    // broadcast the local ones and stay correct
+    val (rows, _, _) = withConf(
+      "spark.datalog.recursion.copartition.enabled" -> "true") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + llTc)
+      ctx.registerData("arc", chain)
+      val r = ctx.queryStrings("tc(A,B).").toSet
+      (r, ctx.lastPivot, ctx.iterationPlanLog)
+    }
+    assert(rows == expected)
+  }
+
   test("non-linear TC has no stable pivot but stays correct on the slice path") {
     val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
     val (rows, pivot, _) =

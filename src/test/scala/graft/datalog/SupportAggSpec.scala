@@ -69,6 +69,29 @@ class SupportAggSpec extends DatalogSuite {
     assert(err.getMessage.contains("mcount"))
   }
 
+  test("countd<(A,B)> counts distinct pairs (reference functor flattening)") {
+    // reference flattens functor args into the aggregate's expression
+    // list (LogicalPlanGenerator.scala:284-297) — countd over a pair
+    runCase(db + "pairs(countd<(X, Y)>) <- arc(X, Y).", "pairs(C).",
+      Map("arc" -> (Fixtures.graph1b ++ Fixtures.graph1b)), // duplicated rows
+      Seq("[11]"))
+    // grouped variant: distinct (neighbor, neighbor+shape) per source
+    runCase(db + "deg2(X, countd<(Y, Y)>) <- arc(X, Y).", "deg2(N, C).",
+      Map("arc" -> Fixtures.graph1b),
+      Seq("[0,3]", "[1,1]", "[2,1]", "[3,1]", "[4,1]",
+        "[6,1]", "[7,1]", "[8,1]", "[9,1]"))
+  }
+
+  test("tuple argument on a non-tuple aggregate is rejected") {
+    val ctx = new DatalogContext(spark)
+    val err = intercept[Exception] {
+      ctx.loadProgram(db + "m(min<(X, Y)>) <- arc(X, Y).")
+      ctx.registerData("arc", Fixtures.graph1b)
+      ctx.query("m(C).").count()
+    }
+    assert(err.getMessage.contains("tuple argument"))
+  }
+
   test("stratified mcount outside recursion counts distinct keys") {
     runCase(db + "deg(X, mcount<Y>) <- arc(X, Y).", "deg(N, C).",
       Map("arc" -> (Fixtures.graph1b :+ "0,1")), // duplicate edge
