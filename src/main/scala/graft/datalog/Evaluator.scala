@@ -35,16 +35,22 @@ final class Evaluator(
 
   private def maxIterations: Int = conf.maxIterations
 
-  /** Resolve the copartition mode: `auto` = on exactly when the master
-    * is non-local (cluster shuffles are network+disk; local[N] shuffles
-    * are memory copies and the legacy except(all) path measures
-    * faster). */
-  private def copartitionEnabled: Boolean = conf.copartitionMode match {
-    case "true" => true
-    case "false" => false
-    case _ =>
-      !org.apache.spark.sql.SparkSession.active.sparkContext.isLocal
-  }
+  /** Resolve the copartition mode for a clique. `auto`: always on for
+    * non-local masters (cluster shuffles are network+disk — the slice
+    * chain's O(|delta|) network wins); on local masters, on exactly for
+    * single-predicate cliques with a stable pivot, where the
+    * zero-exchange broadcast loop measures FASTER than except(all)
+    * even with memory-copy shuffles (dl_tc 3.6s vs 4.5s at sf0.1);
+    * NL/mutual cliques keep the single except(all) shuffle locally
+    * (anti-join chains measure slower there: dl_tc_nl 7.1s vs 3.3s). */
+  private def copartitionEnabled(stablePivot: Boolean): Boolean =
+    conf.copartitionMode match {
+      case "true" => true
+      case "false" => false
+      case _ =>
+        !org.apache.spark.sql.SparkSession.active.sparkContext.isLocal ||
+          stablePivot
+    }
 
   /** Join-strategy hint for the non-recursive side of recursive-rule
     * joins (reference policy: hint broadcast/cached-shuffle-hash on the
@@ -300,7 +306,6 @@ final class Evaluator(
       exitFilter: Map[String, DataFrame => DataFrame]): Map[String, DataFrame] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val copart = copartitionEnabled
     val preds = clique.preds.toSeq.sorted
     var chains = Map[String, Vector[Slice]]()
     var delta = Map[String, Slice]()
@@ -308,6 +313,8 @@ final class Evaluator(
     var proto = Map[String, DataFrame]()
 
     val stable = preds.map(p => p -> stablePositions(clique, p)).toMap
+    val copart = copartitionEnabled(
+      clique.preds.size == 1 && stable.values.forall(_.nonEmpty))
     val pivots: Map[String, Seq[Int]] = preds.map { p =>
       p -> pivotOverride(p).getOrElse {
         if (stable(p).nonEmpty) stable(p) else Seq(0)

@@ -23,11 +23,14 @@ class LifecycleSpec extends AnyFunSuite {
   private val tc = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B)."
   private val chain = (0 until 20).map(i => s"$i,${i + 1}")
 
-  private def persistedCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+  // Compare persistent-RDD ID SETS, not counts: the shared session's
+  // ContextCleaner may concurrently unpersist garbage-collected RDDs
+  // from earlier suites, so only the delta this test created is stable.
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   test("close() returns the persistent-RDD registry to baseline (slice path)") {
-    val baseline = persistedCount
+    val baseline = persistedIds
     val ctx = new DatalogContext(spark)
     withConf(
       "spark.datalog.recursion.copartition.enabled" -> "true",
@@ -36,14 +39,14 @@ class LifecycleSpec extends AnyFunSuite {
       ctx.registerData("arc", chain)
       assert(ctx.query("tc(A,B).").count() == 20 * 21 / 2)
     }
-    assert(persistedCount > baseline, "fixpoint must have pinned blocks")
+    assert((persistedIds -- baseline).nonEmpty, "fixpoint must have pinned blocks")
     ctx.close()
-    assert(persistedCount == baseline,
-      s"close() left ${persistedCount - baseline} persistent RDDs behind")
+    val leaked = persistedIds -- baseline
+    assert(leaked.isEmpty, s"close() left persistent RDDs behind: $leaked")
   }
 
   test("close() drains the legacy except(all) path and monotonic state too") {
-    val baseline = persistedCount
+    val baseline = persistedIds
     val ctx = new DatalogContext(spark)
     withConf(
       "spark.datalog.recursion.copartition.enabled" -> "false",
@@ -57,9 +60,10 @@ class LifecycleSpec extends AnyFunSuite {
       assert(ctx.query("p(A,D).").count() == 16)
       assert(ctx.query("tc2(A,B).").count() == 15 * 16 / 2)
     }
-    assert(persistedCount > baseline)
+    assert((persistedIds -- baseline).nonEmpty)
     ctx.close()
-    assert(persistedCount == baseline)
+    val leaked = persistedIds -- baseline
+    assert(leaked.isEmpty, s"close() left persistent RDDs behind: $leaked")
   }
 
   test("byte cap keeps wide-row deltas distributed; narrow rows localize") {

@@ -83,12 +83,20 @@ class PivotSpec extends AnyFunSuite {
     assert(pivot == Map("tc" -> Seq(0, 1)), s"pivot was $pivot")
   }
 
-  test("copartition auto mode resolves to the legacy path on local masters") {
-    val (rows, _, log) =
+  test("auto mode on local: stable-pivot cliques take the slice path, others legacy") {
+    // LL TC has a stable pivot → the measured-faster zero-exchange loop
+    // runs even locally (iteration plans captured)
+    val (llRows, _, llLog) =
       runTc(llTc, "spark.datalog.recursion.copartition.enabled" -> "auto")
-    assert(rows == expected)
-    // the slice path never ran → no captured iteration plans
-    assert(log.isEmpty)
+    assert(llRows == expected)
+    assert(llLog.nonEmpty, "stable-pivot clique must auto-enable the slice path")
+    assert(llLog.filter(_._2 >= 1).forall(_._3 == 0))
+    // NL TC has no stable pivot → legacy except(all) locally (no slices)
+    val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
+    val (nlRows, _, nlLog) =
+      runTc(nl, "spark.datalog.recursion.copartition.enabled" -> "auto")
+    assert(nlRows == expected)
+    assert(nlLog.isEmpty, "no stable pivot → legacy path on local masters")
   }
 
   test("slice path with default localization (mixed local/claimed chains) stays correct") {
