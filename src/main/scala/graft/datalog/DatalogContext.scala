@@ -43,7 +43,11 @@ final class DatalogContext(val spark: SparkSession) {
     loadProgram(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
 
   /** Register an existing DataFrame as a base relation (cast to the
-    * declared schema when one exists). */
+    * declared schema when one exists). Also registered as a session
+    * temp view, so plain `spark.sql` / `ctx.sql` can query base
+    * relations by name — the reference context IS a SQLContext and
+    * registers every loaded table this way
+    * (dl/BigDatalogContext.scala:157-173). */
   def registerTable(name: String, df: DataFrame): Unit = {
     val cast = declaredSchema(name) match {
       case Some(schema) =>
@@ -55,8 +59,30 @@ final class DatalogContext(val spark: SparkSession) {
       case None => df
     }
     relations(name) = cast
+    cast.createOrReplaceTempView(name)
     evaluator = None
   }
+
+  /** SQL over the session — base relations are temp views already;
+    * derived (IDB) predicates join in after `registerDerived`. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Evaluate an IDB predicate and expose the result as a temp view
+    * (column names v0..vn-1), so SQL can compose over computed
+    * fixpoints — the reference registers its recursive relations as
+    * temp tables the same way. */
+  def registerDerived(pred: String, viewName: String = ""): DataFrame = {
+    val vars = (0 until arityOf(pred)).map(i => s"V$i").mkString(", ")
+    val df = query(s"$pred($vars).")
+    df.createOrReplaceTempView(if (viewName.nonEmpty) viewName else pred)
+    df
+  }
+
+  private def arityOf(pred: String): Int =
+    program.rules.find(_.head.pred == pred)
+      .map(_.head.args.length)
+      .orElse(program.decls.find(_.name == pred).map(_.cols.length))
+      .getOrElse(throw new DatalogException(s"unknown predicate $pred"))
 
   /** Reference-style in-memory load: CSV strings, `%` comment lines
     * skipped, values trimmed and parsed per the declared schema

@@ -79,6 +79,54 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((r.getAs[Long]("sim") & 1L) == 1L)
   }
 
+  test("TokenHash64 matches the per-char fold HOF formulation (ASCII)") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("the", "quick", "brown", "fox", "the"),
+      Seq("a", "", "zz"), // empty token from a double space
+      Seq.empty[String]
+    ).toDF("t")
+    val hof = df.selectExpr(
+      s"""transform(t, tok ->
+            (aggregate(transform(sequence(1, length(tok)), i -> ascii(substr(tok, i, 1))),
+               0L, (h, c) -> (h*31 + c) % $P) * 2654435761) % 4294967296) as h""")
+    val native = df.select(GraftFunctions.tokenHash64(col("t")).as("h"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("Shingle3SortedSet matches the sorted-distinct 3-gram HOF formulation") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(5L, 4294967295L, 17L, 123456789L, 5L, 4294967295L, 17L),
+      Seq(1L, 2L), // fewer than 3 hashes → empty
+      (1L to 50L).toSeq
+    ).toDF("h")
+    val hof = df.selectExpr(
+      s"""array_sort(array_distinct(
+            case when size(h) >= 3 then
+              transform(sequence(0, size(h)-3),
+                i -> ((((h[i] % $P)*1000003 + h[i+1]) % $P)*1000003 + h[i+2]) % $P)
+            else cast(array() as array<bigint>) end)) as s""")
+    val native = df.select(GraftFunctions.shingle3SortedSet(col("h")).as("s"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("TokenHash64/Shingle3SortedSet interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val df = Seq(Seq("alpha", "beta", "gamma", "delta", "beta")).toDF("t")
+    def run(): Array[String] = df
+      .select(GraftFunctions.shingle3SortedSet(
+        GraftFunctions.tokenHash64(col("t"))).as("s"))
+      .collect().map(_.toString)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(run().sameElements(interp))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("null array elements fail loudly instead of reading garbage") {
     // array() of nullable exprs types as array<bigint> with containsNull —
     // the kernels must reject a null slot, not silently getLong(0) it
