@@ -739,6 +739,13 @@ final class Evaluator(
 
     val exits = clique.exitRules(p)
     if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
+
+    // Cluster path: delta-sized merges against a group-key-claimed
+    // state instead of re-shuffling the whole state each iteration.
+    if (groupCols.nonEmpty && copartitionEnabled(stablePivot = false)) {
+      evalMonotonicCopart(clique, p, isMin, groupCols, aggCol, headOrder, reAgg)
+      return
+    }
     var state = materialize(reAgg(
       exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _)))._1
     var delta = state
@@ -790,6 +797,88 @@ final class Evaluator(
           delta = d
           retire(liveCkpt)
           liveCkpt = agged
+        }
+      }
+    }
+    memo(p) = state
+  }
+
+  /** The monotonic-aggregate AggregateSetRDD economics on the public
+    * API (reference: mutable per-partition aggregate maps updated in
+    * place): state is a checkpoint CLAIMING HashPartitioning on the
+    * group columns; per iteration the candidates aggregate once
+    * (already hash(G) from the groupBy), join the state exchange-free
+    * to keep only improved/new groups (the delta), and the next state
+    * is `state ⊖ improved-groups` (anti-join, layout-preserving)
+    * narrow-unioned with the delta — per-iteration NETWORK is
+    * O(|delta-contributions|), never O(|state|). The tagged-union
+    * legacy path re-shuffles state+candidates every iteration, which
+    * is fine on local[N] (memory copies) but the scale bill on a real
+    * cluster — `auto` picks this path exactly when non-local. */
+  private def evalMonotonicCopart(
+      clique: Analysis#Clique,
+      p: String,
+      isMin: Boolean,
+      groupCols: Seq[String],
+      aggCol: String,
+      headOrder: Seq[Column],
+      reAgg: DataFrame => DataFrame): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    def claim(df: DataFrame): DataFrame = {
+      val (ck, _) = org.apache.spark.sql.GraftColumnBridge
+        .checkpointWithPartitioning(df, groupCols, nParts)
+      track(ck)
+      ck
+    }
+
+    val exits = clique.exitRules(p)
+    var state = claim(
+      reAgg(exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _))
+        .repartition(nParts, groupCols.map(col): _*))
+    var delta: DataFrame = state
+    // prior iteration's keep/delta checkpoints — superseded once the
+    // next keep materializes (the new state reads only current ones)
+    var priorCkpts: Seq[DataFrame] = Nil
+
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new EvalException(s"aggregate fixpoint exceeded $maxIterations iterations")
+      val contribs = clique.recursiveRules(p)
+        .flatMap(r => ruleVariants(r, clique, Map(p -> delta), Map(p -> state)))
+      if (contribs.isEmpty) done = true
+      else {
+        // candidate best-per-group; the groupBy's own exchange is the
+        // ONLY shuffle of the iteration and it is delta-sized
+        val candAgg = reAgg(contribs.reduce(_ union _))
+        val stateR = state.select(state.columns.map(c => col(c).as(s"__s_$c")): _*)
+        val joinCond = groupCols.map(c => candAgg(c) === stateR(s"__s_$c"))
+          .reduce(_ && _)
+        val better: Column = {
+          val old = col(s"__s_$aggCol")
+          if (isMin) old.isNull || col(aggCol) < old
+          else old.isNull || col(aggCol) > old
+        }
+        val deltaCk = claim(
+          candAgg.join(stateR.hint("shuffle_hash"), joinCond, "left_outer")
+            .filter(better).select(headOrder: _*))
+        if (deltaCk.isEmpty) { done = true; retire(deltaCk) }
+        else {
+          // unchanged groups keep their rows; layout preserved by the
+          // anti-join, so the union with the delta is narrow
+          val keepCond = groupCols.map(c => state(c) === deltaCk(c)).reduce(_ && _)
+          val keepCk = claim(
+            state.join(deltaCk.hint("shuffle_hash"), keepCond, "left_anti"))
+          priorCkpts.foreach(retire)
+          priorCkpts = Seq(keepCk, deltaCk)
+          state = org.apache.spark.sql.GraftColumnBridge
+            .unionClaimed(Seq(keepCk, deltaCk), nParts)
+            .getOrElse(keepCk.union(deltaCk))
+          delta = deltaCk
         }
       }
     }

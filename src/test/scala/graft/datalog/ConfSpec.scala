@@ -51,6 +51,24 @@ class ConfSpec extends AnyFunSuite {
     assert(tcRows("true") == tcRows("false"))
   }
 
+  test("monotonic-aggregate copart path matches the tagged-union path") {
+    val db3 = "database({warc(X:integer, Y:integer, C:integer)})."
+    val prog = "mp(X,mmin<D>) <- X=0, D=0. " +
+      "mp(Y,mmin<D>) <- mp(X,D1), warc(X,Y,C), D=D1+C."
+    def sssp(copart: String): Set[String] =
+      withConf("spark.datalog.recursion.copartition.enabled" -> copart) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db3 + prog)
+        ctx.registerData("warc", Fixtures.graph1bWeighted)
+        val r = ctx.queryStrings("mp(A,D).").toSet
+        ctx.close()
+        r
+      }
+    val legacy = sssp("false")
+    assert(legacy.nonEmpty)
+    assert(sssp("true") == legacy)
+  }
+
   test("uniondistinct.enabled=false yields bag semantics for multi-rule unions") {
     // p derives 0 from both rules: set semantics → 1 row, bag → 2 rows
     val prog = "p(X) <- arc(X,1). p(X) <- arc(X,2)."
