@@ -833,6 +833,16 @@ final class Evaluator(
       ck
     }
 
+    // AQE partition coalescing would shrink the candidate aggregate's
+    // exchange below nParts, failing the layout claims (and forcing a
+    // state-sized re-exchange at the merge join). Scope it off for the
+    // fixpoint — every exchange inside the loop is delta-sized anyway —
+    // and restore after.
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceConf)
+    spark.conf.set(coalesceConf, "false")
+    try {
+
     val exits = clique.exitRules(p)
     var state = claim(
       reAgg(exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _))
@@ -863,9 +873,14 @@ final class Evaluator(
           if (isMin) old.isNull || col(aggCol) < old
           else old.isNull || col(aggCol) > old
         }
-        val deltaCk = claim(
-          candAgg.join(stateR.hint("shuffle_hash"), joinCond, "left_outer")
-            .filter(better).select(headOrder: _*))
+        val deltaPlan = candAgg
+          .join(stateR.hint("shuffle_hash"), joinCond, "left_outer")
+          .filter(better).select(headOrder: _*)
+        val deltaCk = claim(deltaPlan)
+        if (conf.logPlans)
+          iterationPlanLog += ((p, iter,
+            org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(deltaPlan),
+            org.apache.spark.sql.GraftColumnBridge.executedPlanString(deltaPlan)))
         if (deltaCk.isEmpty) { done = true; retire(deltaCk) }
         else {
           // unchanged groups keep their rows; layout preserved by the
@@ -883,6 +898,13 @@ final class Evaluator(
       }
     }
     memo(p) = state
+
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceConf, v)
+        case None => spark.conf.unset(coalesceConf)
+      }
+    }
   }
 
   /** `mcount<K>` / `msum<(K,V)>` monotonic-aggregate recursion — beyond

@@ -69,6 +69,30 @@ class ConfSpec extends AnyFunSuite {
     assert(sssp("true") == legacy)
   }
 
+  test("monotonic copart iterations shuffle only the delta-sized candidate agg") {
+    val db3 = "database({warc(X:integer, Y:integer, C:integer)})."
+    val prog = "mp(X,mmin<D>) <- X=0, D=0. " +
+      "mp(Y,mmin<D>) <- mp(X,D1), warc(X,Y,C), D=D1+C."
+    withConf(
+      "spark.datalog.recursion.copartition.enabled" -> "true",
+      "spark.datalog.recursion.logplans" -> "true") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db3 + prog)
+      ctx.registerData("warc", Fixtures.graph1bWeighted)
+      ctx.query("mp(A,D).").count()
+      val log = ctx.iterationPlanLog
+      assert(log.nonEmpty)
+      // from iteration 2 on (once state ≠ delta), the candidate groupBy
+      // is the one delta-sized exchange; the state merge joins and the
+      // narrow-unioned state reuse the claimed layout with no shuffle
+      val over = log.filter(e => e._2 >= 2 && e._3 > 1)
+      assert(over.isEmpty,
+        s"iterations with >1 shuffle: ${over.map(e => (e._1, e._2, e._3))}\n" +
+          over.headOption.map(_._4).getOrElse(""))
+      ctx.close()
+    }
+  }
+
   test("uniondistinct.enabled=false yields bag semantics for multi-rule unions") {
     // p derives 0 from both rules: set semantics → 1 row, bag → 2 rows
     val prog = "p(X) <- arc(X,1). p(X) <- arc(X,2)."
