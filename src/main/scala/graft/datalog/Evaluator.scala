@@ -426,10 +426,31 @@ final class Evaluator(
         val contribs = clique.recursiveRules(p)
           .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
         if (contribs.nonEmpty) {
-          val u = contribs.reduce(_ union _)
-          val chain = chains.getOrElse(p, Vector.empty)
+          var u = contribs.reduce(_ union _)
+          var chain = chains.getOrElse(p, Vector.empty)
           if (copart) {
             val pv = pivotCols(p, u)
+            // One-time schema widening: an int-typed seed slice and
+            // long-typed recursive candidates must converge on the
+            // analyzer's coerced schema, or the narrow unions (which
+            // bypass coercion) degrade to plain unions for the whole
+            // fixpoint. Casting changes hash values, so widened slices
+            // re-partition and re-claim under the new type. The old
+            // (small, early-iteration) slices stay persisted until
+            // close() — this iteration's lazy plans still read them.
+            if (chain.nonEmpty && chain.head.df.schema != u.schema) {
+              val target = chain.head.df.union(u).schema
+              def castTo(df: DataFrame): DataFrame =
+                df.select(df.columns.zip(target.fields).map { case (c, f) =>
+                  df(c).cast(f.dataType).as(c)
+                }.toIndexedSeq: _*)
+              if (u.schema != target) u = castTo(u)
+              chain = chain.map { s =>
+                if (s.df.schema == target) s
+                else sliceOf(repDedup(castTo(s.df), pv), pv, p, iter)._1
+              }
+              chains += p -> chain
+            }
             // the broadcast join preserved a claimed delta's layout →
             // dedup and anti-joins reuse it with no repartition at all
             val skipRepart = broadcastStatic && contribs.length == 1 &&
@@ -864,7 +885,21 @@ final class Evaluator(
       else {
         // candidate best-per-group; the groupBy's own exchange is the
         // ONLY shuffle of the iteration and it is delta-sized
-        val candAgg = reAgg(contribs.reduce(_ union _))
+        var candAgg = reAgg(contribs.reduce(_ union _))
+        // one-time widening to the analyzer-coerced schema (int seed vs
+        // long facts), so the merge joins stay exchange-free and the
+        // narrow state unions don't degrade; the superseded narrow
+        // state stays persisted until close() (lazy plans may read it)
+        if (candAgg.schema != state.schema) {
+          val target = state.union(candAgg).schema
+          def castTo(df: DataFrame): DataFrame =
+            df.select(df.columns.zip(target.fields).map { case (c, f) =>
+              df(c).cast(f.dataType).as(c)
+            }.toIndexedSeq: _*)
+          if (candAgg.schema != target) candAgg = castTo(candAgg)
+          if (state.schema != target)
+            state = claim(castTo(state).repartition(nParts, groupCols.map(col): _*))
+        }
         val stateR = state.select(state.columns.map(c => col(c).as(s"__s_$c")): _*)
         val joinCond = groupCols.map(c => candAgg(c) === stateR(s"__s_$c"))
           .reduce(_ && _)

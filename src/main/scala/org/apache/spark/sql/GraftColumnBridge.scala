@@ -99,6 +99,12 @@ object GraftColumnBridge {
       case lr: execution.LogicalRDD => lr
       case _ => return None
     })
+    // a narrow union bypasses the analyzer's type coercion: mixed
+    // (coercible) schemas — an int-typed seed slice vs long-typed
+    // recursive facts — would read rows through the wrong layout and
+    // silently truncate values past 2^31. Identical schemas only;
+    // callers fall back to a plain (coerced) union.
+    if (lrs.exists(lr => lr.schema != lrs.head.schema)) return None
     // claimed hash positions (indices into the output) per input
     val positions: Seq[Seq[Int]] = lrs.map { lr =>
       lr.outputPartitioning match {
