@@ -50,6 +50,13 @@ final case class DatalogConf(
       * keeps the single `except(all)` shuffle as the default.
       * `true`/`false` force either path. */
     copartitionMode: String = "auto",
+    /** `spark.datalog.recursion.broadcastThreshold` (default 512 MiB,
+      * plan-stats estimate): the zero-exchange pivot loop broadcasts
+      * static join sides only up to this size; a bigger static side
+      * falls back to the hinted/AQE join (one delta-sized exchange per
+      * iteration instead of a force-broadcast that would hit Spark's
+      * 8 GB hard limit or OOM the driver at 100 TB). */
+    broadcastThreshold: Long = 512L * 1024 * 1024,
     /** `spark.datalog.recursion.logplans` (default false): record each
       * fixpoint slice's executed physical plan + shuffle-exchange count
       * in `Evaluator.iterationPlanLog` — the plan-audit hook PLANS.md
@@ -72,8 +79,17 @@ object DatalogConf {
     localDeltaBytes =
       spark.conf.get("spark.datalog.recursion.localDeltaBytes",
         (4L * 1024 * 1024).toString).toLong,
-    copartitionMode =
-      spark.conf.get("spark.datalog.recursion.copartition.enabled", "auto"),
+    copartitionMode = {
+      val v = spark.conf
+        .get("spark.datalog.recursion.copartition.enabled", "auto")
+        .trim.toLowerCase
+      require(Set("auto", "true", "false")(v),
+        s"spark.datalog.recursion.copartition.enabled must be auto|true|false, got '$v'")
+      v
+    },
+    broadcastThreshold =
+      spark.conf.get("spark.datalog.recursion.broadcastThreshold",
+        (512L * 1024 * 1024).toString).toLong,
     logPlans =
       spark.conf.get("spark.datalog.recursion.logplans", "false").toBoolean,
     storageLevel =

@@ -60,8 +60,12 @@ final class DatalogContext(val spark: SparkSession) {
     }
     relations(name) = cast
     cast.createOrReplaceTempView(name)
+    baseViews += name
     evaluator = None
   }
+
+  private val baseViews = mutable.Set[String]()
+  private val derivedViews = mutable.Set[String]()
 
   /** SQL over the session — base relations are temp views already;
     * derived (IDB) predicates join in after `registerDerived`. */
@@ -74,7 +78,9 @@ final class DatalogContext(val spark: SparkSession) {
   def registerDerived(pred: String, viewName: String = ""): DataFrame = {
     val vars = (0 until arityOf(pred)).map(i => s"V$i").mkString(", ")
     val df = query(s"$pred($vars).")
-    df.createOrReplaceTempView(if (viewName.nonEmpty) viewName else pred)
+    val v = if (viewName.nonEmpty) viewName else pred
+    df.createOrReplaceTempView(v)
+    derivedViews += v
     df
   }
 
@@ -123,6 +129,10 @@ final class DatalogContext(val spark: SparkSession) {
 
   def reset(): Unit = {
     close()
+    // drop the SQL surface too — a stale temp view would silently
+    // serve the previous program's data
+    baseViews.foreach(spark.catalog.dropTempView)
+    baseViews.clear()
     program = Program(Nil, Nil)
     analysis = new Analysis(program)
     relations.clear()
@@ -133,8 +143,12 @@ final class DatalogContext(val spark: SparkSession) {
     * lifecycle (reference CachedRDDManager.scala:26-107). DataFrames
     * previously returned by `query` must be fully consumed first; the
     * context itself stays usable (a fresh evaluator re-derives on the
-    * next query). */
+    * next query). Derived views drop here — they reference the
+    * evaluator checkpoints being released; base-relation views survive
+    * (their relations remain registered). */
   def close(): Unit = {
+    derivedViews.foreach(spark.catalog.dropTempView)
+    derivedViews.clear()
     evaluator.foreach(_.close())
     evaluator = None
   }

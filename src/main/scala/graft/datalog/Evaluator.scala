@@ -325,10 +325,28 @@ final class Evaluator(
       pivots(p).filter(_ < df.columns.length).map(i => df.columns(i))
     // The zero-exchange loop: single-predicate clique whose pivot is a
     // stable position set → broadcast static sides so the iteration
-    // join streams the delta through unchanged.
+    // join streams the delta through unchanged. Guarded by a size
+    // estimate: a static side past the threshold falls back to the
+    // hinted/AQE join (one delta-sized exchange per iteration) instead
+    // of a force-broadcast that can't work at scale.
+    def staticsBroadcastable: Boolean =
+      preds.flatMap(p => clique.recursiveRules(p))
+        .flatMap(_.bodyAtoms).filterNot(a => clique.preds(a.pred))
+        .map(_.pred).distinct
+        .forall { sp =>
+          // materialize the (anyway-persisted) static side first: an
+          // RDD-backed EDB has no plan stats (sizeInBytes defaults to
+          // a huge sentinel), but the populated InMemoryRelation
+          // reports real cached-batch sizes
+          val df = cachedStatic(sp)
+          df.count()
+          df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(conf.broadcastThreshold)
+        }
     val broadcastStatic = copart && conf.joinType == "auto" &&
       clique.preds.size == 1 &&
-      preds.forall(p => pivots(p).nonEmpty && pivots(p).forall(stable(p).contains))
+      preds.forall(p => pivots(p).nonEmpty && pivots(p).forall(stable(p).contains)) &&
+      staticsBroadcastable
 
     /** The accumulated fact set: a partition-preserving narrow union
       * when every slice carries the pivot claim (so NL-recursion joins
@@ -432,21 +450,26 @@ final class Evaluator(
             val pv = pivotCols(p, u)
             // One-time schema widening: an int-typed seed slice and
             // long-typed recursive candidates must converge on the
-            // analyzer's coerced schema, or the narrow unions (which
-            // bypass coercion) degrade to plain unions for the whole
-            // fixpoint. Casting changes hash values, so widened slices
-            // re-partition and re-claim under the new type. The old
-            // (small, early-iteration) slices stay persisted until
-            // close() — this iteration's lazy plans still read them.
-            if (chain.nonEmpty && chain.head.df.schema != u.schema) {
-              val target = chain.head.df.union(u).schema
+            // analyzer's coerced DATA TYPES, or the narrow unions
+            // (which bypass coercion) degrade to plain unions for the
+            // whole fixpoint. Compared on data types only — nullability
+            // differs on every constant-seeded program (literal seeds
+            // are non-null) and a Cast can't change it, so a full
+            // schema comparison would re-fire forever. Casting changes
+            // hash values, so widened slices re-partition and re-claim
+            // under the new type. The old (small, early-iteration)
+            // slices stay persisted until close() — this iteration's
+            // lazy plans still read them.
+            def types(df: DataFrame) = df.schema.map(_.dataType)
+            if (chain.nonEmpty && types(chain.head.df) != types(u)) {
+              val target = types(chain.head.df.union(u))
               def castTo(df: DataFrame): DataFrame =
-                df.select(df.columns.zip(target.fields).map { case (c, f) =>
-                  df(c).cast(f.dataType).as(c)
+                df.select(df.columns.zip(target).map { case (c, t) =>
+                  df(c).cast(t).as(c)
                 }.toIndexedSeq: _*)
-              if (u.schema != target) u = castTo(u)
+              if (types(u) != target) u = castTo(u)
               chain = chain.map { s =>
-                if (s.df.schema == target) s
+                if (types(s.df) == target) s
                 else sliceOf(repDedup(castTo(s.df), pv), pv, p, iter)._1
               }
               chains += p -> chain
@@ -886,18 +909,23 @@ final class Evaluator(
         // candidate best-per-group; the groupBy's own exchange is the
         // ONLY shuffle of the iteration and it is delta-sized
         var candAgg = reAgg(contribs.reduce(_ union _))
-        // one-time widening to the analyzer-coerced schema (int seed vs
-        // long facts), so the merge joins stay exchange-free and the
-        // narrow state unions don't degrade; the superseded narrow
-        // state stays persisted until close() (lazy plans may read it)
-        if (candAgg.schema != state.schema) {
-          val target = state.union(candAgg).schema
+        // one-time widening to the analyzer-coerced DATA TYPES (int
+        // seed vs long facts), so the merge joins stay exchange-free
+        // and the narrow state unions don't degrade. Data types only:
+        // literal seeds are non-nullable while rule candidates aren't,
+        // and a Cast can't change nullability — a full schema compare
+        // would re-shuffle the whole state every iteration. The
+        // superseded narrow state stays persisted until close() (lazy
+        // plans may read it).
+        def types(df: DataFrame) = df.schema.map(_.dataType)
+        if (types(candAgg) != types(state)) {
+          val target = types(state.union(candAgg))
           def castTo(df: DataFrame): DataFrame =
-            df.select(df.columns.zip(target.fields).map { case (c, f) =>
-              df(c).cast(f.dataType).as(c)
+            df.select(df.columns.zip(target).map { case (c, t) =>
+              df(c).cast(t).as(c)
             }.toIndexedSeq: _*)
-          if (candAgg.schema != target) candAgg = castTo(candAgg)
-          if (state.schema != target)
+          if (types(candAgg) != target) candAgg = castTo(candAgg)
+          if (types(state) != target)
             state = claim(castTo(state).repartition(nParts, groupCols.map(col): _*))
         }
         val stateR = state.select(state.columns.map(c => col(c).as(s"__s_$c")): _*)
@@ -1029,15 +1057,8 @@ final class Evaluator(
         throw new EvalException(s"support fixpoint exceeded $maxIterations iterations")
       val deltaMap = Map(p -> delta)
       val stateMap = Map(p -> av)
-      val contribs = clique.recursiveRules(p).flatMap { r =>
-        val sr = supportRule(r)
-        val k = r.bodyAtoms.count(a => clique.preds(a.pred))
-        (0 until k).flatMap { chosen =>
-          try Some(RuleCompiler.compile(sr,
-            variantResolver(clique, deltaMap, stateMap, chosen, broadcastStatic = false)))
-          catch { case _: RuleCompiler.SkipRule => None }
-        }
-      }
+      val contribs = clique.recursiveRules(p)
+        .flatMap(r => ruleVariants(supportRule(r), clique, deltaMap, stateMap))
       if (contribs.isEmpty) done = true
       else {
         val merged = materialize(

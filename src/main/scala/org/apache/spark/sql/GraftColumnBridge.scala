@@ -100,11 +100,13 @@ object GraftColumnBridge {
       case _ => return None
     })
     // a narrow union bypasses the analyzer's type coercion: mixed
-    // (coercible) schemas — an int-typed seed slice vs long-typed
+    // (coercible) DATA TYPES — an int-typed seed slice vs long-typed
     // recursive facts — would read rows through the wrong layout and
-    // silently truncate values past 2^31. Identical schemas only;
-    // callers fall back to a plain (coerced) union.
-    if (lrs.exists(lr => lr.schema != lrs.head.schema)) return None
+    // silently truncate values past 2^31. Identical data types only
+    // (callers fall back to a plain, coerced union); nullability may
+    // differ — the output relaxes to nullable wherever any input is.
+    val headTypes = lrs.head.schema.map(_.dataType)
+    if (lrs.exists(lr => lr.schema.map(_.dataType) != headTypes)) return None
     // claimed hash positions (indices into the output) per input
     val positions: Seq[Seq[Int]] = lrs.map { lr =>
       lr.outputPartitioning match {
@@ -123,7 +125,9 @@ object GraftColumnBridge {
     if (lrs.exists(_.rdd.getNumPartitions != numParts)) return None
     val spark = dfs.head.sparkSession.asInstanceOf[classic.SparkSession]
     val union = new GraftNarrowUnionRDD(spark.sparkContext, lrs.map(_.rdd))
-    val output = lrs.head.output
+    val output = lrs.head.output.zipWithIndex.map { case (a, i) =>
+      if (lrs.exists(_.schema(i).nullable)) a.withNullability(true) else a
+    }
     val partitioning = catalyst.plans.physical.HashPartitioning(
       positions.head.map(output), numParts)
     Some(classic.Dataset.ofRows(spark,
@@ -160,6 +164,13 @@ object GraftColumnBridge {
         split: org.apache.spark.Partition,
         context: org.apache.spark.TaskContext): Iterator[catalyst.InternalRow] =
       parents.iterator.flatMap(p => p.iterator(p.partitions(split.index), context))
+
+    // parents are localCheckpointed blocks pinned to the executors that
+    // computed them; without this, union tasks schedule anywhere and
+    // every partition read becomes a remote block fetch on a cluster
+    override protected def getPreferredLocations(
+        split: org.apache.spark.Partition): Seq[String] =
+      parents.flatMap(p => p.preferredLocations(p.partitions(split.index))).distinct
   }
 
   /** Register a function builder in an existing session's registry (for

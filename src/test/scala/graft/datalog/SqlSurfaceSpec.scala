@@ -31,6 +31,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     ctx.close()
   }
 
+  test("reset() drops the SQL views; close() drops only derived ones") {
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(
+      "database({arc(X:integer, Y:integer)}). " +
+        "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B).")
+    ctx.registerData("arc", Fixtures.graph1b)
+    ctx.registerDerived("tc")
+    assert(spark.catalog.tableExists("arc") && spark.catalog.tableExists("tc"))
+    ctx.close()
+    // derived view gone (its checkpoints were released); base survives
+    assert(spark.catalog.tableExists("arc") && !spark.catalog.tableExists("tc"))
+    ctx.reset()
+    assert(!spark.catalog.tableExists("arc"),
+      "a stale base view would silently serve pre-reset data")
+  }
+
   test("registerDerived under a custom view name") {
     val ctx = new DatalogContext(spark)
     ctx.loadProgram(
