@@ -330,19 +330,25 @@ final class Evaluator(
     // hinted/AQE join (one delta-sized exchange per iteration) instead
     // of a force-broadcast that can't work at scale.
     def staticsBroadcastable: Boolean =
-      preds.flatMap(p => clique.recursiveRules(p))
-        .flatMap(_.bodyAtoms).filterNot(a => clique.preds(a.pred))
-        .map(_.pred).distinct
-        .forall { sp =>
-          // materialize the (anyway-persisted) static side first: an
-          // RDD-backed EDB has no plan stats (sizeInBytes defaults to
-          // a huge sentinel), but the populated InMemoryRelation
-          // reports real cached-batch sizes
-          val df = cachedStatic(sp)
-          df.count()
-          df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-            BigInt(conf.broadcastThreshold)
-        }
+      // local masters skip the size probe: the eager materialization
+      // costs a job per fixpoint and local data is bounded by one
+      // machine anyway (jointype=shuffle opts out if needed). On a
+      // cluster the guard is load-bearing — a force-broadcast past
+      // Spark's 8 GB limit hard-fails the query.
+      spark.sparkContext.isLocal ||
+        preds.flatMap(p => clique.recursiveRules(p))
+          .flatMap(_.bodyAtoms).filterNot(a => clique.preds(a.pred))
+          .map(_.pred).distinct
+          .forall { sp =>
+            // materialize the (anyway-persisted) static side first: an
+            // RDD-backed EDB has no plan stats (sizeInBytes defaults to
+            // a huge sentinel), but the populated InMemoryRelation
+            // reports real cached-batch sizes
+            val df = cachedStatic(sp)
+            df.count()
+            df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+              BigInt(conf.broadcastThreshold)
+          }
     val broadcastStatic = copart && conf.joinType == "auto" &&
       clique.preds.size == 1 &&
       preds.forall(p => pivots(p).nonEmpty && pivots(p).forall(stable(p).contains)) &&

@@ -23,7 +23,8 @@ class SchemaCoercionSpec extends AnyFunSuite {
   test("int seed + long facts stay exact beyond 2^31 on the slice path") {
     withConf(
       "spark.datalog.recursion.copartition.enabled" -> "true",
-      "spark.datalog.recursion.localDeltaRows" -> "0") {
+      "spark.datalog.recursion.localDeltaRows" -> "0",
+      "spark.datalog.recursion.logplans" -> "true") {
       val ctx = new DatalogContext(spark)
       ctx.loadProgram(
         "database({arc(X:long, Y:long)}). " +
@@ -32,6 +33,12 @@ class SchemaCoercionSpec extends AnyFunSuite {
         Seq("0,5000000000", "5000000000,5000000001", "5000000001,5000000002"))
       val rows = ctx.queryStrings("reach(A).").toSet
       assert(rows == Set("[0]", "[5000000000]", "[5000000001]", "[5000000002]"))
+      // the widening is ONE-TIME: exactly one iteration re-slices the
+      // chain (a duplicated (pred, iter) log entry); a nullability-
+      // sensitive compare would re-fire it every iteration
+      val perIter = ctx.iterationPlanLog.groupBy(e => (e._1, e._2))
+      assert(perIter.count(_._2.size > 1) <= 1,
+        s"chain widening re-fired: ${perIter.view.mapValues(_.size).toMap}")
       ctx.close()
     }
   }
