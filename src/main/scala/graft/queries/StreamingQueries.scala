@@ -119,6 +119,31 @@ object StreamingQueries extends QueryPack {
       s.table(sink).groupBy("user_id").agg(max("n").as("n"))
     }),
 
+    // Native session windows in Structured Streaming: gap-based
+    // session_window aggregation with watermark-bounded state — the
+    // engine merges/extends sessions as events arrive, the canonical
+    // streaming sessionization operator at any scale. The batch oracle
+    // is the lag/running-sum formulation (timestamps are microsecond-
+    // grained, so the half-open boundary can't produce ties).
+    "stream_sessions" -> ((s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val sink = "stream_sessions_sink"
+      val q = s.readStream.schema(schema)
+        .parquet(stageDir(dir))
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts_utc", "1 hour")
+        .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).selectExpr(
+        "user_id",
+        "cast(unix_micros(session_window.start) as bigint) as session_start",
+        "n_events")
+    }),
+
     // Sessionization, relational formulation: lag window over
     // (user_id, event time) + running sum of >1h gap breaks — the same
     // shape its oracle uses. One shuffle on user_id; the window sort is
@@ -151,6 +176,19 @@ object StreamingQueries extends QueryPack {
     "stream_user_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
          FROM events GROUP BY user_id""",
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+         s AS (SELECT user_id, tsu,
+                 CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 3600000000
+                      THEN 1 ELSE 0 END AS brk
+               FROM e),
+         g AS (SELECT user_id, tsu,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s)
+         SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id, sid""",
     "evt_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
          s AS (SELECT user_id, tsu,

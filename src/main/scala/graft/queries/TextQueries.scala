@@ -77,6 +77,24 @@ object TextQueries extends QueryPack {
       .filter(col("n_inter") * den >= col("n_union") * num)
   }
 
+  /** Verified MinHash+LSH near-dup pairs (shared by the pair gate and
+    * the clustering gate). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDF(s, dir)
+    val bands = sh
+      .select(col("doc_id"), minhashSig(col("s")).as("sig"))
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0,3), b -> struct(b as band,
+             concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
+           as bk""")
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val b1 = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
+    val b2 = bands.select(col("band"), col("key"), col("doc_id").as("d2"))
+    val cand = b1.join(b2, Seq("band", "key"))
+      .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+    verifyPairs(cand, sh, 1, 2)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenizer; the BPE-ish regex variant is
     // txt_quality's char-level stats).
@@ -145,20 +163,25 @@ object TextQueries extends QueryPack {
     // MinHash + LSH near-dup pairs: 4 bands × 4 rows candidate buckets,
     // exact-Jaccard verify ≥ 0.5. Shuffle key = (band, key): at 100 TB
     // the candidate join touches only colliding buckets.
-    "txt_lsh_pairs" -> ((s, dir) => {
-      val sh = shingleDF(s, dir)
-      val bands = sh
-        .select(col("doc_id"), minhashSig(col("s")).as("sig"))
-        .selectExpr("doc_id",
-          """explode(transform(sequence(0,3), b -> struct(b as band,
-               concat_ws(',', sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]) as key)))
-             as bk""")
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val b1 = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
-      val b2 = bands.select(col("band"), col("key"), col("doc_id").as("d2"))
-      val cand = b1.join(b2, Seq("band", "key"))
-        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
-      verifyPairs(cand, sh, 1, 2)
+    "txt_lsh_pairs" -> (lshPairs(_, _)),
+
+    // Near-dup CLUSTERS from the verified pair graph: connected
+    // components via the engine's own mmin label-propagation fixpoint
+    // (the dedup pipeline's canonical-document selection — every doc
+    // maps to the min doc_id of its near-dup component). The Datalog
+    // engine powering a pipeline operator end-to-end.
+    "txt_neardup_groups" -> ((s, dir) => {
+      val pairs = lshPairs(s, dir).select(col("d1"), col("d2"))
+      val c = new graft.datalog.DatalogContext(s)
+      c.loadProgram(
+        "database({e(X:long, Y:long), n(X:long)}). " +
+          "lbl(X, mmin<X>) <- n(X). " +
+          "lbl(Y, mmin<L>) <- lbl(X, L), e(X, Y). " +
+          "grp(X, min<L>) <- lbl(X, L).")
+      c.registerTable("e", pairs.union(pairs.select(col("d2"), col("d1"))))
+      c.registerTable("n",
+        pairs.select(col("d1")).union(pairs.select(col("d2"))).distinct())
+      c.query("grp(D, G).")
     }),
 
     // n-gram Jaccard near-dup with first-token blocking (cheap blocked
@@ -284,6 +307,23 @@ object TextQueries extends QueryPack {
             FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.key = b2.key
             WHERE b1.doc_id < b2.doc_id)
           ${verifyDuck(1, 2)}""",
+    "txt_neardup_groups" ->
+      s"""WITH RECURSIVE $shCte, $sigCte,
+          bands AS (SELECT doc_id, b,
+            concat(g[4*b+1], ',', g[4*b+2], ',', g[4*b+3], ',', g[4*b+4]) AS key
+            FROM sig, range(4) r(b)),
+          cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+            FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.key = b2.key
+            WHERE b1.doc_id < b2.doc_id),
+          pr AS (${verifyDuck(1, 2)}),
+          ed AS (SELECT d1 AS s, d2 AS t FROM pr UNION SELECT d2, d1 FROM pr),
+          nd AS (SELECT DISTINCT s FROM ed),
+          l(x, lbl) AS (
+            SELECT s, s FROM nd
+            UNION
+            SELECT ed.t, l.lbl FROM l JOIN ed ON ed.s = l.x)
+          SELECT CAST(x AS BIGINT) AS d, CAST(min(lbl) AS BIGINT) AS g
+          FROM l GROUP BY x""",
     "txt_ngram_jaccard" ->
       s"""WITH $shCte,
           blocked AS (SELECT doc_id, t[1] AS tok1 FROM toks),
