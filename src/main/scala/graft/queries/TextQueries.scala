@@ -194,6 +194,27 @@ object TextQueries extends QueryPack {
       verifyPairs(cand, shingleDF(s, dir), 3, 10)
     }),
 
+    // TF-IDF-style distinctive terms: per-doc top-3 terms by
+    // tf·10^6 div df (exact integers — no float log, so the oracle
+    // hash-matches). The df side is vocabulary-sized → broadcast join;
+    // the per-doc top-k compiles to WindowGroupLimit (rank pushed below
+    // the window shuffle) — the plan a 100 TB vocabulary scan wants.
+    "txt_tfidf_top" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"),
+          col("rk").cast("long").as("rk"))
+    }),
+
     // 32-bit SimHash per doc.
     "txt_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), simhash32(tokHashes).as("simhash"))),
@@ -331,6 +352,19 @@ object TextQueries extends QueryPack {
             FROM blocked b1 JOIN blocked b2 ON b1.tok1 = b2.tok1
             WHERE b1.doc_id < b2.doc_id)
           ${verifyDuck(3, 10)}""",
+    "txt_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         scored AS (SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                           dfreq.df, tf.tf * 1000000 // dfreq.df AS score
+                    FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         ranked AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term ASC) AS rk
+                    FROM scored)
+         SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3""",
     "txt_simhash" ->
       s"""WITH hs AS (SELECT doc_id,
             list_transform(string_split(text,' '), t -> ${thDuck("t")}) AS h

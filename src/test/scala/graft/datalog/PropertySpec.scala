@@ -100,6 +100,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bound queries agree across pushdown strategies on random digraphs") {
+    // left-linear (stable-seed pushdown), right-linear (magic-set
+    // rewrite) and non-linear (post-filter) must all equal the
+    // Warshall closure restricted to the bound source — on cyclic
+    // graphs too, where the magic set revisits its own seeds
+    forAllGraphs(99L) { edges =>
+      val src = edges.head._1
+      val expected = warshall(edges).filter(_._1 == src)
+      for ((rec, wantPush) <- Seq(
+        ("tc(A,B) <- tc(A,C), arc(C,B).", true),
+        ("tc(A,B) <- arc(A,C), tc(C,B).", true),
+        ("tc(A,B) <- tc(A,C), tc(C,B).", false))) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(
+          "database({arc(X:integer, Y:integer)})." +
+            s"tc(A,B) <- arc(A,B). $rec")
+        ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+        val got = ctx.query(s"tc($src,B).").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+        assert(ctx.lastBoundPushdown == wantPush, s"rule: $rec pushdown flag")
+        assert(got == expected, s"rule: $rec")
+      }
+    }
+  }
+
   test("CC via mmin agrees with union-find on random undirected graphs") {
     forAllGraphs(1234L) { edges =>
       {
