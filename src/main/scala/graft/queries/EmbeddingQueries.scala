@@ -103,7 +103,31 @@ object EmbeddingQueries extends QueryPack {
         .groupBy(col("label"), col("i"))
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
         .selectExpr("cast(label as bigint) as label", "cast(i as bigint) as i",
-          "s", "n"))
+          "s", "n")),
+
+    // IVF assignment (the coarse-quantizer probe): every vector maps to
+    // its nearest centroid by score = dot(v, centroid_sum)·10^6 div n —
+    // exact integer mean comparison, no floats. The centroid table is
+    // tiny (one row per label) → broadcast; the corpus side stays
+    // partition-parallel with no shuffle — the 100 TB assignment plan.
+    "emb_ivf_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e
+        .selectExpr("label", "posexplode(q) as (i, v)")
+        .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+          max("n").as("n"))
+        .selectExpr("cast(label as bigint) as clabel",
+          "transform(cs, x -> x.sv) as cvec", "n")
+      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dotv", dotI64(col("q"), col("cvec")))
+        .selectExpr("vec_id", "clabel", "dotv * 1000000 div n as score")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("clabel").as("assigned_label"), col("score"))
+    })
   )
 
   // ---- DuckDB oracles (1-based lists; same integer formulas) ----
@@ -159,6 +183,23 @@ object EmbeddingQueries extends QueryPack {
       s"""WITH e AS (SELECT label, $quantD AS v FROM embeddings)
           SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
             CAST(sum(v[i+1]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-          FROM e, range(64) r(i) GROUP BY label, i"""
+          FROM e, range(64) r(i) GROUP BY label, i""",
+    "emb_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
+          c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
+                  CAST(sum(v[i+1]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+                FROM e, range(64) r(i) GROUP BY label, i),
+          cv AS (SELECT clabel, list(sv ORDER BY i) AS cvec, min(n) AS n
+                 FROM c GROUP BY clabel),
+          scored AS (SELECT e.vec_id, cv.clabel,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> e.v[i]*cv.cvec[i])) * 1000000 // cv.n AS BIGINT) AS score
+            FROM e, cv),
+          ranked AS (SELECT vec_id, clabel, score,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, clabel ASC) AS rk
+            FROM scored)
+          SELECT vec_id, clabel AS assigned_label, score
+          FROM ranked WHERE rk = 1"""
   )
 }
