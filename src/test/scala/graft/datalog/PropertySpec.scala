@@ -125,6 +125,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("msum path counting agrees with DP on random DAGs") {
+    forAllGraphs(2024L) { g =>
+      // forward-orient the edges → DAG with 0 minimal
+      val edges = g.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .filter(e => e._1 != e._2).distinct
+      val inEdges = edges.groupBy(_._2)
+      val memo = mutable.Map[Int, Long]()
+      def cnt(v: Int): Long = memo.getOrElseUpdate(v,
+        (if (v == 0) 1L else 0L) +
+          inEdges.getOrElse(v, Nil).map(e => cnt(e._1)).sum)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct :+ 0
+      val expected = nodes.distinct.map(v => v -> cnt(v)).filter(_._2 > 0).toMap
+
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(
+        "database({arc(X:integer, Y:integer)})." +
+          "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+          "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y).")
+      ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+      val got = ctx.query("cp(N, C).").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+      ctx.close()
+    }
+  }
+
   test("CC via mmin agrees with union-find on random undirected graphs") {
     forAllGraphs(1234L) { edges =>
       {
