@@ -1057,6 +1057,7 @@ final class Evaluator(
 
     var iter = 0
     var done = false
+    var supportCount = -1L
     while (!done) {
       iter += 1
       if (iter > maxIterations)
@@ -1067,11 +1068,16 @@ final class Evaluator(
         .flatMap(r => ruleVariants(supportRule(r), clique, deltaMap, stateMap))
       if (contribs.isEmpty) done = true
       else {
-        val merged = materialize(
-          mergeMax(supportCkpt, Some(contribs.reduce(_ union _))))._1
+        val (merged, mergedCount) = materialize(
+          mergeMax(supportCkpt, Some(contribs.reduce(_ union _))))
         val improvedCol = col("__old").isNull || col(vCol) > col("__old")
         val improved = merged.filter(improvedCol)
-        if (improved.isEmpty) { done = true; retire(merged) }
+        // a grown (group, key) count IS an improvement — the explicit
+        // probe job only runs when the count stalled (an existing
+        // key's value may still have increased)
+        val grew = supportCount >= 0 && mergedCount > supportCount
+        supportCount = mergedCount
+        if (!grew && improved.isEmpty) { done = true; retire(merged) }
         else {
           val newSupport = merged.select((gCols ++ Seq(kCol, vCol)).map(col): _*)
           retire(supportBacking)

@@ -47,6 +47,55 @@ class QueryPackSpec extends AnyFunSuite {
     assert(lsh.subsetOf(ng), s"LSH pairs missing from exact pass: ${lsh -- ng}")
   }
 
+  test("txt_neardup_groups: canonical ids are component minima covering every pair") {
+    val groups = run("txt_neardup_groups").collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("g")).toMap
+    assert(groups.nonEmpty)
+    // canonical id never exceeds the member id, and is itself a member
+    // mapping to itself
+    groups.foreach { case (d, g) => assert(g <= d && groups(g) == g) }
+    // both endpoints of every verified near-dup pair share a group
+    run("txt_lsh_pairs").collect().foreach { r =>
+      assert(groups(r.getAs[Long]("d1")) == groups(r.getAs[Long]("d2")))
+    }
+  }
+
+  test("txt_tfidf_top: exactly <=3 ranked terms per doc, scores non-increasing") {
+    val rows = run("txt_tfidf_top").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk"), r.getAs[Long]("score")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3 && rs.map(_._2).sorted.sameElements(1L to rs.length))
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("emb_ivf_assign: every vector gets exactly one centroid") {
+    val rows = run("emb_ivf_assign").collect()
+    val n = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.length.toLong == n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+  }
+
+  test("stream_sessions (session_window) matches the batch lag formulation") {
+    val streamed = run("stream_sessions").selectExpr(
+      "user_id", "session_start", "n_events")
+    graft.Tables.load(spark, dir, "events").createOrReplaceTempView("__events_tmp")
+    val batch = spark.sql(
+      """WITH e AS (SELECT user_id, ts div 1000 AS tsu FROM __events_tmp),
+         s AS (SELECT user_id, tsu,
+                 CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > 3600000000
+                      THEN 1 ELSE 0 END AS brk FROM e),
+         g AS (SELECT user_id, tsu,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+         SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid""")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("emb_knn: exactly 10 ranked neighbors per query, dot non-increasing") {
     val rows = run("emb_knn").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk"), r.getAs[Long]("dot")))
