@@ -121,6 +121,7 @@ class PropertySpec extends AnyFunSuite {
           .map(r => (r.getInt(0), r.getInt(1))).toSet
         assert(ctx.lastBoundPushdown == wantPush, s"rule: $rec pushdown flag")
         assert(got == expected, s"rule: $rec")
+        ctx.close()
       }
     }
   }
