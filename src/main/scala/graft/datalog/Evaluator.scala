@@ -261,8 +261,8 @@ final class Evaluator(
     * reference gets the same effect from within-task iteration for
     * decomposable programs (FixedPointResultTask, SURVEY.md §2.5). */
   private def materialize(df: DataFrame): (DataFrame, Long) = {
-    val ck = track(df.localCheckpoint())
-    val n = ck.count()
+    val (ck0, n) = org.apache.spark.sql.GraftColumnBridge.localCheckpointCounted(df)
+    val ck = track(ck0)
     if (localizable(n, ck)) {
       val spark = org.apache.spark.sql.SparkSession.active
       import scala.jdk.CollectionConverters._
@@ -377,14 +377,13 @@ final class Evaluator(
       * validated against the executed plan and dropped if the layout
       * does not hold (self-healing: the next iteration repartitions). */
     def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int): (Slice, Long) = {
-      val (ck, held) = org.apache.spark.sql.GraftColumnBridge
+      val (ck, held, n) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, pivot, nParts)
       track(ck)
       if (conf.logPlans)
         iterationPlanLog += ((pred, iter,
           org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(df),
           org.apache.spark.sql.GraftColumnBridge.executedPlanString(df)))
-      val n = ck.count()
       if (localizable(n, ck)) {
         import scala.jdk.CollectionConverters._
         val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
@@ -876,11 +875,13 @@ final class Evaluator(
     val spark = org.apache.spark.sql.SparkSession.active
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    def claim(df: DataFrame): DataFrame = {
-      val (ck, _) = org.apache.spark.sql.GraftColumnBridge
+    def claim(df: DataFrame): DataFrame = claimCounted(df)._1
+
+    def claimCounted(df: DataFrame): (DataFrame, Long) = {
+      val (ck, _, n) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, groupCols, nParts)
       track(ck)
-      ck
+      (ck, n)
     }
 
     // AQE partition coalescing would shrink the candidate aggregate's
@@ -945,12 +946,12 @@ final class Evaluator(
         val deltaPlan = candAgg
           .join(stateR.hint("shuffle_hash"), joinCond, "left_outer")
           .filter(better).select(headOrder: _*)
-        val deltaCk = claim(deltaPlan)
+        val (deltaCk, deltaN) = claimCounted(deltaPlan)
         if (conf.logPlans)
           iterationPlanLog += ((p, iter,
             org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(deltaPlan),
             org.apache.spark.sql.GraftColumnBridge.executedPlanString(deltaPlan)))
-        if (deltaCk.isEmpty) { done = true; retire(deltaCk) }
+        if (deltaN == 0) { done = true; retire(deltaCk) }
         else {
           // unchanged groups keep their rows; layout preserved by the
           // anti-join, so the union with the delta is narrow

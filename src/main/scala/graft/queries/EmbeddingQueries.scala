@@ -127,6 +127,50 @@ object EmbeddingQueries extends QueryPack {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("clabel").as("assigned_label"), col("score"))
+    }),
+
+    // Full IVF top-k search (the complete ANN query path): queries probe
+    // their nProbe=2 best coarse cells, candidates are only the vectors
+    // ASSIGNED to a probed cell, exact top-5 by quantized dot within.
+    // 100 TB plan: the centroid table broadcasts twice (assignment +
+    // probe), assignment never shuffles the corpus, and the candidate
+    // join is broadcast(queries)⋈assigned on the cell key — recall is
+    // traded for touching nProbe/nCells of the corpus, which is the IVF
+    // contract.
+    "emb_ivf_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e
+        .selectExpr("label", "posexplode(q) as (i, v)")
+        .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+          max("n").as("n"))
+        .selectExpr("cast(label as bigint) as clabel",
+          "transform(cs, x -> x.sv) as cvec", "n")
+        .localCheckpoint()
+      val wAssign = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dotv", dotI64(col("q"), col("cvec")))
+        .selectExpr("vec_id", "q", "clabel", "dotv * 1000000 div n as score")
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("q"), col("clabel").as("alabel"))
+      val probes = e.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+        .withColumn("dotv", dotI64(col("q"), col("cvec")))
+        .selectExpr("vec_id as qid", "q as qv", "clabel as plabel",
+          "dotv * 1000000 div n as score")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("score"), asc("plabel"))))
+        .filter(col("rk") <= 2)
+        .select(col("qid"), col("qv"), col("plabel"))
+      val wTop = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      assigned.join(broadcast(probes), col("alabel") === col("plabel"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          dotI64(col("qv"), col("q")).as("dot"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
     })
   )
 
@@ -200,6 +244,37 @@ object EmbeddingQueries extends QueryPack {
                                  ORDER BY score DESC, clabel ASC) AS rk
             FROM scored)
           SELECT vec_id, clabel AS assigned_label, score
-          FROM ranked WHERE rk = 1"""
+          FROM ranked WHERE rk = 1""",
+    "emb_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
+          c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
+                  CAST(sum(v[i+1]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+                FROM e, range(64) r(i) GROUP BY label, i),
+          cv AS (SELECT clabel, list(sv ORDER BY i) AS cvec, min(n) AS n
+                 FROM c GROUP BY clabel),
+          scoredc AS (SELECT e.vec_id, e.v, cv.clabel,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> e.v[i]*cv.cvec[i])) * 1000000 // cv.n AS BIGINT) AS score
+            FROM e, cv),
+          assigned AS (SELECT vec_id, v, clabel AS alabel FROM (
+              SELECT vec_id, v, clabel, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, clabel ASC) AS rk FROM scoredc)
+            WHERE rk = 1),
+          probes AS (SELECT vec_id AS qid, v AS qv, clabel AS plabel FROM (
+              SELECT vec_id, v, clabel, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, clabel ASC) AS rk
+              FROM scoredc WHERE vec_id < 5)
+            WHERE rk <= 2),
+          scored AS (SELECT p.qid, a.vec_id AS cid,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> p.qv[i]*a.v[i])) AS BIGINT) AS dot
+            FROM probes p JOIN assigned a ON a.alabel = p.plabel
+            WHERE a.vec_id != p.qid),
+          ranked AS (SELECT qid, cid, dot,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dot DESC, cid ASC) AS rk
+            FROM scored)
+          SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk
+          FROM ranked WHERE rk <= 5"""
   )
 }

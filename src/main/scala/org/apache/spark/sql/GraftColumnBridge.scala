@@ -23,12 +23,14 @@ object GraftColumnBridge {
     * claim keeps iterative anti-joins exchange-free without trusting
     * the caller's layout contract blindly. Returns (df, claimHeld). */
   def checkpointWithPartitioning(
-      df: DataFrame, keyCols: Seq[String], numParts: Int): (DataFrame, Boolean) = {
+      df: DataFrame, keyCols: Seq[String], numParts: Int): (DataFrame, Boolean, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // materialize eagerly (also forces the AQE final plan)
+    // materialize eagerly (also forces the AQE final plan); the count is
+    // returned so fixpoint callers don't pay a second count job per slice
+    val n = rdd.count()
     val output = qe.analyzed.output
     val partitioning = catalyst.plans.physical.HashPartitioning(
       keyCols.map(c => output.find(_.name == c).getOrElse(
@@ -46,7 +48,21 @@ object GraftColumnBridge {
       if (held)
         execution.LogicalRDD(output, rdd, partitioning, Nil, isStreaming = false)(spark)
       else execution.LogicalRDD(output, rdd)(spark)
-    (classic.Dataset.ofRows(spark, logical), held)
+    (classic.Dataset.ofRows(spark, logical), held, n)
+  }
+
+  /** `Dataset.localCheckpoint()` + row count in ONE job: the Dataset API
+    * runs an eager materialization job and fixpoint loops then need the
+    * count for convergence/localization — a second (whole-cluster) job
+    * per iteration. Here the materializing `count()` IS the count. */
+  def localCheckpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(qe.analyzed.output, rdd)(spark)), n)
   }
 
   private def flatten(p: catalyst.plans.physical.Partitioning)

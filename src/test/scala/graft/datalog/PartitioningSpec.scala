@@ -25,7 +25,7 @@ class PartitioningSpec extends AnyFunSuite {
     val a0 = spark.range(100000).selectExpr("id % 1000 as x", "id % 37 as y")
       .repartition(nParts, col("x"), col("y"))
       .dropDuplicates()
-    val (a, held) = GraftColumnBridge.checkpointWithPartitioning(a0, keys, nParts)
+    val (a, held, _) = GraftColumnBridge.checkpointWithPartitioning(a0, keys, nParts)
     assert(held, "physically repartitioned input must validate")
     val b = spark.range(5000).selectExpr("id % 2000 as x", "id % 37 as y")
       .repartition(nParts, col("x"), col("y"))
@@ -53,7 +53,7 @@ class PartitioningSpec extends AnyFunSuite {
     val a0 = spark.range(100000).selectExpr("id % 1000 as x", "id % 37 as y")
       .repartition(nParts, col("x"))
       .dropDuplicates()
-    val (a, held) = GraftColumnBridge.checkpointWithPartitioning(a0, Seq("x"), nParts)
+    val (a, held, _) = GraftColumnBridge.checkpointWithPartitioning(a0, Seq("x"), nParts)
     assert(held)
     val b = spark.range(5000).selectExpr("id % 2000 as x", "id % 37 as y")
       .repartition(nParts, col("x"))
@@ -71,12 +71,12 @@ class PartitioningSpec extends AnyFunSuite {
     val a0 = spark.range(10000).selectExpr("id % 100 as x", "id % 37 as y")
       .repartition(nParts, col("x"), col("y"))
       .dropDuplicates()
-    val (_, held) = GraftColumnBridge.checkpointWithPartitioning(a0, Seq("x"), nParts)
+    val (_, held, _) = GraftColumnBridge.checkpointWithPartitioning(a0, Seq("x"), nParts)
     assert(!held, "hash(x,y) layout must not validate a hash(x) claim")
     // and an un-partitioned input must not validate either
     val c0 = spark.range(1000).selectExpr("id as x", "id % 7 as y")
-    val (c, heldC) = GraftColumnBridge.checkpointWithPartitioning(c0, Seq("x"), nParts)
+    val (c, heldC, cn) = GraftColumnBridge.checkpointWithPartitioning(c0, Seq("x"), nParts)
     assert(!heldC)
-    assert(c.count() == 1000)
+    assert(cn == 1000 && c.count() == 1000)
   }
 }
