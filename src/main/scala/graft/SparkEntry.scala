@@ -32,4 +32,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Drain every block the packs pinned (memoized checkpoints, fixpoint
+    * state) — call when a pack run ends; results must be consumed first. */
+  def release(): Unit = graft.queries.PackResources.releaseAll()
 }

@@ -48,7 +48,7 @@ object DatalogQueries extends QueryPack {
 
   /** Fresh context with arc (weighted DAG), edge (symmetric closure of
     * arc) and node registered. */
-  private def ctx(s: SparkSession, dir: String, program: String): DatalogContext = {
+  private def buildCtx(s: SparkSession, dir: String, program: String): DatalogContext = {
     val c = new DatalogContext(s)
     c.loadProgram(db + program)
     val arc = arcDF(s, dir)
@@ -60,15 +60,15 @@ object DatalogQueries extends QueryPack {
     c
   }
 
-  /** Context reuse: queries over the same program share one
-    * DatalogContext, whose evaluator memoizes derived relations —
-    * dl_cc and dl_cc_count then run the cc3 fixpoint once, like two
-    * queries over the same materialized view. */
-  private val ctxMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DatalogContext]()
+  /** Context per (session, dir, program), tracked by PackResources so
+    * `releaseAll()` closes the evaluator and drains its pinned fixpoint
+    * state. Queries over the same program share one context, whose
+    * evaluator memoizes derived relations — dl_cc and dl_cc_count then
+    * run the cc3 fixpoint once, like two queries over the same
+    * materialized view. */
+  private def ctx(s: SparkSession, dir: String, program: String): DatalogContext =
+    PackResources.context(s, dir, program)(buildCtx(s, dir, program))
 
-  private def sharedCtx(s: SparkSession, dir: String, program: String): DatalogContext =
-    ctxMemo.getOrElseUpdate((s, dir, program), ctx(s, dir, program))
 
   /** cc program shared by dl_cc / dl_cc_count. */
   private val ccProgram =
@@ -131,12 +131,12 @@ object DatalogQueries extends QueryPack {
     // Connected components via mmin label propagation (program 41) over
     // the symmetric edge relation; components = blocks of 16.
     "dl_cc" -> ((s, dir) =>
-      sharedCtx(s, dir, ccProgram).query("cc2(A,B).")),
+      ctx(s, dir, ccProgram).query("cc2(A,B).")),
 
     // Stratified countd above the recursive clique: number of components.
     // Shares the cc3 fixpoint with dl_cc via the memoized context.
     "dl_cc_count" -> ((s, dir) =>
-      sharedCtx(s, dir, ccProgram).query("cc(A).")),
+      ctx(s, dir, ccProgram).query("cc(A).")),
 
     // Stratified negation OVER a recursive predicate (reference
     // NegationQuerySuite shape): nodes not reachable from node 0 —
@@ -175,19 +175,22 @@ object DatalogQueries extends QueryPack {
     // with inequality filters + count aggregate, on a dedicated
     // triple-group edge relation derived from customer keys.
     "dl_triangles" -> ((s, dir) => {
-      val c = new DatalogContext(s)
-      c.loadProgram(
-        "database({e(X:long, Y:long)}). " +
-          "tri(X,Y,Z) <- e(X,Y), e(Y,Z), e(X,Z), X<Y, Y<Z. " +
-          "tcount(count<_>) <- tri(X,Y,Z).")
-      val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
-      val mx = keys.agg(max("k").as("m"))
-      val base = keys.crossJoin(broadcast(mx))
-        .filter(col("k") % 8 === 0 && col("k") + 4 <= col("m"))
-      c.registerTable("e",
-        base.select(col("k").as("x"), (col("k") + 2).as("y"))
-          .union(base.select((col("k") + 2).as("x"), (col("k") + 4).as("y")))
-          .union(base.select(col("k").as("x"), (col("k") + 4).as("y"))))
+      val c = PackResources.context(s, dir, "dl_triangles") {
+        val c0 = new DatalogContext(s)
+        c0.loadProgram(
+          "database({e(X:long, Y:long)}). " +
+            "tri(X,Y,Z) <- e(X,Y), e(Y,Z), e(X,Z), X<Y, Y<Z. " +
+            "tcount(count<_>) <- tri(X,Y,Z).")
+        val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+        val mx = keys.agg(max("k").as("m"))
+        val base = keys.crossJoin(broadcast(mx))
+          .filter(col("k") % 8 === 0 && col("k") + 4 <= col("m"))
+        c0.registerTable("e",
+          base.select(col("k").as("x"), (col("k") + 2).as("y"))
+            .union(base.select((col("k") + 2).as("x"), (col("k") + 4).as("y")))
+            .union(base.select(col("k").as("x"), (col("k") + 4).as("y"))))
+        c0
+      }
       c.query("tcount(A).")
     }),
 
@@ -205,12 +208,15 @@ object DatalogQueries extends QueryPack {
     // Non-recursive Datalog over string-typed parquet EDB (the engine's
     // type surface beyond integers): per-segment customer counts.
     "dl_segcount" -> ((s, dir) => {
-      val c = new DatalogContext(s)
-      c.loadProgram(
-        "database({cust(C:long, S:string)}). " +
-          "segcount(S, count<C>) <- cust(C, S).")
-      c.registerTable("cust", Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment")))
+      val c = PackResources.context(s, dir, "dl_segcount") {
+        val c0 = new DatalogContext(s)
+        c0.loadProgram(
+          "database({cust(C:long, S:string)}). " +
+            "segcount(S, count<C>) <- cust(C, S).")
+        c0.registerTable("cust", Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")))
+        c0
+      }
       c.query("segcount(S, N).")
     }),
 

@@ -41,11 +41,13 @@ object EmbeddingQueries extends QueryPack {
 
   /** Materialized quantized vectors: stops projection collapse from
     * re-inlining the quantization transform into every per-pair dot
-    * product after the joins. */
+    * product after the joins. Memoized per (session, dir) — all six
+    * emb_* queries share one quantization pass, released by
+    * `PackResources.releaseAll()`. */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .selectExpr("vec_id", s"$quant as q", "label")
-      .localCheckpoint()
+    PackResources.checkpoint(s, dir, "emb_quant")(
+      Tables.load(s, dir, "embeddings")
+        .selectExpr("vec_id", s"$quant as q", "label"))
 
   import org.apache.spark.sql.expressions.Window
 
@@ -139,15 +141,14 @@ object EmbeddingQueries extends QueryPack {
     // contract.
     "emb_ivf_search" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = e
+      val cents = PackResources.checkpoint(s, dir, "emb_ivf_cents")(e
         .selectExpr("label", "posexplode(q) as (i, v)")
         .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
         .groupBy("label")
         .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
           max("n").as("n"))
         .selectExpr("cast(label as bigint) as clabel",
-          "transform(cs, x -> x.sv) as cvec", "n")
-        .localCheckpoint()
+          "transform(cs, x -> x.sv) as cvec", "n"))
       val wAssign = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("dotv", dotI64(col("q"), col("cvec")))

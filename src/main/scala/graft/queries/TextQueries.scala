@@ -53,13 +53,9 @@ object TextQueries extends QueryPack {
     * into every downstream lambda (16× per minhash signature),
     * recomputing it per reference. Memoized per (session, dir) — three
     * near-dup queries share one shingling pass. */
-  private val shingleMemo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
-    shingleMemo.getOrElseUpdate((s, dir),
-      docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s"))
-        .localCheckpoint())
+    PackResources.checkpoint(s, dir, "txt_shingles")(
+      docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s")))
 
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
     * over distinct shingle sets, kept when num/den ≥ threshold. */
@@ -94,9 +90,6 @@ object TextQueries extends QueryPack {
       .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
     verifyPairs(cand, sh, 1, 2)
   }
-
-  private val groupCtxMemo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String), graft.datalog.DatalogContext]()
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting (whitespace tokenizer; the BPE-ish regex variant is
@@ -178,9 +171,9 @@ object TextQueries extends QueryPack {
     // repeated gate runs reuse one fixpoint instead of leaking
     // persisted blocks.
     "txt_neardup_groups" -> ((s, dir) =>
-      groupCtxMemo.getOrElseUpdate((s, dir), {
-        val pairs = lshPairs(s, dir).select(col("d1"), col("d2"))
-          .localCheckpoint()
+      PackResources.context(s, dir, "txt_neardup_groups")({
+        val pairs = PackResources.checkpoint(s, dir, "txt_neardup_pairs")(
+          lshPairs(s, dir).select(col("d1"), col("d2")))
         val c = new graft.datalog.DatalogContext(s)
         c.loadProgram(
           "database({neardup_e(X:long, Y:long), neardup_n(X:long)}). " +
@@ -232,9 +225,9 @@ object TextQueries extends QueryPack {
     // SimHash near-dup pairs: 4×8-bit bit-band blocking (any pair with
     // hamming ≤ 3 shares an intact band by pigeonhole), verify ham ≤ 3.
     "txt_simhash_pairs" -> ((s, dir) => {
-      val sim = docs(s, dir)
-        .select(col("doc_id"), simhash32(tokHashes).as("sim"))
-        .localCheckpoint() // materialize: reused by both join sides
+      val sim = PackResources.checkpoint(s, dir, "txt_simhash")(
+        docs(s, dir) // materialize: reused by both join sides
+          .select(col("doc_id"), simhash32(tokHashes).as("sim")))
       val bands = sim.selectExpr("doc_id", "sim",
         "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
         .select(col("doc_id"), col("sim"), col("e.band").as("band"), col("e.bk").as("bk"))

@@ -66,6 +66,23 @@ class LifecycleSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"close() left persistent RDDs behind: $leaked")
   }
 
+  test("PackResources.releaseAll() drains pack memos (checkpoints + contexts)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val baseline = persistedIds
+    // one checkpoint-memoizing pack query + one fixpoint-context query
+    assert(graft.SparkEntry.queries("txt_lsh_pairs")(spark, sfDir).count() >= 0)
+    assert(graft.SparkEntry.queries("dl_reach")(spark, sfDir).count() > 0)
+    assert((persistedIds -- baseline).nonEmpty, "packs must have pinned blocks")
+    graft.SparkEntry.release()
+    val leaked = persistedIds -- baseline
+    val detail = leaked.map(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .map(r => s"$id=${r.name}/${r.getClass.getSimpleName}@${r.toString}")
+        .getOrElse(s"$id=gone"))
+    assert(leaked.isEmpty, s"releaseAll() left persistent RDDs behind: $detail")
+  }
+
   test("byte cap keeps wide-row deltas distributed; narrow rows localize") {
     val wideProg =
       "database({w(X:integer, S:string)}). " +
