@@ -1040,6 +1040,16 @@ final class Evaluator(
 
     val exits = clique.exitRules(p)
     if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
+
+    // Cluster path: support state claims hash(group) so the (G,K) merge
+    // join, the keep anti-join, the changed-group projection, and the
+    // per-iteration aggregate view all run exchange-free — per-iteration
+    // NETWORK is O(|contributions|), never O(|support|).
+    if (gCols.nonEmpty && copartitionEnabled(stablePivot = false)) {
+      evalSupportCopart(clique, p, gCols, kCol, vCol,
+        groupIdxs.map(i => s"c$i"), supportRule, aggView)
+      return
+    }
     var supportCkpt = materialize(
       mergeMax(exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))
         .reduce(_ union _)
@@ -1108,5 +1118,152 @@ final class Evaluator(
     }
     retire(supportBacking) // only the aggregate view outlives the fixpoint
     memo(p) = av
+  }
+
+  /** The support-set fixpoint (mcount/msum) with AggregateSetRDD-style
+    * cluster economics: the support relation (G…, K, maxV) is a
+    * checkpoint CLAIMING HashPartitioning on the GROUP columns. Because
+    * hash(G) clusters every (G, K) key and every G key, all of
+    *   - the candidate-vs-support merge join on (G, K) (subset
+    *     co-partitioning, `requireAllClusterKeysForCoPartition=false`),
+    *   - the keep anti-join (layout-preserving),
+    *   - the changed-group `distinct()` on G, and
+    *   - the per-iteration aggregate view (groupBy(G) restricted to
+    *     changed groups)
+    * run with ZERO shuffle exchanges; the only network per iteration is
+    * the candidates' own (G,K) aggregation + one repartition(G), both
+    * O(|contributions|). The legacy path re-aggregates the whole
+    * support every iteration — fine on local[N] memory-copy shuffles,
+    * the scale bill on a cluster; `auto` picks this path exactly when
+    * non-local (same policy as the mmin/mmax copart path). */
+  private def evalSupportCopart(
+      clique: Analysis#Clique,
+      p: String,
+      gCols: Seq[String],
+      kCol: String,
+      vCol: String,
+      headGroupCols: Seq[String],
+      supportRule: Rule => Rule,
+      aggView: DataFrame => DataFrame): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val supCols = (gCols :+ kCol) :+ vCol
+
+    def claimOn(df: DataFrame, cols: Seq[String]): (DataFrame, Long) = {
+      val (ck, _, n) = org.apache.spark.sql.GraftColumnBridge
+        .checkpointWithPartitioning(df, cols, nParts)
+      track(ck)
+      (ck, n)
+    }
+
+    // AQE partition coalescing would shrink the delta-sized exchanges
+    // below nParts and fail the layout claims; subset co-partitioning
+    // (join keys (G,K) over hash(G) layouts) needs the co-partition
+    // check relaxed. Both scoped to the fixpoint and restored after.
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val subsetConf = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prevCoalesce = spark.conf.getOption(coalesceConf)
+    val prevSubset = spark.conf.getOption(subsetConf)
+    spark.conf.set(coalesceConf, "false")
+    spark.conf.set(subsetConf, "false")
+    try {
+      /** best contribution per (G, K), laid out hash(G): the groupBy's
+        * exchange and the repartition are the iteration's only network,
+        * both sized by the candidates */
+      def keyedMax(cand: DataFrame): DataFrame =
+        cand.groupBy((gCols :+ kCol).map(col): _*).agg(max(col(vCol)).as(vCol))
+          .select(supCols.map(col): _*)
+          .repartition(nParts, gCols.map(col): _*)
+
+      val exits = clique.exitRules(p)
+      var support = claimOn(keyedMax(
+        exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+          .reduce(_ union _)), gCols)._1
+      var delta = claimOn(aggView(support), headGroupCols)._1
+      // superseded once the next iteration's keep/improved materialize
+      // (the seed support dies as soon as the first keep checkpoints it)
+      var priorCkpts: Seq[DataFrame] = Seq(support)
+
+      var iter = 0
+      var done = false
+      while (!done) {
+        iter += 1
+        if (iter > maxIterations)
+          throw new EvalException(s"support fixpoint exceeded $maxIterations iterations")
+        val contribs = clique.recursiveRules(p)
+          .flatMap(r => ruleVariants(supportRule(r), clique,
+            Map(p -> delta), Map(p -> aggView(support))))
+        if (contribs.isEmpty) done = true
+        else {
+          var candAgg = keyedMax(contribs.reduce(_ union _))
+          // one-time widening to the analyzer-coerced DATA TYPES (int
+          // seeds vs long facts) so merge joins stay exchange-free and
+          // narrow unions don't silently truncate; data types only —
+          // nullability differences would re-fire forever.
+          def types(df: DataFrame) = df.schema.map(_.dataType)
+          if (types(candAgg) != types(support)) {
+            val target = types(support.union(candAgg))
+            def castTo(df: DataFrame): DataFrame =
+              df.select(df.columns.zip(target).map { case (c, t) =>
+                df(c).cast(t).as(c)
+              }.toIndexedSeq: _*)
+            if (types(candAgg) != target) candAgg = castTo(candAgg)
+            if (types(support) != target)
+              support = claimOn(
+                castTo(support).repartition(nParts, gCols.map(col): _*), gCols)._1
+          }
+          val supR = support.select(
+            support.columns.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
+          val joinCond = (gCols :+ kCol)
+            .map(c => candAgg(c) === supR(s"__s_$c")).reduce(_ && _)
+          val better = col(s"__s_$vCol").isNull || col(vCol) > col(s"__s_$vCol")
+          val improvedPlan = candAgg
+            .join(supR.hint("shuffle_hash"), joinCond, "left_outer")
+            .filter(better).select(supCols.map(col): _*)
+          val (improvedCk, improvedN) = claimOn(improvedPlan, gCols)
+          if (conf.logPlans)
+            iterationPlanLog += ((p, iter,
+              org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(improvedPlan),
+              org.apache.spark.sql.GraftColumnBridge.executedPlanString(improvedPlan)))
+          if (improvedN == 0) { done = true; retire(improvedCk) }
+          else {
+            val keepCond = (gCols :+ kCol)
+              .map(c => support(c) === improvedCk(c)).reduce(_ && _)
+            val (keepCk, _) = claimOn(
+              support.join(improvedCk.hint("shuffle_hash"), keepCond, "left_anti"),
+              gCols)
+            val newSupport = org.apache.spark.sql.GraftColumnBridge
+              .unionClaimed(Seq(keepCk, improvedCk), nParts)
+              .getOrElse(keepCk.union(improvedCk))
+            // aggregate view restricted to the groups whose support
+            // improved — the recursive delta; zero exchanges (hash(G)
+            // end to end)
+            val changed = improvedCk
+              .select(gCols.map(c => col(c).as(s"__g_$c")).toIndexedSeq: _*).distinct()
+            val semiCond = gCols
+              .map(c => newSupport(c) === changed(s"__g_$c")).reduce(_ && _)
+            val (deltaCk, _) = claimOn(
+              aggView(newSupport.join(changed.hint("shuffle_hash"), semiCond, "left_semi")),
+              headGroupCols)
+            val oldDelta = delta
+            priorCkpts.foreach(retire)
+            priorCkpts = Seq(keepCk, improvedCk)
+            retire(oldDelta)
+            support = newSupport
+            delta = deltaCk
+          }
+        }
+      }
+      memo(p) = materialize(aggView(support))._1
+    } finally {
+      (prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceConf, v)
+        case None => spark.conf.unset(coalesceConf)
+      }): Unit
+      prevSubset match {
+        case Some(v) => spark.conf.set(subsetConf, v)
+        case None => spark.conf.unset(subsetConf)
+      }
+    }
   }
 }
