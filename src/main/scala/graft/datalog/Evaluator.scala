@@ -1095,29 +1095,36 @@ final class Evaluator(
           supportBacking = merged
           supportCkpt = newSupport
           val oldAv = av
-          // when the merged support localized (small fixpoints), the
-          // aggregate view is a cheap local groupBy — deriving it
-          // lazily saves one whole job per iteration; only distributed
-          // supports pay a dedicated materialization
-          av =
-            if (org.apache.spark.sql.GraftColumnBridge
-                .checkpointedRDD(merged).isEmpty) aggView(newSupport)
-            else materialize(aggView(newSupport))._1
+          // the recursive delta only needs the aggregate view of the
+          // groups whose support improved — aggregating the semi-joined
+          // restriction shuffles O(|changed groups' support|) instead of
+          // re-materializing the full view every iteration (the full
+          // view is derived lazily; only non-linear rules read it)
+          av = aggView(newSupport)
           retire(oldAv)
-          delta =
-            if (gCols.isEmpty) av
+          val restricted =
+            if (gCols.isEmpty) newSupport
             else {
-              val changed = improved.select(gCols.map(col): _*).distinct()
-              val cond = gCols.zipWithIndex.map { case (g, gi) =>
-                av(s"c${groupIdxs(gi)}") === changed(g)
-              }.reduce(_ && _)
-              av.join(changed, cond, "left_semi")
+              // alias the changed-group keys: merged backs BOTH sides
+              // of this semi-join, so unaliased columns would be
+              // ambiguous self-join references
+              val changed = improved
+                .select(gCols.map(c => col(c).as(s"__g_$c")): _*).distinct()
+              val cond = gCols.map(c => newSupport(c) === changed(s"__g_$c"))
+                .reduce(_ && _)
+              newSupport.join(changed, cond, "left_semi")
             }
+          val oldDelta = delta
+          delta = materialize(aggView(restricted))._1
+          retire(oldDelta)
         }
       }
     }
+    // materialize the final aggregate view BEFORE the support backing
+    // retires — the lazy per-iteration view reads the backing's
+    // checkpointed blocks, which are unrecoverable once unpersisted
+    memo(p) = materialize(av)._1
     retire(supportBacking) // only the aggregate view outlives the fixpoint
-    memo(p) = av
   }
 
   /** The support-set fixpoint (mcount/msum) with AggregateSetRDD-style
