@@ -23,11 +23,42 @@ object PlanAudit {
         "emb_knn")
     names.foreach {
       case "fixpoint" => fixpointAudit(spark, sfDir)
+      case "supportfixpoint" => supportFixpointAudit(spark, sfDir)
       case n =>
         println(s"\n========== $n ==========")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Audit the copartitioned msum support fixpoint: per-iteration
+    * shuffle counts for the improved-support plan — evidence that the
+    * support merge joins, keep anti-join, and changed-group aggregate
+    * view reuse the claimed hash(G) layout (only the delta-sized
+    * candidate aggregation + repartition shuffle). */
+  private def supportFixpointAudit(spark: SparkSession, sfDir: String): Unit = {
+    import graft.datalog.DatalogContext
+    import org.apache.spark.sql.functions.{col, max, broadcast, lit}
+    spark.conf.set("spark.datalog.recursion.copartition.enabled", "true")
+    spark.conf.set("spark.datalog.recursion.logplans", "true")
+    val c = new DatalogContext(spark)
+    c.loadProgram("database({arc(X:long, Y:long, C:long)}). " +
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+      "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y, _).")
+    val keys = Tables.load(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val mx = keys.agg(max("k").as("m"))
+    val withMax = keys.crossJoin(broadcast(mx))
+    val step = withMax.filter(col("k") % 16 =!= 15 && col("k") + 1 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 1).as("y"), lit(2L).as("c"))
+    val skip = withMax.filter(col("k") % 16 <= 12 && col("k") + 3 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 3).as("y"), lit(5L).as("c"))
+    c.registerTable("arc", step.union(skip))
+    println(s"\n========== dl_paths_msum support fixpoint (copartition) ==========")
+    println(s"rows: ${c.query("cp(N, C).").count()}")
+    c.iterationPlanLog.foreach { case (pred, iter, shuffles, plan) =>
+      println(s"\n---- $pred iteration $iter: $shuffles shuffle exchange(s) ----")
+      if (iter == 2) println(plan)
+    }
   }
 
   /** Audit the generalized-pivot fixpoint: run the dl_tc program with

@@ -1019,10 +1019,16 @@ final class Evaluator(
       val agged =
         if (gCols.isEmpty) sup.agg(f.as("__v"))
         else sup.groupBy(gCols.map(col): _*).agg(f.as("__v"))
-      // restore original head positions
+      // restore original head positions; pass group columns through
+      // un-aliased when the name already matches (an Alias mints a
+      // fresh exprId, which costs nothing here but keeps partitioning
+      // claims trivially attributable)
       val out = head.args.indices.map { i =>
         if (i == aggIdx) col("__v").as(s"c$i")
-        else col(s"c${groupIdxs.indexOf(i)}").as(s"c$i")
+        else {
+          val src = s"c${groupIdxs.indexOf(i)}"
+          if (src == s"c$i") col(src) else col(src).as(s"c$i")
+        }
       }
       agged.select(out: _*)
     }
@@ -1157,8 +1163,11 @@ final class Evaluator(
     val supCols = (gCols :+ kCol) :+ vCol
 
     def claimOn(df: DataFrame, cols: Seq[String]): (DataFrame, Long) = {
-      val (ck, _, n) = org.apache.spark.sql.GraftColumnBridge
+      val (ck, held, n) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, cols, nParts)
+      if (sys.env.contains("GRAFT_DEBUG_CLAIMS") && !held)
+        println(s"[claim-drop] $p cols=$cols rows=$n plan=\n" +
+          org.apache.spark.sql.GraftColumnBridge.executedPlanString(df))
       track(ck)
       (ck, n)
     }

@@ -36,12 +36,29 @@ object GraftColumnBridge {
       keyCols.map(c => output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column $c in ${output.map(_.name)}"))),
       numParts)
+    // A plan whose top projection ALIASES a key column (aggregate views
+    // rename outputs) yields analyzed-output attrs with fresh exprIds
+    // while the physical partitioning still references the underlying
+    // attrs — exprId comparison alone would false-negative there, so
+    // fall back to POSITIONAL matching: physical output aligns 1:1 with
+    // analyzed output, so hash expressions resolving to the same output
+    // positions as the claimed key columns carry the same layout.
+    val keyPos = keyCols.map(c => output.indexWhere(_.name == c))
+    val phys = finalPlan(qe.executedPlan).output
     val held = flatten(finalPlan(qe.executedPlan).outputPartitioning).exists {
       case h: catalyst.plans.physical.HashPartitioning =>
-        h.numPartitions == numParts &&
-          h.expressions.length == partitioning.expressions.length &&
-          h.expressions.zip(partitioning.expressions)
-            .forall { case (a, b) => a.semanticEquals(b) }
+        h.numPartitions == numParts && {
+          (h.expressions.length == partitioning.expressions.length &&
+            h.expressions.zip(partitioning.expressions)
+              .forall { case (a, b) => a.semanticEquals(b) }) || {
+            val hPos = h.expressions.map {
+              case a: catalyst.expressions.Attribute =>
+                phys.indexWhere(_.exprId == a.exprId)
+              case _ => -1
+            }
+            hPos.forall(_ >= 0) && hPos == keyPos
+          }
+        }
       case _ => false
     }
     val logical =
