@@ -218,6 +218,60 @@ object TextQueries extends QueryPack {
           col("rk").cast("long").as("rk"))
     }),
 
+    // Per-source document quota (domain caps): keep at most 50 docs per
+    // source, best-first by length then doc_id. Compiles to
+    // WindowGroupLimit — per-partition top-k runs BELOW the shuffle, so
+    // only <=50 rows per (partition, source) move: the plan a 100 TB
+    // domain-capped crawl wants.
+    "txt_quota_per_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates
+    // (en 80%, es/de 50%, rest 25%) decided by an LCG hash of doc_id —
+    // reproducible across engines and runs (no RNG state), and the
+    // whole op is a scan-level filter: embarrassingly parallel, no
+    // shuffle, predicate evaluable at the source.
+    "txt_sample_stratified" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "lang",
+          "(doc_id * 1103515245 + 12345) % 100 as h100")
+        .filter(expr(
+          """h100 < case when lang = 'en' then 80
+                         when lang in ('es','de') then 50
+                         else 25 end"""))),
+
+    // End-to-end clean-corpus composition (the ops above chained the
+    // way a training-data pipeline runs them): exact-dedup to canonical
+    // docs -> integer quality filter -> language-ID -> per-language
+    // corpus stats. One partial-agg dedup shuffle + one stats shuffle.
+    "txt_clean_corpus" -> ((s, dir) => {
+      val base = docs(s, dir).selectExpr(
+        "doc_id", "text",
+        s"size($toks) as n_tokens",
+        s"(length(replace(text,' ','')) * 100) div size($toks) as avg_tok_len_x100",
+        s"(size(filter($toks, t -> t = 'the')) * 1000) div size($toks) as the_x1000")
+      val canonical = base.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+      base.join(canonical, Seq("doc_id"), "left_semi")
+        .filter(col("n_tokens") >= 10 &&
+          col("avg_tok_len_x100").between(300, 800))
+        .selectExpr("doc_id", "n_tokens",
+          """case when the_x1000 >= 60 then 'en'
+                  when the_x1000 >= 20 then 'romance'
+                  else 'other' end as guess""")
+        .groupBy("guess")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // 32-bit SimHash per doc.
     "txt_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), simhash32(tokHashes).as("simhash"))),
@@ -328,6 +382,37 @@ object TextQueries extends QueryPack {
          SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS canonical_id,
                 CAST(count(*) AS BIGINT) AS n_copies
          FROM corpus GROUP BY md5(text)""",
+    "txt_quota_per_source" ->
+      """WITH ranked AS (SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+         FROM documents)
+         SELECT doc_id, source, n_chars, rk FROM ranked WHERE rk <= 50""",
+    "txt_sample_stratified" ->
+      """SELECT doc_id, lang,
+           (doc_id * 1103515245 + 12345) % 100 AS h100
+         FROM documents
+         WHERE (doc_id * 1103515245 + 12345) % 100 <
+           CASE WHEN lang = 'en' THEN 80
+                WHEN lang IN ('es','de') THEN 50
+                ELSE 25 END""",
+    "txt_clean_corpus" ->
+      """WITH base AS (SELECT doc_id, text,
+           len(string_split(text,' ')) AS n_tokens,
+           length(replace(text,' ','')) * 100
+             // len(string_split(text,' ')) AS avg_tok_len_x100,
+           len(list_filter(string_split(text,' '), t -> t = 'the')) * 1000
+             // len(string_split(text,' ')) AS the_x1000
+         FROM documents),
+         canonical AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text))
+         SELECT CASE WHEN the_x1000 >= 60 THEN 'en'
+                     WHEN the_x1000 >= 20 THEN 'romance'
+                     ELSE 'other' END AS guess,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM base SEMI JOIN canonical USING (doc_id)
+         WHERE n_tokens >= 10 AND avg_tok_len_x100 BETWEEN 300 AND 800
+         GROUP BY 1""",
     "txt_minhash" ->
       s"""WITH $shCte, $sigCte
           SELECT doc_id, CAST(j AS BIGINT) AS j, g[j+1] AS mh
