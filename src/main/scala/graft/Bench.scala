@@ -1,6 +1,25 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  // The harness that invokes this main keeps only the tail of the combined
+  // output (~2000 chars), so the stdout metric line must stay short and be
+  // the LAST thing printed: per-query timings for every gate query would
+  // blow past the window (it did in rounds 1-4 — the line was truncated and
+  // never parsed). The one-line JSON therefore reports the total plus a
+  // curated headline subset; the full per-query map goes to BENCH_FULL.json.
+  private val headline = Seq(
+    "q1_agg", "q4_join3", "q8_topk", "q15_rank_per_group",
+    "dl_tc", "dl_tc_nl", "dl_sg", "dl_apsp", "dl_sssp", "dl_cc",
+    "dl_paths_msum", "txt_minhash", "txt_lsh_pairs", "txt_dedup_exact",
+    "txt_neardup_groups", "emb_knn", "emb_knn_lsh", "emb_ivf_search",
+    "mm_features", "stream_hourly", "evt_sessions")
+
+  private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,11 +50,23 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val head = headline.filter(results.contains)
+      .map(k => s"\"$k\":" + fmt(results(k))).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // Full-precision per-query map for offline analysis (committed per round).
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n")
+    val fullJson = full +
+      s"""  "total": ${fmt(total)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
+    try Files.write(Paths.get("BENCH_FULL.json"), fullJson.getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // Silence shutdown-time logging (unpersist of localCheckpointed slices
+    // WARNs per RDD) so nothing lands in the tail after the metric line.
+    spark.sparkContext.setLogLevel("OFF")
     SparkEntry.release()
     spark.stop()
+    println(line)
   }
 }
