@@ -107,7 +107,10 @@ final class Analysis(val program: Program) {
           throw new AnalysisException(
             s"predicate $p2 mixes monotonic-aggregate and plain rule heads")
         for (agg <- r.head.aggArgs) agg.func match {
-          case "mmin" | "mmax" => ()
+          case "mmin" | "mmax" =>
+            if (agg.v.isDefined)
+              throw new AnalysisException(
+                s"${agg.func} takes a single expression, not a functor/tuple term")
           case "mcount" =>
             if (agg.e == TermExpr(Anon))
               throw new AnalysisException(
@@ -116,7 +119,7 @@ final class Analysis(val program: Program) {
               throw new AnalysisException(
                 "mcount takes a single key in recursion: mcount<K>")
           case "msum" =>
-            if (agg.v.isEmpty)
+            if (agg.v.isEmpty || agg.rest.nonEmpty)
               throw new AnalysisException(
                 "msum in recursion takes the tuple form msum<(K,V)>: " +
                   "sum over distinct support keys K of the max contribution V")

@@ -34,11 +34,21 @@ object Ast {
     * `msum<(K,V)>` — K is the support key, V the contribution value
     * (sum over distinct K of the max V seen; the partial-monotonic
     * semantics of the Datalog aggregate literature, left TODO by the
-    * reference at AggregateSetRDD.scala:146-147) — carried in `v`. */
+    * reference at AggregateSetRDD.scala:146-147) — carried in `v`.
+    *
+    * Functor/complex aggregate terms — tuples `(A,B,C)` and named
+    * functors `f(A, g(B,C))` — flatten recursively into the aggregate's
+    * expression list, as the reference does for InterpreterFunctor args
+    * (LogicalPlanGenerator.scala:284-297): the first two land in `e`/`v`,
+    * any further ones in `rest`. Only count/countd accept >1 expression
+    * (count = rows where all non-null; countd = distinct tuples). */
   sealed trait HeadArg
   final case class PlainArg(e: Expr) extends HeadArg
-  final case class AggArg(func: String, e: Expr, v: Option[Expr] = None)
-      extends HeadArg
+  final case class AggArg(func: String, e: Expr, v: Option[Expr] = None,
+      rest: Seq[Expr] = Nil)
+      extends HeadArg {
+    def exprs: Seq[Expr] = Seq(e) ++ v ++ rest
+  }
 
   object AggArg {
     val stratified = Set("min", "max", "count", "countd", "sum", "avg")

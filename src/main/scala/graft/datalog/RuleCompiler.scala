@@ -237,11 +237,11 @@ object RuleCompiler {
       val plain = head.args.zipWithIndex.collect {
         case (PlainArg(e), i) => (s"c$i", column(e))
       }
-      val aggs = head.args.zipWithIndex.collect { case (AggArg(f, e, v), i) =>
-        if (v.isDefined && f != "countd" && f != "msum")
+      val aggs = head.args.zipWithIndex.collect { case (a @ AggArg(f, e, v, _), i) =>
+        if (v.isDefined && f != "count" && f != "countd" && f != "msum")
           throw new CompileException(
-            s"tuple argument is only defined for countd (distinct pairs) " +
-              s"and msum in recursion, not $f")
+            s"functor/tuple argument is only defined for count (all " +
+              s"non-null), countd (distinct tuples) and msum in recursion, not $f")
         val c = f match {
           case "min" | "mmin" => min(column(e))
           case "max" | "mmax" => max(column(e))
@@ -251,19 +251,22 @@ object RuleCompiler {
               throw new CompileException(
                 "msum<(K,V)> is only defined inside recursive cliques")
             sum(column(e))
+          // multi-expression count (flattened functor/tuple term) counts
+          // rows where every component is non-null, matching the
+          // reference's UnresolvedFunction("count", exprs)
           case "count" =>
-            if (e == TermExpr(Anon)) count(lit(1)) else count(column(e))
+            if (e == TermExpr(Anon)) count(lit(1))
+            else if (v.isEmpty) count(column(e))
+            else count(when(a.exprs.map(column(_).isNotNull).reduce(_ && _), lit(1)))
           // stratified reading of the monotonic count: distinct keys
           case "mcount" =>
             if (e == TermExpr(Anon)) count(lit(1)) else countDistinct(column(e))
-          // tuple form countd<(A,B)> = distinct pairs — the reference
-          // flattens functor args into the aggregate's expression list
+          // countd<(A,B,...)> = distinct tuples — the reference flattens
+          // functor args into the aggregate's expression list
           // (LogicalPlanGenerator.scala:284-297)
           case "countd" =>
-            v match {
-              case Some(v2) => countDistinct(column(e), column(v2))
-              case None => countDistinct(column(e))
-            }
+            val cols = a.exprs.map(column)
+            countDistinct(cols.head, cols.tail: _*)
           case "avg" => avg(column(e))
           case other => throw new CompileException(s"unknown aggregate $other")
         }

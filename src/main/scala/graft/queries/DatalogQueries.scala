@@ -240,6 +240,16 @@ object DatalogQueries extends QueryPack {
       c.query("nb(N, C).")
     }),
 
+    // Functor/tuple aggregate terms flatten into the aggregate's
+    // expression list (reference InterpreterFunctor semantics,
+    // LogicalPlanGenerator.scala:284-297): distinct (two-hop neighbor,
+    // cost) pairs per source node.
+    "dl_pairs_countd" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "pc(X, countd<(Z, C)>) <- arc(X, Y, _), arc(Y, Z, C).")
+      c.query("pc(X, N).")
+    }),
+
     // Aggregation + sort/limit pseudo-predicates (PYMK-style top-k,
     // reference program 73): top-10 nodes by out-degree.
     "dl_topdeg" -> ((s, dir) => {
@@ -366,6 +376,13 @@ object DatalogQueries extends QueryPack {
       "dl_segcount" ->
         """SELECT c_mktsegment AS s, CAST(count(c_custkey) AS BIGINT) AS n
            FROM customer GROUP BY c_mktsegment""",
+      "dl_pairs_countd" ->
+        s"""WITH $arcSql,
+            pairs AS (
+              SELECT DISTINCT a1.src AS x, a2.dst AS z, a2.cost AS c
+              FROM arc a1 JOIN arc a2 ON a2.src = a1.dst)
+            SELECT CAST(x AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY x""",
       "dl_topdeg" ->
         s"""WITH $arcSql
             SELECT CAST(x AS BIGINT) AS a, CAST(c AS BIGINT) AS b FROM (
