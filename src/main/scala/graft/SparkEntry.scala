@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.TextQueries,
     graft.queries.EmbeddingQueries,
     graft.queries.StreamingQueries,
-    graft.queries.MultimodalQueries)
+    graft.queries.MultimodalQueries,
+    graft.queries.TemporalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

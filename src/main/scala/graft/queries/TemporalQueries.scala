@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators the reference lacks (SURVEY.md §2.6 "no
+  * theta/range/as-of") but a training-data pipeline needs constantly —
+  * session attribution, feature lookups "as of" a label timestamp,
+  * window/event overlap counts. Both are built to survive 100 TB:
+  *
+  *  - **as-of join**: never a join at all — union the two tagged streams,
+  *    one shuffle on the key, and a running `last(..., ignoreNulls)`
+  *    window carries the most recent right-side row forward onto each
+  *    left row. Cost = one Exchange + one sort, identical to the
+  *    sort-merge as-of of kdb/DuckDB/Flink, and skew-safe (a hot key
+  *    sorts within its partition; no per-group buffering).
+  *
+  *  - **range join**: never a cartesian — overlapping windows expand to
+  *    the fixed-width buckets they cover (bucket width = the stride
+  *    GCD), events map to exactly ONE bucket, and the join is an
+  *    equi-join on bucket plus a residual range filter. Each
+  *    (event, window) candidate pair arises in exactly one bucket, so
+  *    no dedup is needed. At this dimension size Spark broadcasts the
+  *    expanded windows; with millions of windows the same plan shuffles
+  *    both sides on the bucket key — either way, never O(n·m).
+  *
+  * Timestamps: `ts` reads as epoch-nanos BIGINT (Tables.load); compute
+  * in microseconds (`ts div 1000`) to match the DuckDB oracle's
+  * `epoch_us`.
+  */
+object TemporalQueries extends QueryPack {
+
+  private def cents(c: Column) =
+    sum(round(c * 100, 0).cast("long")).cast("long")
+
+  /** 2024-01-01T00:00:00Z, microseconds — the generator's time origin. */
+  private val Anchor = 1704067200000000L
+  private val Hour = 3600000000L
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For every purchase event: the user's most recent click at or
+    // before the purchase (value + click event id), null if none.
+    "evt_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts div 1000 as tsu",
+          "event_type", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          lit(1).as("side"), lit(null).cast("struct<cid:long,cval:double>").as("c"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          lit(0).as("side"),
+          struct(col("event_id").as("cid"), col("value").as("cval")).as("c"))
+      // right rows sort before left rows at equal ts (side 0 < 1), so
+      // "at or before" includes same-timestamp clicks
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("last_c", last("c", ignoreNulls = true).over(w))
+        .where(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("last_c.cid").as("click_id"),
+          col("last_c.cval").as("click_value"))
+    }),
+
+    // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
+    // range join (bucket = 2h = gcd(stride, width)).
+    "evt_range_join" -> ((s, dir) => {
+      val W = 2 * Hour
+      val wins = s.range(180).select(
+        col("id").as("k"),
+        (lit(Anchor) + col("id") * (4 * Hour)).as("lo"),
+        (lit(Anchor) + col("id") * (4 * Hour) + 6 * Hour).as("hi"))
+      val wb = wins.withColumn("b",
+        explode(sequence(expr(s"lo div $W"), expr(s"(hi - 1) div $W"))))
+      val ev = Tables.load(s, dir, "events")
+        .selectExpr("ts div 1000 as tsu", "value")
+        .withColumn("b", expr(s"tsu div $W"))
+      ev.join(wb, ev("b") === wb("b") &&
+          ev("tsu") >= wb("lo") && ev("tsu") < wb("hi"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_value_cents"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "evt_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu,
+                           value AS cval
+                    FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id,
+                c.cid AS click_id, c.cval AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.tsu >= c.ctsu""",
+    "evt_range_join" ->
+      """WITH w AS (SELECT k,
+                      1704067200000000 + k * 14400000000 AS lo,
+                      1704067200000000 + k * 14400000000 + 21600000000 AS hi
+                    FROM generate_series(0, 179) AS t(k)),
+              e AS (SELECT epoch_us(ts) AS tsu, value FROM events)
+         SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS sum_value_cents
+         FROM w JOIN e ON e.tsu >= w.lo AND e.tsu < w.hi
+         GROUP BY k""")
+}
