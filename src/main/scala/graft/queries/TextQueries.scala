@@ -292,6 +292,68 @@ object TextQueries extends QueryPack {
         .select(col("d1"), col("d2"), col("sim1"), col("sim2")).distinct()
         .selectExpr("d1", "d2", "cast(bit_count(sim1 ^ sim2) as bigint) as ham")
         .filter(col("ham") <= 3)
+    }),
+
+    // Repetition / boilerplate quality signals (the dup-text heuristics
+    // of large-crawl filtering): duplicate-token rate and most-frequent-
+    // token share as exact integer permilles. All per-row HOF arithmetic
+    // — scan-parallel, no shuffle, the same plan at any scale; the top
+    // token frequency is the longest run of the SORTED token array (one
+    // pass per row, no per-doc group-by or explode).
+    "txt_rep_ratio" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$toks as t")
+        .selectExpr(
+          "doc_id",
+          "size(t) as n_tokens",
+          "size(array_distinct(t)) as n_distinct",
+          "((size(t) - size(array_distinct(t))) * 1000) div size(t) as dup_permille",
+          """aggregate(array_sort(t),
+               named_struct('prev', cast(null as string),
+                            'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+               (a, tk) -> named_struct(
+                 'prev', tk,
+                 'run', if(a.prev <=> tk, a.run + 1, cast(1 as bigint)),
+                 'best', greatest(a.best,
+                   if(a.prev <=> tk, a.run + 1, cast(1 as bigint)))),
+               a -> a.best) as max_tok_freq""")
+        .withColumn("top_share_permille",
+          expr("max_tok_freq * 1000 div n_tokens"))),
+
+    // Corpus-level n-gram statistics: top-20 bigrams by frequency.
+    // Partial aggregation collapses per-partition counts before the one
+    // vocabulary-keyed shuffle, and the global top-k compiles to
+    // TakeOrderedAndProject (per-partition heaps, no full sort) — corpus
+    // stats over a 100 TB crawl are exactly this plan.
+    "txt_top_ngrams" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr(s"$toks as t")
+        .filter("size(t) >= 2")
+        .selectExpr("explode(transform(sequence(0, size(t) - 2)," +
+          " i -> concat(t[i], ' ', t[i+1]))) as bigram")
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)),
+
+    // Incremental (snapshot-over-snapshot) near-dup dedup: treating even
+    // doc_ids as the already-ingested corpus and odd doc_ids as the new
+    // crawl, keep new docs with no verified near-dup partner in the old
+    // corpus. Shares the checkpointed LSH pair pass with the clustering
+    // gate; at scale an incremental re-crawl pays only for its own
+    // shingles plus the bucket join against the standing index — never
+    // a rescan of the old corpus text.
+    "txt_dedup_incr" -> ((s, dir) => {
+      val pairs = PackResources.checkpoint(s, dir, "txt_neardup_pairs")(
+        lshPairs(s, dir).select(col("d1"), col("d2")))
+      val dropped = pairs
+        .filter(col("d1") % 2 === 0 && col("d2") % 2 === 1)
+        .select(col("d2").as("doc_id"))
+        .union(pairs
+          .filter(col("d2") % 2 === 0 && col("d1") % 2 === 1)
+          .select(col("d1").as("doc_id")))
+      docs(s, dir).filter(col("doc_id") % 2 === 1)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
     })
   )
 
@@ -468,6 +530,35 @@ object TextQueries extends QueryPack {
             FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.bk = b2.bk
             WHERE b1.doc_id < b2.doc_id)
           SELECT d1, d2, CAST(bit_count(CAST(xor(sim1, sim2) AS BIT)) AS BIGINT) AS ham
-          FROM cand WHERE bit_count(CAST(xor(sim1, sim2) AS BIT)) <= 3"""
+          FROM cand WHERE bit_count(CAST(xor(sim1, sim2) AS BIT)) <= 3""",
+    "txt_rep_ratio" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         f AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+               GROUP BY doc_id, tok),
+         m AS (SELECT doc_id, max(c) AS max_tok_freq FROM f GROUP BY doc_id)
+         SELECT d.doc_id, len(t) AS n_tokens,
+                len(list_distinct(t)) AS n_distinct,
+                (len(t) - len(list_distinct(t))) * 1000 // len(t) AS dup_permille,
+                CAST(m.max_tok_freq AS BIGINT) AS max_tok_freq,
+                CAST(m.max_tok_freq AS BIGINT) * 1000 // len(t) AS top_share_permille
+         FROM d JOIN m ON d.doc_id = m.doc_id""",
+    "txt_top_ngrams" ->
+      """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
+         b AS (SELECT unnest(list_transform(range(len(t)-1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS bigram
+               FROM d WHERE len(t) >= 2)
+         SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "txt_dedup_incr" ->
+      s"""WITH $shCte, $sigCte, $lshCte,
+          pr AS (${verifyDuck(1, 2)}),
+          dropped AS (
+            SELECT d2 AS doc_id FROM pr WHERE d1 % 2 = 0 AND d2 % 2 = 1
+            UNION
+            SELECT d1 FROM pr WHERE d2 % 2 = 0 AND d1 % 2 = 1)
+          SELECT doc_id, source FROM documents
+          WHERE doc_id % 2 = 1
+            AND doc_id NOT IN (SELECT doc_id FROM dropped)"""
   )
 }

@@ -150,6 +150,55 @@ class QueryPackSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_rep_ratio: permilles in range, max frequency consistent with counts") {
+    val rows = run("txt_rep_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens"); val d = r.getAs[Int]("n_distinct")
+      val mf = r.getAs[Long]("max_tok_freq")
+      assert(d >= 1 && d <= n)
+      assert(r.getAs[Long]("dup_permille") == (n - d).toLong * 1000 / n)
+      // the most frequent token accounts for at least the mean share and
+      // at most every duplicate-plus-one
+      assert(mf >= (n + d - 1) / d && mf <= n - d + 1)
+      assert(r.getAs[Long]("top_share_permille") == mf * 1000 / n)
+    }
+  }
+
+  test("txt_top_ngrams: 20 bigrams, counts non-increasing, agree with explode") {
+    val rows = run("txt_top_ngrams").collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n")))
+    assert(rows.length == 20)
+    // gate preserves its own sort order; counts must be non-increasing
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a >= b })
+    // recount the top bigram independently
+    val (top, n) = rows.head
+    val Array(w1, w2) = top.split(" ", 2).padTo(2, "")
+    val recount = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("split(text, ' ') as t")
+      .selectExpr("size(filter(sequence(0, size(t) - 2)," +
+        s" i -> t[i] = '$w1' and t[i+1] = '$w2')) as c")
+      .agg(sum("c")).head.getLong(0)
+    assert(recount == n)
+  }
+
+  test("txt_dedup_incr: survivors are odd ids with no verified old-corpus partner") {
+    val kept = run("txt_dedup_incr").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty)
+    assert(kept.forall(_ % 2 == 1))
+    val pairs = run("txt_lsh_pairs").select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.collect {
+      case (o, n) if o % 2 == 0 && n % 2 == 1 => n
+      case (n, o) if o % 2 == 0 && n % 2 == 1 => n
+    }.toSet
+    assert(kept.intersect(dropped).isEmpty)
+    val odd = graft.Tables.load(spark, dir, "documents")
+      .filter(expr("doc_id % 2 = 1")).count()
+    assert(kept.size + dropped.size >= odd.toInt &&
+      kept.size <= odd.toInt)
+  }
+
   test("dl_tc: closure contains the arc base and is transitively closed (sample)") {
     val tc = run("dl_tc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // base edges k -> k+1 within a block must be present
