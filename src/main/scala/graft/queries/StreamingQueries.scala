@@ -144,6 +144,40 @@ object StreamingQueries extends QueryPack {
         "n_events")
     }),
 
+    // Watermarked STREAM-STREAM interval join (click→purchase
+    // attribution): both sides are event-time streams with 1-hour
+    // watermarks, and the join condition bounds the click time inside
+    // [purchase - 1h, purchase] — Spark keeps only the watermark-bounded
+    // window of each side in the state store, so the join's state is
+    // O(traffic in the interval), never O(history). Append-mode output
+    // makes every emitted pair final. This is the canonical streaming
+    // enrichment operator at 100 TB/day ingest: no batch snapshot, no
+    // unbounded buffering.
+    "stream_join" -> ((s, dir) => {
+      val schema = Tables.load(s, dir, "events").schema
+      val sink = "stream_join_sink"
+      def side(t: String, idCol: String, tsCol: String, userCol: String) =
+        s.readStream.schema(schema)
+          .parquet(stageDir(dir))
+          .filter(col("event_type") === t)
+          .select(col("event_id").as(idCol), col("user_id").as(userCol),
+            expr("timestamp_micros(ts div 1000)").as(tsCol))
+          .withWatermark(tsCol, "1 hour")
+      val purchases = side("purchase", "pid", "pts", "user_id")
+      val clicks = side("click", "cid", "cts", "c_user")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+            col("cts") <= col("pts"))
+        .select(col("pid"), col("cid"), col("user_id"),
+          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // Sessionization, relational formulation: lag window over
     // (user_id, event time) + running sum of >1h gap breaks — the same
     // shape its oracle uses. One shuffle on user_id; the window sort is
@@ -189,6 +223,14 @@ object StreamingQueries extends QueryPack {
          SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM g GROUP BY user_id, sid""",
+    "stream_join" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu
+                    FROM events WHERE event_type = 'click')
+         SELECT p.pid, c.cid, p.user_id, p.ptsu - c.ctsu AS gap_us
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu""",
     "evt_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
          s AS (SELECT user_id, tsu,

@@ -129,6 +129,21 @@ class QueryPackSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream_join (stream-stream interval join) equals the batch range join") {
+    val streamed = run("stream_join")
+    val e = graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000 as tsu", "event_type")
+    val p = e.filter("event_type = 'purchase'")
+      .selectExpr("event_id as pid", "user_id", "tsu as ptsu")
+    val c = e.filter("event_type = 'click'")
+      .selectExpr("event_id as cid", "user_id as cu", "tsu as ctsu")
+    val batch = p.join(c, expr(
+        "user_id = cu and ctsu between ptsu - 3600000000 and ptsu"))
+      .selectExpr("pid", "cid", "user_id", "ptsu - ctsu as gap_us")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("evt_sessions: session counts bounded by event counts") {
     val rows = run("evt_sessions").collect()
     assert(rows.nonEmpty)
