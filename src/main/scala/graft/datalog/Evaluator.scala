@@ -1121,7 +1121,16 @@ final class Evaluator(
               newSupport.join(changed, cond, "left_semi")
             }
           val oldDelta = delta
-          delta = materialize(aggView(restricted))._1
+          // Single-consumer deltas stay LAZY (the mmin/mmax legacy loop's
+          // design): the semi-join + aggregate execute inside the next
+          // iteration's merge job — whose backing `merged` checkpoint is
+          // still alive then — instead of paying a separate materialize
+          // job per iteration. With several recursive rules the delta is
+          // read once per rule variant, so materializing still wins.
+          val restrictedAv = aggView(restricted)
+          delta =
+            if (clique.recursiveRules(p).size == 1) restrictedAv
+            else materialize(restrictedAv)._1
           retire(oldDelta)
         }
       }
