@@ -575,8 +575,8 @@ final class Evaluator(
     * arc(C,B)` with the first argument bound). The recursion then only
     * derives facts matching the binding — the reference gets the same
     * effect from the DeAL compiler's adorned programs (SURVEY.md §4
-    * "magic-set-like rewrite"); right-linear forms fall back to the
-    * caller's post-filter. */
+    * "magic-set-like rewrite"); right-linear and non-linear forms go
+    * through the general magic-set rewrite below. */
   def boundQueryDF(p: String, bindings: Map[Int, Any]): Option[DataFrame] = {
     lastBoundPushdown = false
     if (bindings.isEmpty || !analysis.isIdb(p) || !analysis.isRecursive(p))
@@ -625,25 +625,37 @@ final class Evaluator(
 
   /** Magic-set pushdown for bound queries whose bound positions are NOT
     * stable — e.g. right-linear TC `tc(A,B) <- arc(A,C), tc(C,B)` with
-    * `tc(0,B)`. The classic supplementary-magic rewrite, built directly
-    * at the AST level and run through a nested evaluator:
+    * `tc(0,B)`, or non-linear TC `tc(A,B) <- tc(A,C), tc(C,B)`. The
+    * classic supplementary-magic rewrite with left-to-right sideways
+    * information passing, built directly at the AST level and run
+    * through a nested evaluator. For right-linear TC:
     *
     *   m(0).                          (seed = the binding)
-    *   m(C) <- m(A), arc(A,C).        (one rule per recursive rule:
-    *                                   project the recursive call's
-    *                                   bound-position values through
-    *                                   the static atoms)
+    *   m(C) <- m(A), arc(A,C).        (per recursive rule, per recursive
+    *                                   body atom: project that call's
+    *                                   bound-position values through the
+    *                                   statics + earlier recursive atoms)
     *   tc(A,B) <- m(A), arc(A,B).     (original rules, restricted)
     *   tc(A,B) <- m(A), arc(A,C), tc(C,B).
     *
-    * The fixpoint then only explores the reachable subgraph instead of
-    * computing the full closure and post-filtering. The reference gets
-    * the same behavior from the DeAL compiler's adorned programs
-    * (RecursiveQuerySuites.scala:81-94 bf tests). Comparisons/negations
-    * whose variables aren't reachable from the magic context are
-    * dropped from the MAGIC rules only — that widens m (sound), never
-    * the answers. Returns None (caller post-filters the full fixpoint)
-    * when the shape doesn't qualify: non-linear rules, multi-predicate
+    * For non-linear TC the second recursive atom's binding flows through
+    * the FIRST one's (restricted) result, making m and tc mutually
+    * recursive — exactly the general magic-sets construction:
+    *
+    *   m(0).
+    *   m(C) <- m(A), tc(A,C).
+    *   tc(A,B) <- m(A), arc(A,B).
+    *   tc(A,B) <- m(A), tc(A,C), tc(C,B).
+    *
+    * The nested evaluator's mutual-recursion loop evaluates {m, tc}
+    * round-robin; the fixpoint then only explores the reachable
+    * subgraph instead of computing the full closure and post-filtering.
+    * The reference gets the same behavior from the DeAL compiler's
+    * adorned programs (RecursiveQuerySuites.scala:81-94 bf tests).
+    * Comparisons whose variables aren't reachable from the magic
+    * context are dropped from the MAGIC rules only — that widens m
+    * (sound), never the answers. Returns None (caller post-filters the
+    * full fixpoint) when the shape doesn't qualify: multi-predicate
     * cliques, arithmetic head terms at bound positions, or an
     * adornment closure that converges to empty. */
   private def magicSetDF(
@@ -652,8 +664,6 @@ final class Evaluator(
       bindings: Map[Int, Any]): Option[DataFrame] = {
     val recRules = clique.recursiveRules(p)
     val exitRules = clique.exitRules(p)
-    if (recRules.exists(r => r.bodyAtoms.count(a => clique.preds(a.pred)) != 1))
-      return None
     if ((recRules ++ exitRules).exists(_.body.exists {
       case _: SortSpec | _: LimitSpec => true; case _ => false
     })) return None
@@ -667,15 +677,20 @@ final class Evaluator(
       case TermExpr(_) => Nil
       case Arith(_, l, r) => exprVars(l) ++ exprVars(r)
     }
+    def recAtoms(r: Rule): Seq[BodyAtom] =
+      r.bodyAtoms.filter(a => clique.preds(a.pred))
 
-    /** Variables computable from the static atoms + head-bound
-      * positions, grown through assignment comparisons; also returns
-      * the comparisons safe to keep in the magic rule. */
-    def availability(r: Rule, s: Set[Int]): (Set[String], Seq[Comparison]) = {
+    /** Variables computable BEFORE the j-th recursive body atom
+      * (left-to-right SIPS): static atoms + head-bound positions + all
+      * variables of recursive atoms 0..j-1, grown through assignment
+      * comparisons; also returns the comparisons safe to keep in that
+      * level's magic rule. */
+    def availability(r: Rule, s: Set[Int], j: Int): (Set[String], Seq[Comparison]) = {
       val statics = r.bodyAtoms
         .filterNot(a => clique.preds(a.pred)).filterNot(_.negated)
       val avail = mutable.Set[String]()
       avail ++= statics.flatMap(_.args).collect { case Variable(v) => v }
+      avail ++= recAtoms(r).take(j).flatMap(_.args).collect { case Variable(v) => v }
       avail ++= s.flatMap(i => headTerm(r, i) match {
         case Some(Variable(v)) => Some(v); case _ => None
       })
@@ -699,17 +714,17 @@ final class Evaluator(
     }
 
     // greatest fixed point of the adornment: a position survives while
-    // every rule computes the recursive call's value there from the
-    // magic context (same adornment for the sub-call)
+    // every rule computes EVERY recursive call's value there from the
+    // magic context available at that call (same adornment for all
+    // sub-calls — they share one magic predicate)
     var s = bindings.keySet
     var changed = true
     while (changed && s.nonEmpty) {
       changed = false
-      for (r <- recRules if s.nonEmpty) {
-        val recAtom = r.bodyAtoms.filter(a => clique.preds(a.pred)).head
-        val (avail, _) = availability(r, s)
+      for (r <- recRules; (ra, j) <- recAtoms(r).zipWithIndex if s.nonEmpty) {
+        val (avail, _) = availability(r, s, j)
         val keep = s.filter { i =>
-          (headTerm(r, i), recAtom.args.lift(i)) match {
+          (headTerm(r, i), ra.args.lift(i)) match {
             case (Some(Variable(_) | Constant(_)), Some(Variable(v))) => avail(v)
             case (Some(Variable(_) | Constant(_)), Some(Constant(_))) => true
             case _ => false
@@ -733,15 +748,22 @@ final class Evaluator(
       sPos.zip(seedVars).map { case (i, v) =>
         Comparison("=", TermExpr(v), TermExpr(Constant(bindings(i))))
       })
-    val magicRules = recRules.map { r =>
-      val recAtom = r.bodyAtoms.filter(a => clique.preds(a.pred)).head
+    val magicRules = recRules.flatMap { r =>
       val statics = r.bodyAtoms
         .filterNot(a => clique.preds(a.pred)).filterNot(_.negated)
-      val (_, keptCmp) = availability(r, s)
-      Rule(
-        HeadAtom(mName, sPos.map(i => PlainArg(TermExpr(recAtom.args(i))))),
-        (BodyAtom(mName, sPos.map(i => headTerm(r, i).get), negated = false)
-          +: statics) ++ keptCmp)
+      val guardTerms = sPos.map(i => headTerm(r, i).get)
+      recAtoms(r).zipWithIndex.flatMap { case (ra, j) =>
+        val (_, keptCmp) = availability(r, s, j)
+        val headTerms = sPos.map(i => ra.args(i))
+        // a magic rule whose head repeats its own guard (e.g. the first
+        // recursive atom of left-linear-shaped rules) derives only facts
+        // already in m — skip it
+        if (headTerms == guardTerms) None
+        else Some(Rule(
+          HeadAtom(mName, headTerms.map(t => PlainArg(TermExpr(t)))),
+          (BodyAtom(mName, guardTerms, negated = false)
+            +: (statics ++ recAtoms(r).take(j))) ++ keptCmp))
+      }
     }
     val restricted = (exitRules ++ recRules).map { r =>
       Rule(r.head,

@@ -1,10 +1,11 @@
 package graft.datalog
 
 /** Bound-argument pushdown: a bound query over a *left-linear* recursion
-  * seeds the fixpoint directly (stable position); right-linear forms go
-  * through the magic-set rewrite (seeded reachability restricting the
-  * fixpoint); non-linear falls back to post-filtering the full closure —
-  * results are identical on every path. */
+  * seeds the fixpoint directly (stable position); right-linear AND
+  * non-linear forms go through the general magic-set rewrite (seeded
+  * reachability restricting the fixpoint; for non-linear shapes the
+  * magic predicate is mutually recursive with the restricted relation)
+  * — results are identical on every path. */
 class BoundPushdownSpec extends DatalogSuite {
   private val db = "database({arc(X:integer, Y:integer)})."
 
@@ -62,11 +63,39 @@ class BoundPushdownSpec extends DatalogSuite {
     assert(pushed && rows.isEmpty)
   }
 
-  test("non-linear TC falls back (second occurrence needs full relation)") {
+  test("non-linear TC pushes down (magic is mutually recursive with tc)") {
     val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
     val (rows, pushed) = eval(nl, "tc(6,B).")
-    assert(!pushed)
+    assert(pushed, "non-linear bound queries must use the magic-set rewrite")
     assert(rows == Set("[6,7]", "[6,8]", "[6,9]", "[6,10]"))
+  }
+
+  test("non-linear magic restricts the fixpoint to the reachable subgraph") {
+    // binding to the short chain must not derive any fact about the big
+    // one: the unrestricted closure would contain 10*11/2 pairs from the
+    // 0..10 chain, the magic-restricted one exactly the two from 100
+    val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
+    val data = Seq("100,101", "101,102") ++ (0 until 10).map(i => s"$i,${i + 1}")
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(db + nl)
+    ctx.registerData("arc", data)
+    val rows = ctx.queryStrings("tc(100,B).").toSet
+    assert(ctx.lastBoundPushdown)
+    assert(rows == Set("[100,101]", "[100,102]"))
+  }
+
+  test("bound same-generation pushes down through paired static atoms") {
+    // sg's recursive call binds XP from arc(XP,X) given bound X — the
+    // magic set walks ancestors of the seed, restricting the fixpoint
+    val sg = "sg(X,Y) <- arc(P,X), arc(P,Y), X ~= Y. " +
+      "sg(X,Y) <- arc(XP,X), sg(XP,YP), arc(YP,Y)."
+    val data = Seq("0,1", "0,2", "1,3", "2,4")
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(db + sg)
+    ctx.registerData("arc", data)
+    val rows = ctx.queryStrings("sg(3,Y).").toSet
+    assert(ctx.lastBoundPushdown, "bound same-generation must push down")
+    assert(rows == Set("[3,4]"))
   }
 
   test("bound seed with no matches yields an empty, well-typed result") {

@@ -102,16 +102,16 @@ class PropertySpec extends AnyFunSuite {
 
   test("bound queries agree across pushdown strategies on random digraphs") {
     // left-linear (stable-seed pushdown), right-linear (magic-set
-    // rewrite) and non-linear (post-filter) must all equal the
-    // Warshall closure restricted to the bound source — on cyclic
-    // graphs too, where the magic set revisits its own seeds
+    // rewrite) and non-linear (magic mutually recursive with tc) must
+    // all equal the Warshall closure restricted to the bound source —
+    // on cyclic graphs too, where the magic set revisits its own seeds
     forAllGraphs(99L) { edges =>
       val src = edges.head._1
       val expected = warshall(edges).filter(_._1 == src)
       for ((rec, wantPush) <- Seq(
         ("tc(A,B) <- tc(A,C), arc(C,B).", true),
         ("tc(A,B) <- arc(A,C), tc(C,B).", true),
-        ("tc(A,B) <- tc(A,C), tc(C,B).", false))) {
+        ("tc(A,B) <- tc(A,C), tc(C,B).", true))) {
         val ctx = new DatalogContext(spark)
         ctx.loadProgram(
           "database({arc(X:integer, Y:integer)})." +
