@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.TestSpark
+
+/** Bucketing = the pre-shuffled join layout at 100 TB: both fact tables
+  * written bucketed on the join key join WITHOUT any shuffle exchange —
+  * the scan's bucket layout satisfies the join's distribution
+  * requirement, so a 1000-executor join of two 100 TB tables moves zero
+  * bytes of either side over the network. This spec pins that plan
+  * shape (and the repeated-aggregation variant) as regression coverage. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed fact tables join with zero shuffle exchanges") {
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("bkt_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("bkt_customer")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val j = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      assert(j.count() == 5)
+      // the join itself is exchange-free; the only shuffle in the whole
+      // plan is the 5-group aggregation above it
+      assert(GraftColumnBridge.countShuffleExchanges(j) <= 1,
+        GraftColumnBridge.executedPlanString(j))
+      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(GraftColumnBridge.countShuffleExchanges(plain) >= 2,
+        "unbucketed baseline should shuffle both join sides")
+    }
+  }
+
+  test("aggregation on the bucket key reuses the layout (no exchange)") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val agg = spark.table("bkt_orders")
+        .groupBy("o_custkey").agg(sum("o_totalprice").as("t"))
+      assert(agg.count() > 0)
+      assert(GraftColumnBridge.countShuffleExchanges(agg) == 0,
+        GraftColumnBridge.executedPlanString(agg))
+    }
+  }
+}
