@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.EmbeddingQueries,
     graft.queries.StreamingQueries,
     graft.queries.MultimodalQueries,
-    graft.queries.TemporalQueries)
+    graft.queries.TemporalQueries,
+    graft.queries.GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,7 +33,7 @@ object DatalogQueries extends QueryPack {
     "database({arc(X:long, Y:long, C:long), edge(X:long, Y:long), node(X:long)})."
 
   /** Weighted intra-block DAG edges from customer keys. */
-  private def arcDF(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def arcDF(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
     val mx = keys.agg(max("k").as("m"))
     val withMax = keys.crossJoin(broadcast(mx))
@@ -78,7 +78,7 @@ object DatalogQueries extends QueryPack {
       "cc(countd<Z>) <- cc2(_,Z)."
 
   /** Shared oracle CTE prefix defining the same graph in DuckDB. */
-  private val arcSql =
+  private[queries] val arcSql =
     s"""mx AS (SELECT max(c_custkey) AS m FROM customer),
        arc AS (
          SELECT c_custkey AS src, c_custkey + 1 AS dst, 2 AS cost
