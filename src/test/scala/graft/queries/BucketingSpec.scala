@@ -32,6 +32,21 @@ class BucketingSpec extends AnyFunSuite {
       .select("c_custkey", "c_mktsegment")
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear them or saveAsTable fails
+    // with "location already exists"
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("bkt_orders", "bkt_customer").foreach { t =>
+      val d = new java.io.File(warehouse, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .format("parquet").saveAsTable("bkt_orders")
     customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
