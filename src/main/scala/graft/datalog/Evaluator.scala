@@ -31,6 +31,13 @@ final class Evaluator(
 
   final class EvalException(msg: String) extends RuntimeException(msg)
 
+  /** A recursive predicate derived no facts AND has no schema prototype
+    * (no exit rules compiled — e.g. every rule of a mutual-clique member
+    * is guarded by another member that stayed empty). Distinct from
+    * EvalException so callers that can supply the schema (magic-set
+    * rewrites) recover instead of failing the query. */
+  final class NoSchemaException(msg: String) extends RuntimeException(msg)
+
   private val memo = mutable.Map[String, DataFrame]()
 
   private def maxIterations: Int = conf.maxIterations
@@ -547,7 +554,7 @@ final class Evaluator(
 
     preds.map { p =>
       p -> allOf(p).getOrElse(proto.get(p).map(_.filter(lit(false))).getOrElse(
-        throw new EvalException(
+        throw new NoSchemaException(
           s"recursive predicate $p derived no facts and has no schema")))
     }.toMap
 
@@ -773,7 +780,17 @@ final class Evaluator(
     val prog2 = Program(Nil, (seedRule +: magicRules) ++ restricted)
     val ev2 = new Evaluator(new Analysis(prog2), name => predDF(name), conf)
     subEvaluators += ev2
-    Some(ev2.predDF(p))
+    try Some(ev2.predDF(p))
+    catch {
+      // Empty magic seed in the MUTUAL (non-linear) shape: every rule of
+      // p carries the magic guard, so the nested clique has no exit rule
+      // for p and an empty m leaves p without a schema prototype. The
+      // original exit rule compiled against the full EDB supplies the
+      // schema; the result is the correctly-typed empty frame.
+      case _: Evaluator#NoSchemaException =>
+        Some(RuleCompiler.compile(exitRules.head, baseResolver)
+          .filter(lit(false)))
+    }
   }
 
   // ------------------------------------- monotonic aggregate recursion
@@ -1147,11 +1164,15 @@ final class Evaluator(
           // design): the semi-join + aggregate execute inside the next
           // iteration's merge job — whose backing `merged` checkpoint is
           // still alive then — instead of paying a separate materialize
-          // job per iteration. With several recursive rules the delta is
-          // read once per rule variant, so materializing still wins.
+          // job per iteration. The consumer count is the number of
+          // semi-naive rule VARIANTS (one per recursive body atom per
+          // rule), not the rule count: a non-linear rule embeds the
+          // delta subplan once per variant, so materializing wins there.
+          val deltaConsumers = clique.recursiveRules(p)
+            .map(_.bodyAtoms.count(a => clique.preds(a.pred))).sum
           val restrictedAv = aggView(restricted)
           delta =
-            if (clique.recursiveRules(p).size == 1) restrictedAv
+            if (deltaConsumers == 1) restrictedAv
             else materialize(restrictedAv)._1
           retire(oldDelta)
         }

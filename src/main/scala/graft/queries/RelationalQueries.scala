@@ -26,8 +26,9 @@ object RelationalQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** sum of a money column as exact integer cents */
-  private def cents(c: org.apache.spark.sql.Column) =
+  /** sum of a money column as exact integer cents (shared across packs
+    * so a rounding-rule change lands once) */
+  private[queries] def cents(c: org.apache.spark.sql.Column) =
     sum(round(c * 100, 0).cast("long"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,8 +32,7 @@ import graft.Tables
   */
 object TemporalQueries extends QueryPack {
 
-  private def cents(c: Column) =
-    sum(round(c * 100, 0).cast("long")).cast("long")
+  private def cents(c: Column) = RelationalQueries.cents(c)
 
   /** 2024-01-01T00:00:00Z, microseconds — the generator's time origin. */
   private val Anchor = 1704067200000000L
@@ -49,10 +48,18 @@ object TemporalQueries extends QueryPack {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("tsu"), col("event_id"),
           lit(1).as("side"), lit(null).cast("struct<cid:long,cval:double>").as("c"))
+      // dedup clicks to one per (user, microsecond) keeping the highest
+      // event id BEFORE the as-of: epoch-nanos timestamps can collide
+      // after the div-1000 truncation, and DuckDB's ASOF JOIN has no
+      // defined tie-break — a unique right side makes both engines'
+      // semantics identical by construction (struct max orders by
+      // event_id first, so the reduction is deterministic)
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tsu"), col("event_id"),
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("tsu"), col("m.event_id").as("event_id"),
           lit(0).as("side"),
-          struct(col("event_id").as("cid"), col("value").as("cval")).as("c"))
+          struct(col("m.event_id").as("cid"), col("m.value").as("cval")).as("c"))
       // right rows sort before left rows at equal ts (side 0 < 1), so
       // "at or before" includes same-timestamp clicks
       val w = Window.partitionBy("user_id")
@@ -90,9 +97,11 @@ object TemporalQueries extends QueryPack {
     "evt_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
                     FROM events WHERE event_type = 'purchase'),
-              c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu,
-                           value AS cval
-                    FROM events WHERE event_type = 'click')
+              c AS (SELECT user_id, epoch_us(ts) AS ctsu,
+                           max(event_id) AS cid,
+                           arg_max(value, event_id) AS cval
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY 1, 2)
          SELECT p.event_id, p.user_id,
                 c.cid AS click_id, c.cval AS click_value
          FROM p ASOF LEFT JOIN c

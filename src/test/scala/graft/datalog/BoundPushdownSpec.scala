@@ -104,6 +104,14 @@ class BoundPushdownSpec extends DatalogSuite {
     assert(pushed && rows.isEmpty)
   }
 
+  test("non-linear bound seed with no matches yields an empty, well-typed result") {
+    // the mutual magic clique leaves tc with no exit rules; an empty
+    // magic seed must recover to the typed empty frame, not throw
+    val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
+    val (rows, pushed) = eval(nl, "tc(99,B).")
+    assert(pushed && rows.isEmpty)
+  }
+
   test("both arguments bound — stable subset pushes, rest post-filters") {
     val ll = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B)."
     // position 0 is stable (pushed as the seed); position 1 is fed by

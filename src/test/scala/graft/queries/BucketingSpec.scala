@@ -25,16 +25,15 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
-  test("bucketed fact tables join with zero shuffle exchanges") {
-    val orders = graft.Tables.load(spark, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-    val customer = graft.Tables.load(spark, dir, "customer")
-      .select("c_custkey", "c_mktsegment")
+  /** (Re)create the bucketed tables — idempotent so each test stands
+    * alone; the in-memory catalog forgets tables between JVMs but their
+    * warehouse directories persist, so clear those too or saveAsTable
+    * fails with "location already exists". */
+  private def ensureTables(): Unit = synchronized {
+    if (spark.catalog.tableExists("bkt_orders") &&
+      spark.catalog.tableExists("bkt_customer")) return
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_customer")
-    // the in-memory catalog forgets tables between JVMs but their
-    // warehouse directories persist — clear them or saveAsTable fails
-    // with "location already exists"
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("bkt_orders", "bkt_customer").foreach { t =>
@@ -47,10 +46,22 @@ class BucketingSpec extends AnyFunSuite {
         rm(d)
       }
     }
-    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+    graft.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .format("parquet").saveAsTable("bkt_orders")
-    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+    graft.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
       .format("parquet").saveAsTable("bkt_customer")
+  }
+
+  test("bucketed fact tables join with zero shuffle exchanges") {
+    ensureTables()
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = graft.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
@@ -72,6 +83,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("aggregation on the bucket key reuses the layout (no exchange)") {
+    ensureTables()
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
