@@ -62,6 +62,14 @@ final case class DatalogConf(
       * in `Evaluator.iterationPlanLog` — the plan-audit hook PLANS.md
       * captures come from. */
     logPlans: Boolean = false,
+    /** `spark.datalog.recursion.collectstats` (default false): record
+      * per-iteration (predicate, iteration, rows, wall millis) in
+      * `Evaluator.iterationStats` — the reference's
+      * `recursion.collectstats` analog (dl/execution/recursion/
+      * Recursion.scala:39). Rows = the fresh delta where the loop
+      * counts it anyway, the merged state where the delta count would
+      * cost an extra job (monotonic/support merges). */
+    collectStats: Boolean = false,
     /** `spark.datalog.storage.level`: StorageLevel for relations cached
       * on the static side of recursive-rule joins (reference default
       * MEMORY_ONLY; ours MEMORY_AND_DISK so huge EDBs spill, not OOM). */
@@ -92,6 +100,8 @@ object DatalogConf {
         (512L * 1024 * 1024).toString).toLong,
     logPlans =
       spark.conf.get("spark.datalog.recursion.logplans", "false").toBoolean,
+    collectStats =
+      spark.conf.get("spark.datalog.recursion.collectstats", "false").toBoolean,
     storageLevel =
       spark.conf.get("spark.datalog.storage.level", "MEMORY_AND_DISK"))
 }

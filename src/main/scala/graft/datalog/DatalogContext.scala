@@ -222,6 +222,11 @@ final class DatalogContext(val spark: SparkSession) {
   def iterationPlanLog: Seq[(String, Int, Int, String)] =
     evaluator.map(_.iterationPlanLog.toSeq).getOrElse(Nil)
 
+  /** Per-iteration (predicate, iteration, rows, wall millis) when
+    * `spark.datalog.recursion.collectstats=true`. */
+  def iterationStats: Seq[(String, Int, Long, Long)] =
+    evaluator.map(_.iterationStats.toSeq).getOrElse(Nil)
+
   /** Count of fixpoint deltas localized into LocalRelations (spec hook
     * for the localDeltaRows/localDeltaBytes caps). */
   def localizedSlices: Int = evaluator.map(_.localizedSlices).getOrElse(0)

@@ -256,6 +256,17 @@ final class Evaluator(
     * `spark.datalog.recursion.logplans=true` — plan-audit/spec hook. */
   val iterationPlanLog = mutable.Buffer[(String, Int, Int, String)]()
 
+  /** (pred, iteration, rows, wall millis) per fixpoint iteration when
+    * `spark.datalog.recursion.collectstats=true` — the reference's
+    * `recursion.collectstats` analog (Recursion.scala:39). Rows = the
+    * fresh delta where the loop already counts it; the merged state for
+    * monotonic/support merges (a delta count there would cost a job). */
+  val iterationStats = mutable.Buffer[(String, Int, Long, Long)]()
+
+  private def recordStat(p: String, iter: Int, rows: Long, t0: Long): Unit =
+    if (conf.collectStats)
+      iterationStats += ((p, iter, rows, (System.nanoTime() - t0) / 1000000))
+
   private def evalSemiNaiveClique(clique: Analysis#Clique): Unit = {
     for ((p, df) <- runSemiNaive(clique, Map.empty)) memo(p) = df
   }
@@ -453,6 +464,7 @@ final class Evaluator(
       val deltaView = delta.view.mapValues(_.df).toMap
       var newDelta = Map[String, Slice]()
       for (p <- preds) {
+        val statT0 = System.nanoTime()
         val contribs = clique.recursiveRules(p)
           .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
         if (contribs.nonEmpty) {
@@ -493,6 +505,7 @@ final class Evaluator(
             val candidate =
               if (skipRepart) u.dropDuplicates() else repDedup(u, pv)
             val (s, n) = sliceOf(diffChain(candidate, chain), pv, p, iter)
+            recordStat(p, iter, n, statT0)
             if (n > 0) {
               newDelta += p -> s
               var next = chain :+ s
@@ -525,6 +538,7 @@ final class Evaluator(
               case Some(a) => u.except(a)
               case None => u.distinct()
             })
+            recordStat(p, iter, n, statT0)
             if (n > 0) {
               val s = Slice(d, isLocal = false)
               newDelta += p -> s
@@ -849,6 +863,7 @@ final class Evaluator(
       iter += 1
       if (iter > maxIterations)
         throw new EvalException(s"aggregate fixpoint exceeded $maxIterations iterations")
+      val statT0 = System.nanoTime()
       val deltaMap = Map(p -> delta)
       val stateMap = Map(p -> state)
       val contribs = clique.recursiveRules(p)
@@ -868,9 +883,10 @@ final class Evaluator(
         val aggs = Seq(
           f(col(aggCol)).as(aggCol),
           f(when(col("__s") === 1, col(aggCol))).as("__old"))
-        val agged = materialize(
+        val (agged, aggedN) = materialize(
           if (groupCols.isEmpty) combined.agg(aggs.head, aggs.tail: _*)
-          else combined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))._1
+          else combined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+        recordStat(p, iter, aggedN, statT0)
         val improved: Column =
           if (isMin) col("__old").isNull || col(aggCol) < col("__old")
           else col("__old").isNull || col(aggCol) > col("__old")
@@ -948,6 +964,7 @@ final class Evaluator(
       iter += 1
       if (iter > maxIterations)
         throw new EvalException(s"aggregate fixpoint exceeded $maxIterations iterations")
+      val statT0 = System.nanoTime()
       val contribs = clique.recursiveRules(p)
         .flatMap(r => ruleVariants(r, clique, Map(p -> delta), Map(p -> state)))
       if (contribs.isEmpty) done = true
@@ -986,6 +1003,7 @@ final class Evaluator(
           .join(stateR.hint("shuffle_hash"), joinCond, "left_outer")
           .filter(better).select(headOrder: _*)
         val (deltaCk, deltaN) = claimCounted(deltaPlan)
+        recordStat(p, iter, deltaN, statT0)
         if (conf.logPlans)
           iterationPlanLog += ((p, iter,
             org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(deltaPlan),
@@ -1118,6 +1136,7 @@ final class Evaluator(
       iter += 1
       if (iter > maxIterations)
         throw new EvalException(s"support fixpoint exceeded $maxIterations iterations")
+      val statT0 = System.nanoTime()
       val deltaMap = Map(p -> delta)
       val stateMap = Map(p -> av)
       val contribs = clique.recursiveRules(p)
@@ -1126,6 +1145,7 @@ final class Evaluator(
       else {
         val (merged, mergedCount) = materialize(
           mergeMax(supportCkpt, Some(contribs.reduce(_ union _))))
+        recordStat(p, iter, mergedCount, statT0)
         val improvedCol = col("__old").isNull || col(vCol) > col("__old")
         val improved = merged.filter(improvedCol)
         // a grown (group, key) count IS an improvement — the explicit
@@ -1258,6 +1278,7 @@ final class Evaluator(
         iter += 1
         if (iter > maxIterations)
           throw new EvalException(s"support fixpoint exceeded $maxIterations iterations")
+        val statT0 = System.nanoTime()
         val contribs = clique.recursiveRules(p)
           .flatMap(r => ruleVariants(supportRule(r), clique,
             Map(p -> delta), Map(p -> aggView(support))))
@@ -1289,6 +1310,7 @@ final class Evaluator(
             .join(supR.hint("shuffle_hash"), joinCond, "left_outer")
             .filter(better).select(supCols.map(col): _*)
           val (improvedCk, improvedN) = claimOn(improvedPlan, gCols)
+          recordStat(p, iter, improvedN, statT0)
           if (conf.logPlans)
             iterationPlanLog += ((p, iter,
               org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(improvedPlan),

@@ -124,4 +124,29 @@ class ConfSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("5 iterations"))
   }
+
+  test("collectstats records per-iteration rows and wall time") {
+    val chain = (0 until 6).map(i => s"$i,${i + 1}")
+    val stats = withConf("spark.datalog.recursion.collectstats" -> "true") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + tc)
+      ctx.registerData("arc", chain)
+      assert(ctx.query("tc(A,B).").count() == 21L)
+      ctx.iterationStats
+    }
+    assert(stats.nonEmpty)
+    // iterations are recorded in order, 1-based, with sane row counts
+    assert(stats.map(_._2) == (1 to stats.length))
+    assert(stats.forall { case (p, _, rows, ms) =>
+      p == "tc" && rows >= 0 && ms >= 0
+    })
+    // delta rows: 6 base edges -> 5 length-2 paths -> ... -> converging
+    assert(stats.head._3 == 5L && stats.map(_._3).sum == 15L)
+    // default off: nothing recorded
+    val ctx2 = new DatalogContext(spark)
+    ctx2.loadProgram(db + tc)
+    ctx2.registerData("arc", chain)
+    ctx2.query("tc(A,B).").count()
+    assert(ctx2.iterationStats.isEmpty)
+  }
 }
