@@ -83,6 +83,30 @@ object EmbeddingQueries extends QueryPack {
         .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
     }),
 
+    // ANN index QUALITY measurement in-engine: per query, how many of
+    // the brute-force top-10 neighbors share the query's hyperplane
+    // bucket — recall@10 of the LSH path as an exact integer (×10).
+    // The pipeline operator a production ANN deployment runs on a
+    // sample to tune bucket bits / probe counts; the brute-force side
+    // is the same broadcast-queries × corpus-scan plan as emb_knn, so
+    // measuring recall on an N-query sample costs one corpus pass.
+    "emb_lsh_recall" -> ((s, dir) => {
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt").as("qbkt"))
+      val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"),
+        col("bkt").as("cbkt"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      cands.crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"),
+          (col("cbkt") === col("qbkt")).cast("long").as("hit"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"), sum("hit").as("n_bucket_hits"))
+    }),
+
     // Embedding near-duplicate pairs (the brief's embedding-cosine
     // near-dup dedup operator): hyperplane-bucket blocking, exact
     // quantized inner product ≥ threshold — candidate generation joins
@@ -215,6 +239,22 @@ object EmbeddingQueries extends QueryPack {
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
             FROM scored)
           SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 5""",
+    "emb_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          eb AS (SELECT vec_id, v, $bucketD AS bkt FROM e),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              CAST(list_sum(list_transform(range(1, len(q.v)+1),
+                i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+              CASE WHEN c.bkt = q.bkt THEN 1 ELSE 0 END AS hit
+            FROM eb q JOIN eb c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 5),
+          ranked AS (SELECT qid, cid, dot, hit,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
+            FROM scored)
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(sum(hit) AS BIGINT) AS n_bucket_hits
+          FROM ranked WHERE rk <= 10 GROUP BY qid""",
     "emb_neardup" ->
       s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
           eb AS (SELECT vec_id, v, $bucketD AS bkt FROM e)
