@@ -103,6 +103,18 @@ object DatalogQueries extends QueryPack {
       c.query("tc(A,B).")
     }),
 
+    // Bound query over the NON-LINEAR TC (reference bf-adorned tests,
+    // RecursiveQuerySuites.scala:81-94): the general magic-set rewrite
+    // makes the magic predicate mutually recursive with the restricted
+    // relation, so the fixpoint explores only the subgraph reachable
+    // from the seed — never the full closure. Shares the memoized
+    // context with dl_tc_nl (same program, separate bound-result memo).
+    "dl_tc_bound" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "tc(A,B) <- arc(A,B,_). tc(A,B) <- tc(A,C), tc(C,B).")
+      c.query("tc(0,B).")
+    }),
+
     // Reachability from a constant seed (program 51).
     "dl_reach" -> ((s, dir) => {
       val c = ctx(s, dir,
@@ -274,6 +286,13 @@ object DatalogQueries extends QueryPack {
     Map(
       "dl_tc" -> tcSql,
       "dl_tc_nl" -> tcSql,
+      "dl_tc_bound" ->
+        s"""WITH RECURSIVE $arcSql,
+            r(n) AS (
+              SELECT arc.dst FROM arc WHERE arc.src = 0
+              UNION
+              SELECT arc.dst FROM r JOIN arc ON arc.src = r.n)
+            SELECT CAST(0 AS BIGINT) AS c0, CAST(n AS BIGINT) AS b FROM r""",
       "dl_reach" ->
         s"""WITH RECURSIVE $arcSql,
             r(x) AS (
