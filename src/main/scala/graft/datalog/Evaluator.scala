@@ -794,17 +794,21 @@ final class Evaluator(
     val prog2 = Program(Nil, (seedRule +: magicRules) ++ restricted)
     val ev2 = new Evaluator(new Analysis(prog2), name => predDF(name), conf)
     subEvaluators += ev2
-    try Some(ev2.predDF(p))
-    catch {
-      // Empty magic seed in the MUTUAL (non-linear) shape: every rule of
-      // p carries the magic guard, so the nested clique has no exit rule
-      // for p and an empty m leaves p without a schema prototype. The
-      // original exit rule compiled against the full EDB supplies the
-      // schema; the result is the correctly-typed empty frame.
-      case _: Evaluator#NoSchemaException =>
-        Some(RuleCompiler.compile(exitRules.head, baseResolver)
-          .filter(lit(false)))
-    }
+    val res =
+      try Some(ev2.predDF(p))
+      catch {
+        // Empty magic seed in the MUTUAL (non-linear) shape: every rule
+        // of p carries the magic guard, so the nested clique has no exit
+        // rule for p and an empty m leaves p without a schema prototype.
+        // The original exit rule compiled against the full EDB supplies
+        // the schema; the result is the correctly-typed empty frame.
+        case _: Evaluator#NoSchemaException =>
+          Some(RuleCompiler.compile(exitRules.head, baseResolver)
+            .filter(lit(false)))
+      }
+    // surface the nested fixpoint's per-iteration stats as our own
+    if (conf.collectStats) iterationStats ++= ev2.iterationStats
+    res
   }
 
   // ------------------------------------- monotonic aggregate recursion

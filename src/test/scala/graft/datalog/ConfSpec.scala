@@ -149,4 +149,19 @@ class ConfSpec extends AnyFunSuite {
     ctx2.query("tc(A,B).").count()
     assert(ctx2.iterationStats.isEmpty)
   }
+
+  test("collectstats surfaces nested magic-set fixpoint iterations") {
+    val chain = (0 until 4).map(i => s"$i,${i + 1}")
+    val stats = withConf("spark.datalog.recursion.collectstats" -> "true") {
+      val ctx = new DatalogContext(spark)
+      // right-linear: the bound query runs through a nested magic program
+      ctx.loadProgram(db + "tc(A,B) <- arc(A,B). tc(A,B) <- arc(A,C), tc(C,B).")
+      ctx.registerData("arc", chain)
+      assert(ctx.query("tc(0,B).").count() == 4L)
+      assert(ctx.lastBoundPushdown)
+      ctx.iterationStats
+    }
+    assert(stats.exists(_._1 == "tc"),
+      s"nested fixpoint stats must surface through the outer evaluator: $stats")
+  }
 }
