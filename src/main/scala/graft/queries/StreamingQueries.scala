@@ -5,143 +5,267 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 
-/** Structured Streaming coverage: the events table replayed as a file
-  * stream (`readStream` → event-time window aggregation → memory sink,
-  * `Trigger.AvailableNow` to drain deterministically). The reference is
+/** Structured Streaming coverage: the events table replayed as a
+  * time-ordered multi-file stream (`readStream` + `maxFilesPerTrigger=1`
+  * → several micro-batches), event-time stateful operators with
+  * watermark-evicted state, APPEND-mode output to a parquet file sink,
+  * `Trigger.AvailableNow` to drain deterministically. The reference is
   * batch-only (SURVEY.md §2.6 "Streaming: none") — this is the additive
   * Spark-native streaming story.
   *
-  * The aggregation is the streaming twin of q16_time_bucket, so the
-  * batch SQL oracle checks the streaming result exactly: counts and
-  * integer-cents sums per (event-hour, type) are arrival-order
-  * independent. At scale this runs unchanged as a continuous job with
-  * the watermark bounding state.
+  * Scale design (the part that must survive 100 TB/day):
+  *  - every stateful operator runs in APPEND mode behind a watermark, so
+  *    the state store holds only the watermark horizon — never history;
+  *  - the sink is a parquet FILE sink (finalized rows appended once),
+  *    never a driver-materialized memory table;
+  *  - totals that are not windowable (per-type counts, per-user counts)
+  *    are emitted as *finalized partials* (closed windows / TTL-expired
+  *    state) and rolled up by a downstream batch read of the sink — the
+  *    standard lambda-free shape for exact totals over infinite streams.
+  *
+  * Replay determinism: the staged files partition the table into
+  * CONTIGUOUS, ASCENDING event-time ranges (`repartitionByRange(ts)`),
+  * so no row is ever late relative to the watermark established by the
+  * previous micro-batch — the oracle compare stays exact however many
+  * batches the replay takes. Two far-future `__flush__` sentinel rows
+  * (filtered out AFTER the watermark node, so they advance the watermark
+  * but join/aggregate nothing) push the final watermark past every real
+  * window: sentinel #1's batch publishes the advanced watermark, sentinel
+  * #2's batch evicts-and-emits everything still in state — no reliance on
+  * trailing no-data micro-batches.
   */
 object StreamingQueries extends QueryPack {
 
-  /** The file-stream source tails a *directory*; the test data is a
-    * single parquet file, so stage it (hardlink, else copy) under /tmp
-    * once per scale factor. */
-  private def stageDir(dir: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  private val FLUSH = "__flush__"
+  /** Data files per staged replay (plus 2 sentinel files). */
+  private val STAGE_PARTS = 4
+  /** Sentinel event time (epoch-nanos, 2100-01-01) and the cutoff that
+    * drops sentinels from real processing (2090-01-01). The cutoff
+    * predicate references the EVENT-TIME column on purpose:
+    * PushPredicateThroughNonJoin never pushes a predicate over the
+    * watermark attribute below the EventTimeWatermark node, so sentinels
+    * reach the watermark tracker (advancing it past every real window)
+    * and are dropped immediately after — a filter on any other column
+    * would be pushed into the parquet scan and the sentinels would never
+    * advance the watermark at all. */
+  private val SENTINEL_NS = 4102444800L * 1000000000L
+  private val CUTOFF_US = 3786912000L * 1000000L
+
+  /** Drop flush sentinels AFTER they advance the watermark on `tsCol`. */
+  private def dropSentinels(df: DataFrame, tsCol: String): DataFrame =
+    df.filter(col(tsCol) < expr(s"timestamp_micros(${CUTOFF_US}L)"))
+
+  /** Per-query state-store row counts (one entry per micro-batch, summed
+    * over stateful operators), recorded after each drain — the eviction
+    * spec asserts these stay bounded instead of growing with history. */
+  private[graft] val stateRowsByQuery =
+    scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p)
+        val kids = try st.iterator().asScala.toList finally st.close()
+        kids.foreach(deleteRecursively)
+      }
+      Files.delete(p)
+    }
+  }
+
+  /** Stage the events table as a time-ordered multi-file stream under
+    * /tmp, keyed by the canonical source path and refreshed when the
+    * source parquet changes. File k covers the k-th ascending event-time
+    * range; modification times increase with k so the file source
+    * (ordered by mtime) replays them in event-time order. */
+  private def stageDir(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
     val src = Paths.get(dir, "events.parquet")
-    // key by the canonical path (hashCode collides; symlinked paths alias)
     val canon = src.toRealPath().getParent.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    val stage = Paths.get("/tmp/graft_stream", canon, "events")
-    val dst = stage.resolve("events.parquet")
-    // refresh when the source was regenerated (size or mtime differs)
-    val stale = Files.exists(dst) &&
-      (Files.size(dst) != Files.size(src) ||
-        Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src))
-    if (stale) Files.delete(dst)
-    if (!Files.exists(dst)) {
-      Files.createDirectories(stage)
-      try Files.createLink(dst, src)
-      catch { case _: Exception =>
-        Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES,
-          StandardCopyOption.REPLACE_EXISTING)
+    val stage = Paths.get("/tmp/graft_stream_v2", canon, "events")
+    val marker = stage.resolve("_STAGED")
+    val tag = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}:$STAGE_PARTS"
+    if (Files.exists(marker) && Files.readString(marker) == tag)
+      return stage.toString
+
+    deleteRecursively(stage)
+    Files.createDirectories(stage)
+    val ev = Tables.load(s, dir, "events")
+    // move the single part file Spark wrote under `tmp` into the stage as
+    // file #idx, with an mtime that orders it idx-th in the replay
+    def adopt(tmp: java.nio.file.Path, idx: Int): Unit = {
+      val st = Files.list(tmp)
+      val part = (try st.iterator().asScala.toList finally st.close())
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      part.zipWithIndex.foreach { case (p, j) =>
+        val dst = stage.resolve(f"batch-${idx + j}%05d.parquet")
+        Files.move(p, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1700000000000L + (idx + j) * 60000L))
       }
+      deleteRecursively(tmp)
     }
+    val tmpData = stage.resolveSibling("events_tmp")
+    deleteRecursively(tmpData)
+    ev.repartitionByRange(STAGE_PARTS, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(tmpData.toString)
+    adopt(tmpData, 0) // range partition i holds the i-th ascending range
+
+    // two flush sentinels at fixed far-future timestamps (2100-01-01 +j
+    // days — the real data is bounded by the 2090 cutoff; ts is
+    // epoch-nanos BIGINT here, Tables.load reads nanos-as-long)
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    Seq(0L, 1L).zipWithIndex.foreach { case (d, j) =>
+      val tmpS = stage.resolveSibling(s"sentinel_tmp$j")
+      deleteRecursively(tmpS)
+      s.range(1).select(
+          lit(-1L - j).as("event_id"), lit(SENTINEL_NS + d * dayNs).as("ts"),
+          lit(-1L).as("user_id"), lit(FLUSH).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmpS.toString)
+      adopt(tmpS, STAGE_PARTS + j)
+    }
+    Files.writeString(marker, tag)
     stage.toString
   }
 
+  /** events replayed as a stream: one staged file per micro-batch, with
+    * `ts_utc` (micros-truncated, matching the oracle's date_trunc). */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(s, dir, "events").schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(stageDir(s, dir))
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Drain the streaming query built by `build` through an append-mode
+    * parquet file sink (fresh per-run sink + checkpoint dirs) and read
+    * the finalized rows back; records the per-batch state-store row
+    * counts for the eviction spec.
+    *
+    * The query runs on a CLONED session so two replay-only knobs don't
+    * leak into the caller's (batch) session: state/shuffle partitions
+    * sized to the micro-batch volume (`spark.graft.stream.statePartitions`,
+    * default 8 — a real deployment sizes this to cluster width via the
+    * normal shuffle-partitions conf; a local drain of ~25k-row batches
+    * only pays state-commit overhead past that), and no-data micro-batches
+    * off (the second flush sentinel already runs a batch with the final
+    * watermark, so a trailing empty batch is pure latency). */
+  private def drainAppend(s: SparkSession, name: String)
+      (build: SparkSession => DataFrame): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.stream.statePartitions", "8"))
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val df = build(ss)
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
+    val q = df.writeStream.format("parquet")
+      .option("path", base.resolve("data").toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    stateRowsByQuery(name) =
+      q.recentProgress.toSeq.map(_.stateOperators.map(_.numRowsTotal).sum)
+    s.read.schema(df.schema).parquet(base.resolve("data").toString)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Event-time hourly aggregation: watermarked tumbling windows in
+    // append mode — a window's row is written exactly once, when the
+    // watermark passes its end and its state is evicted. State is the
+    // watermark horizon (~2h of windows), independent of stream length.
     "stream_hourly" -> ((s, dir) => {
-      // batch read only to obtain the schema (required by readStream)
-      val schema = Tables.load(s, dir, "events").schema
-      val sink = "stream_hourly_sink"
-      val q = s.readStream.schema(schema)
-        .parquet(stageDir(dir))
-        // ts is epoch-nanos BIGINT (Tables.load legacy conf); micros
-        // truncation matches the oracle's date_trunc exactly
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts_utc", "1 hour")
-        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_value_cents"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).selectExpr(
-        "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
-        "event_type", "n", "sum_value_cents")
+      drainAppend(s, "stream_hourly") { ss =>
+        dropSentinels(
+            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+          .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)"))
+              .as("sum_value_cents"))
+          .selectExpr(
+            "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
+            "event_type", "n", "sum_value_cents")
+      }
     }),
 
-    // Stateful streaming dedup: dropDuplicates on the event key with a
-    // watermark bounding state, then per-type counts — the
-    // exactly-once ingestion primitive of a training-data pipeline.
-    // Counts after exact dedup are arrival-order independent, so the
-    // batch oracle checks the streaming result exactly.
+    // Stateful streaming dedup: dropDuplicatesWithinWatermark appends the
+    // first-seen copy of each event to the sink; its dedup state is
+    // watermark-evicted (an id is remembered only for the watermark
+    // delay — the retry/replay horizon — never the full id history).
+    // The sink holds the clean stream a pipeline would persist; the
+    // per-type totals the oracle checks are a batch rollup of the sink.
     "stream_dedup_count" -> ((s, dir) => {
-      val schema = Tables.load(s, dir, "events").schema
-      val sink = "stream_dedup_sink"
-      val q = s.readStream.schema(schema)
-        .parquet(stageDir(dir))
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts_utc", "1 hour")
-        .dropDuplicates("event_id")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      drainAppend(s, "stream_dedup_count") { ss =>
+        dropSentinels(
+            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "event_type")
+      }.groupBy("event_type").agg(count(lit(1)).as("n"))
     }),
 
-    // Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
-    // running per-user event counts (state = Long per key), drained with
-    // AvailableNow; update-mode emissions land in the memory sink with
-    // the final count per user.
+    // Custom streaming state WITH a TTL: flatMapGroupsWithState +
+    // EventTimeTimeout. Per-user counts accumulate in state; when a user
+    // goes idle past the TTL the state times out, emits its finalized
+    // partial count, and is REMOVED — per-key state lives for the
+    // activity window, not forever. Exact per-user totals are the batch
+    // rollup of the partials (each event is counted in exactly one
+    // partial). The flush sentinels advance the watermark past every
+    // timeout so the drain finalizes all keys.
     "stream_user_state" -> ((s, dir) => {
-      import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val schema = Tables.load(s, dir, "events").schema
-      val sink = "stream_user_state_sink"
-      val q = s.readStream.schema(schema)
-        .parquet(stageDir(dir))
-        .select(col("user_id").as[Long], col("event_id").as[Long])
+      val ttlMs = 2L * 3600 * 1000
+      drainAppend(s, "stream_user_state") { ss =>
+      import ss.implicits._
+      dropSentinels(
+          streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+        .select(col("user_id"), col("ts_utc"))
+        .as[(Long, java.sql.Timestamp)]
         .groupByKey(_._1)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-          (uid: Long, events: Iterator[(Long, Long)], state: GroupState[Long]) =>
-            val n = state.getOption.getOrElse(0L) + events.size
-            state.update(n)
-            (uid, n)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[Long]) =>
+            if (state.hasTimedOut) {
+              val n = state.get
+              state.remove()
+              Iterator.single((uid, n))
+            } else {
+              var n = state.getOption.getOrElse(0L)
+              var lastMs = Long.MinValue
+              rows.foreach { r => n += 1; lastMs = math.max(lastMs, r._2.getTime) }
+              state.update(n)
+              // TTL after the user's last event; timeouts must sit above
+              // the current watermark
+              state.setTimeoutTimestamp(
+                math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
         }
-        .toDF("user_id", "n")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // update mode may emit a row per micro-batch; keep the final count
-      s.table(sink).groupBy("user_id").agg(max("n").as("n"))
+        .toDF("user_id", "n_partial")
+      }.groupBy("user_id").agg(sum("n_partial").as("n"))
     }),
 
-    // Native session windows in Structured Streaming: gap-based
-    // session_window aggregation with watermark-bounded state — the
-    // engine merges/extends sessions as events arrive, the canonical
-    // streaming sessionization operator at any scale. The batch oracle
-    // is the lag/running-sum formulation (timestamps are microsecond-
-    // grained, so the half-open boundary can't produce ties).
+    // Native session windows: gap-based session_window aggregation in
+    // append mode — a session row is written once, when the watermark
+    // proves no event can extend it, and its state is evicted. The batch
+    // oracle is the lag/running-sum formulation (timestamps are
+    // microsecond-grained, so the half-open boundary can't tie).
     "stream_sessions" -> ((s, dir) => {
-      val schema = Tables.load(s, dir, "events").schema
-      val sink = "stream_sessions_sink"
-      val q = s.readStream.schema(schema)
-        .parquet(stageDir(dir))
-        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts_utc", "1 hour")
-        .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink).selectExpr(
-        "user_id",
-        "cast(unix_micros(session_window.start) as bigint) as session_start",
-        "n_events")
+      drainAppend(s, "stream_sessions") { ss =>
+        dropSentinels(
+            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+          .groupBy(session_window(col("ts_utc"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .selectExpr(
+            "user_id",
+            "cast(unix_micros(session_window.start) as bigint) as session_start",
+            "n_events")
+      }
     }),
 
     // Watermarked STREAM-STREAM interval join (click→purchase
@@ -149,33 +273,29 @@ object StreamingQueries extends QueryPack {
     // watermarks, and the join condition bounds the click time inside
     // [purchase - 1h, purchase] — Spark keeps only the watermark-bounded
     // window of each side in the state store, so the join's state is
-    // O(traffic in the interval), never O(history). Append-mode output
-    // makes every emitted pair final. This is the canonical streaming
-    // enrichment operator at 100 TB/day ingest: no batch snapshot, no
-    // unbounded buffering.
+    // O(traffic in the interval), never O(history). Inner-join matches
+    // append eagerly; the time-ordered replay means no row is ever late,
+    // so the multi-batch drain loses nothing. The sentinel cutoff sits
+    // AFTER each side's watermark node, so the flush sentinels advance
+    // both watermarks (clearing state) without joining.
     "stream_join" -> ((s, dir) => {
-      val schema = Tables.load(s, dir, "events").schema
-      val sink = "stream_join_sink"
-      def side(t: String, idCol: String, tsCol: String, userCol: String) =
-        s.readStream.schema(schema)
-          .parquet(stageDir(dir))
-          .filter(col("event_type") === t)
-          .select(col("event_id").as(idCol), col("user_id").as(userCol),
-            expr("timestamp_micros(ts div 1000)").as(tsCol))
-          .withWatermark(tsCol, "1 hour")
-      val purchases = side("purchase", "pid", "pts", "user_id")
-      val clicks = side("click", "cid", "cts", "c_user")
-      val q = purchases.join(clicks,
-          col("user_id") === col("c_user") &&
-            col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
-            col("cts") <= col("pts"))
-        .select(col("pid"), col("cid"), col("user_id"),
-          (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(sink)
+      drainAppend(s, "stream_join") { ss =>
+        def side(t: String, idCol: String, tsCol: String, userCol: String) =
+          dropSentinels(
+              streamEvents(ss, dir).withColumnRenamed("ts_utc", tsCol)
+                .withWatermark(tsCol, "1 hour"), tsCol)
+            .filter(col("event_type") === t)
+            .select(col("event_id").as(idCol), col("user_id").as(userCol),
+              col(tsCol))
+        val purchases = side("purchase", "pid", "pts", "user_id")
+        val clicks = side("click", "cid", "cts", "c_user")
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+              col("cts") <= col("pts"))
+          .select(col("pid"), col("cid"), col("user_id"),
+            (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      }
     }),
 
     // Sessionization, relational formulation: lag window over
