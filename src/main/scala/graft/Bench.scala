@@ -43,22 +43,82 @@ object Bench {
       // page-cache first-touch land here instead of being attributed to
       // whichever query happens to read a table first (per-query numbers
       // then measure the query, not iteration-order I/O noise).
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+      // tolerate a missing/corrupt table here — the per-query err capture
+      // below reports it; the warmup must not kill the whole bench
+      Tables.names.foreach(n =>
+        try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () })
+    }
+    // Committed per-query baseline (our own BENCH_FULL.json format) for
+    // the outlier guard — only trusted when sf and cpus match this run.
+    val baseline: Map[String, Double] = try {
+      val txt = new String(Files.readAllBytes(Paths.get("BENCH_FULL.json")),
+        StandardCharsets.UTF_8)
+      val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val cpuOk = """"cpus":\s*(\d+)""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == cpus)
+      if (sfOk && cpuOk)
+        """"([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, v) => k != "total" && v > 0 }.toMap
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
+    // >5x the committed baseline (and >2s absolute, so sub-second jitter
+    // never trips it) = environment-suspect; retry once — a one-off
+    // stall clears, a real regression reproduces.
+    def isOutlier(name: String, t: Double): Boolean =
+      baseline.get(name).exists(b => t > 5 * b && t - b > 2.0)
+
+    var errors = Vector.empty[(String, String)]
+    var suspects = Vector.empty[String]
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          errors :+= (name -> msg.replaceAll("\\s+", " ").take(80))
+      }
+      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      var t = timed(name, fn)
+      if (errors.lastOption.forall(_._1 != name) && isOutlier(name, t)) {
+        val retry = timed(name, fn)
+        t = math.min(t, retry)
+        if (isOutlier(name, t)) suspects :+= name
+      }
+      name -> t
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val head = headline.filter(results.contains)
       .map(k => s"\"$k\":" + fmt(results(k))).mkString("{", ",", "}")
+    // Keep the metric line short (the invoking harness tail-parses it):
+    // errors carry truncated messages, suspects at most 5 names.
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.take(5).map { case (k, m) =>
+        s"""\"$k\":\"${m.replace("\\", "\\\\").replace("\"", "\\\"")}\""""
+      }.mkString(""","errors":{""", ",", "}") +
+        s""","n_err":${errors.size}"""
+    val suspectJson =
+      if (suspects.isEmpty) ""
+      else s""","env_suspect":true,"n_suspect":${suspects.size},"suspect_queries":[${suspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size}$errJson$suspectJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per round).
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n")
-    val fullJson = full +
+    val errFull =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, m) =>
+        s"""    "$k": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      }.mkString("  \"errors\": {\n", ",\n", "\n  },\n")
+    val suspectFull =
+      if (suspects.isEmpty) ""
+      else suspects.map("\"" + _ + "\"").mkString(
+        "  \"env_suspect\": true,\n  \"suspect_queries\": [", ", ", "],\n")
+    val fullJson = full + errFull + suspectFull +
       s"""  "total": ${fmt(total)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
     try Files.write(Paths.get("BENCH_FULL.json"), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
