@@ -199,9 +199,15 @@ object TextQueries extends QueryPack {
 
     // TF-IDF-style distinctive terms: per-doc top-3 terms by
     // tf·10^6 div df (exact integers — no float log, so the oracle
-    // hash-matches). The df side is vocabulary-sized → broadcast join;
-    // the per-doc top-k compiles to WindowGroupLimit (rank pushed below
-    // the window shuffle) — the plan a 100 TB vocabulary scan wants.
+    // hash-matches). The df side is vocabulary-sized and the vocabulary
+    // of a 100 TB corpus can exceed the 8 GB broadcast hard limit, so
+    // the join is deliberately NOT hint-forced: Spark's size-based
+    // planning (autoBroadcastJoinThreshold, re-checked by AQE against
+    // the RUNTIME size of the aggregated df side) broadcasts a small
+    // vocabulary and falls back to a term-partitioned shuffle join past
+    // the cap — where the exchange on `term` is shared with the df
+    // aggregation itself. The per-doc top-k compiles to WindowGroupLimit
+    // (rank pushed below the window shuffle).
     "txt_tfidf_top" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val toks = docs(s, dir)
@@ -210,7 +216,7 @@ object TextQueries extends QueryPack {
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(dfreq), "term")
+      tf.join(dfreq, "term")
         .withColumn("score", expr("tf * 1000000 div df"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)

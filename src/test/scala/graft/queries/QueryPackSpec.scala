@@ -23,6 +23,27 @@ class QueryPackSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
   }
 
+  test("txt_tfidf_top: vocabulary join is size-guarded, never force-broadcast") {
+    import org.apache.spark.sql.GraftColumnBridge
+    // huge-vocabulary regime (simulated by disabling the size threshold):
+    // the plan must fall back to a term-partitioned shuffle join — a
+    // force-broadcast hint here would hit the 8 GB cliff at 100 TB
+    val s1 = spark.newSession()
+    s1.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val big = graft.queries.TextQueries.defs("txt_tfidf_top")(s1, dir)
+    assert(big.count() > 0)
+    assert(!GraftColumnBridge.executedPlanString(big).contains("BroadcastHashJoin"),
+      "vocabulary side was broadcast even above the size cap")
+    // small-vocabulary regime: size-based planning (AQE sees the runtime
+    // size of the aggregated df side) picks the broadcast join on its own
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    val small = graft.queries.TextQueries.defs("txt_tfidf_top")(s2, dir)
+    assert(small.count() > 0)
+    assert(GraftColumnBridge.executedPlanString(small).contains("BroadcastHashJoin"),
+      "small vocabulary should be auto-broadcast by size")
+  }
+
   test("txt_dedup_exact: doubled corpus dedups to exactly 2 copies each") {
     val rows = run("txt_dedup_exact").collect()
     assert(rows.nonEmpty)
