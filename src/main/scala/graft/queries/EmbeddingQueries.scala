@@ -31,13 +31,38 @@ object EmbeddingQueries extends QueryPack {
   // zip_with/aggregate lambdas (this is the per-pair inner kernel)
   import graft.functions.GraftFunctions.dotI64
 
-  /** 8-hyperplane sign bucket; plane weights w(i,j) = ((i*31+j*17) % 7) - 3. */
-  private def bucket(v: String) =
-    s"""aggregate(transform(sequence(0,7), j ->
+  /** Hyperplane-sign bucket over `bits` planes (2^bits buckets); plane
+    * weights w(i,j) = ((i*31+j*17) % 7) - 3. Bits come from
+    * `spark.graft.lsh.bits` (default 8): more bits → smaller buckets →
+    * fewer candidates per bucket and lower recall — the knob a 100 TB
+    * corpus turns UP so within-bucket work stays bounded as the corpus
+    * grows. (The DuckDB oracles pin the default; the gates run at 8.) */
+  private def bucket(v: String, bits: Int) =
+    s"""aggregate(transform(sequence(0,${bits - 1}), j ->
           if(aggregate(transform(sequence(0,63), i ->
                $v[i] * (((i*31 + j*17) % 7) - 3)), cast(0 as bigint), (s, x) -> s + x) > 0,
              shiftleft(1L, j), 0L)),
         0L, (s, x) -> s + x)"""
+
+  private def lshBits(s: SparkSession): Int =
+    s.conf.get("spark.graft.lsh.bits", "8").toInt
+
+  /** Per-bucket candidate cap (`spark.graft.lsh.maxBucketSize`, default
+    * 100k = no-op at test scale): keeps the first `cap` vectors of each
+    * bucket (deterministic by vec_id) before pair generation, so a
+    * skewed hot bucket bounds at cap·(cap-1)/2 pairs instead of going
+    * quadratic in the bucket population. Compiles to WindowGroupLimit —
+    * the per-partition top-k runs below the bucket shuffle, and the
+    * bucket hash partitioning is reused by the self-join, so the cap
+    * adds no exchange. Past the cap the near-dup sweep is explicitly
+    * approximate (the same contract as raising bits). */
+  private def capBuckets(s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = s.conf.get("spark.graft.lsh.maxBucketSize", "100000").toInt
+    val wb = Window.partitionBy("bkt").orderBy(asc("vec_id"))
+    e.withColumn("brk", row_number().over(wb))
+      .filter(col("brk") <= cap).drop("brk")
+  }
 
   /** Materialized quantized vectors: stops projection collapse from
     * re-inlining the quantization transform into every per-pair dot
@@ -70,7 +95,7 @@ object EmbeddingQueries extends QueryPack {
     // LSH variant: candidates restricted to the query's hyperplane-sign
     // bucket; top-5 by the same exact dot product.
     "emb_knn_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt"))
       val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("bkt"))
@@ -91,7 +116,7 @@ object EmbeddingQueries extends QueryPack {
     // is the same broadcast-queries × corpus-scan plan as emb_knn, so
     // measuring recall on an N-query sample costs one corpus pass.
     "emb_lsh_recall" -> ((s, dir) => {
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt").as("qbkt"))
       val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"),
@@ -112,7 +137,8 @@ object EmbeddingQueries extends QueryPack {
     // quantized inner product ≥ threshold — candidate generation joins
     // on the bucket key, never all-pairs.
     "emb_neardup" -> ((s, dir) => {
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q")} as bkt")
+      val e = capBuckets(s,
+        emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt"))
       val a = e.select(col("bkt"), col("vec_id").as("v1"), col("q").as("q1"))
       val b = e.select(col("bkt"), col("vec_id").as("v2"), col("q").as("q2"))
       a.join(b, Seq("bkt"))
