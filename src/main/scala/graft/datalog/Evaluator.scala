@@ -278,18 +278,46 @@ final class Evaluator(
     * whose frontier is small (e.g. single-source shortest paths). The
     * reference gets the same effect from within-task iteration for
     * decomposable programs (FixedPointResultTask, SURVEY.md §2.5). */
-  private def materialize(df: DataFrame): (DataFrame, Long) = {
-    val (ck0, n) = org.apache.spark.sql.GraftColumnBridge.localCheckpointCounted(df)
-    val ck = track(ck0)
-    if (localizable(n, ck)) {
-      val spark = org.apache.spark.sql.SparkSession.active
-      import scala.jdk.CollectionConverters._
-      val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
-      retire(ck) // the checkpoint's blocks are dead once localized
-      localizedSlices += 1
-      (local, n)
-    } else (ck, n)
+  private def materialize(df: DataFrame, preferLocal: Boolean = false)
+      : (DataFrame, Long) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import scala.jdk.CollectionConverters._
+    // Small-frontier fast path (job-latency amortization, the driver-side
+    // analog of the reference's within-task iteration,
+    // FixedPointResultTask.scala:29-126): when the caller knows the
+    // previous delta was already a LocalRelation — or the plan itself is
+    // driver-local — collect the iteration result DIRECTLY instead of
+    // checkpoint+count+collect, halving the cluster jobs a tiny-frontier
+    // iteration schedules. A frontier that explodes past the local caps
+    // falls back to the checkpointed path with the rows it already has.
+    if (preferLocal && !conf.logPlans) {
+      val rows = df.collect()
+      val n = rows.length.toLong
+      if (n == 0 || localizable(n, df)) {
+        if (n > 0) localizedSlices += 1
+        (spark.createDataFrame(rows.toSeq.asJava, df.schema), n)
+      } else
+        materialize(spark.createDataFrame(rows.toSeq.asJava, df.schema))
+    } else {
+      val (ck0, n) = org.apache.spark.sql.GraftColumnBridge.localCheckpointCounted(df)
+      val ck = track(ck0)
+      if (localizable(n, ck)) {
+        val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
+        retire(ck) // the checkpoint's blocks are dead once localized
+        localizedSlices += 1
+        (local, n)
+      } else (ck, n)
+    }
   }
+
+  /** True when every leaf of the plan is driver-side (LocalRelation /
+    * empty) — collecting it schedules no cluster work at all. */
+  private def driverLocalPlan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _ => false
+    }
 
   /** One disjoint slice of a predicate's accumulated fact set: either a
     * co-partitioned claimed-HashPartitioning checkpoint (anti-joins
@@ -329,6 +357,103 @@ final class Evaluator(
     var delta = Map[String, Slice]()
     // schema prototypes so an empty fixpoint still yields a typed result
     var proto = Map[String, DataFrame]()
+
+    // Driver-resident frontier mode (job-latency amortization for tiny
+    // fixpoints — the driver-side analog of the reference's within-task
+    // iteration, FixedPointResultTask.scala:29-126): while EVERY slice
+    // of a predicate stays a LocalRelation, its accumulated fact set is
+    // mirrored in a driver-side key set, so an iteration is ONE cluster
+    // job (collect the raw rule candidates) — dedup and the set
+    // difference against all prior facts run on the driver, and the
+    // whole fact set stays a single flat LocalRelation (joins against
+    // it broadcast; plans never deepen). The bound/magic fixpoints that
+    // alternate <30-row frontiers for ~15 iterations collapse from
+    // 4-stage shuffle jobs per pred/iteration to one narrow job each.
+    // A fact set that outgrows the local caps converts to a cluster
+    // slice and the predicate rejoins the scalable path permanently.
+    val seen = mutable.Map[String, mutable.Set[Seq[Any]]]()
+    val seenSchema = mutable.Map[String, org.apache.spark.sql.types.StructType]()
+    // driver-side dedup relies on Scala value equality of collected Row
+    // fields — sound for scalar types, not for nested/binary columns
+    def valueComparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    def initSeen(p: String, dfs: Seq[DataFrame]): Unit = {
+      val schema = dfs.head.schema
+      if (schema.forall(f => valueComparable(f.dataType)) &&
+          dfs.forall(_.schema.map(_.dataType) == schema.map(_.dataType))) {
+        seen(p) = mutable.Set[Seq[Any]](
+          dfs.flatMap(_.collect().map(_.toSeq)).toIndexedSeq: _*)
+        seenSchema(p) = schema
+      }
+    }
+    def localDF(p: String, keys: Iterable[Seq[Any]]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        keys.toSeq.map(org.apache.spark.sql.Row.fromSeq).asJava, seenSchema(p))
+    }
+    // Integral widening (the analyzer's own Int-vs-Long union coercion,
+    // which the cluster path gets for free from except/union): driver
+    // mode absorbs it by widening the stored keys once instead of
+    // abandoning the mode on the first Int-seed/Long-EDB program.
+    // Fractional/decimal mixes bail to the cluster path.
+    def intRank(dt: org.apache.spark.sql.types.DataType): Option[Int] = dt match {
+      case org.apache.spark.sql.types.ByteType => Some(1)
+      case org.apache.spark.sql.types.ShortType => Some(2)
+      case org.apache.spark.sql.types.IntegerType => Some(3)
+      case org.apache.spark.sql.types.LongType => Some(4)
+      case _ => None
+    }
+    def widen(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.types.DataType] =
+      if (a == b) Some(a)
+      else (intRank(a), intRank(b)) match {
+        case (Some(x), Some(y)) => Some(if (x > y) a else b)
+        case _ => None
+      }
+    def castVal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = v match {
+      case null => null
+      case n: java.lang.Number => dt match {
+        case org.apache.spark.sql.types.ByteType => n.byteValue()
+        case org.apache.spark.sql.types.ShortType => n.shortValue()
+        case org.apache.spark.sql.types.IntegerType => n.intValue()
+        case org.apache.spark.sql.types.LongType => n.longValue()
+        case _ => v
+      }
+      case _ => v
+    }
+    /** Per-column target types for driver mode, or None → cluster path. */
+    def driverTargets(p: String, u: DataFrame)
+        : Option[Seq[org.apache.spark.sql.types.DataType]] =
+      seenSchema.get(p).flatMap { ss =>
+        if (conf.logPlans) None
+        else {
+          val st = ss.map(_.dataType)
+          val ut = u.schema.map(_.dataType)
+          if (st.length != ut.length) None
+          else {
+            val ws = st.zip(ut).map { case (a, b) => widen(a, b) }
+            if (ws.forall(_.isDefined)) Some(ws.map(_.get)) else None
+          }
+        }
+      }
+    /** Widen the stored keys/schema to `targets` (no-op when equal). */
+    def rewidenSeen(p: String,
+        targets: Seq[org.apache.spark.sql.types.DataType]): Unit = {
+      val ss = seenSchema(p)
+      if (ss.map(_.dataType) != targets) {
+        seenSchema(p) = org.apache.spark.sql.types.StructType(
+          ss.zip(targets).map { case (f, t) => f.copy(dataType = t) })
+        val rebuilt = seen(p).map(k => k.zip(targets).map {
+          case (v, t) => castVal(v, t) })
+        seen(p) = mutable.Set[Seq[Any]](rebuilt.toSeq: _*)
+      }
+    }
 
     val stable = preds.map(p => p -> stablePositions(clique, p)).toMap
     val copart = copartitionEnabled(
@@ -394,7 +519,24 @@ final class Evaluator(
       * that is physically hash-partitioned on the pivot; the claim is
       * validated against the executed plan and dropped if the layout
       * does not hold (self-healing: the next iteration repartitions). */
-    def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int): (Slice, Long) = {
+    def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int,
+        preferLocal: Boolean = false): (Slice, Long) = {
+      // small-frontier fast path — see materialize(); a local slice
+      // needs no partitioning claim (joins against it broadcast)
+      if (preferLocal && !conf.logPlans) {
+        import scala.jdk.CollectionConverters._
+        val rows = df.collect()
+        val n = rows.length.toLong
+        if (n == 0 || localizable(n, df)) {
+          if (n > 0) localizedSlices += 1
+          return (Slice(spark.createDataFrame(rows.toSeq.asJava, df.schema),
+            isLocal = true), n)
+        }
+        val back = spark.createDataFrame(rows.toSeq.asJava, df.schema)
+        return sliceOf(
+          back.repartition(nParts, pivot.map(back.col).toIndexedSeq: _*),
+          pivot, pred, iter)
+      }
       val (ck, held, n) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, pivot, nParts)
       track(ck)
@@ -441,14 +583,17 @@ final class Evaluator(
           .reduce(_ union _)
         proto += p -> u
         val seeded = exitFilter.get(p).map(f => f(u)).getOrElse(u)
+        val seedLocal = exitFilter.contains(p) || driverLocalPlan(seeded)
         if (copart) {
           val pv = pivotCols(p, u)
-          val (s, n) = sliceOf(repDedup(seeded, pv), pv, p, 0)
+          val (s, n) = sliceOf(repDedup(seeded, pv), pv, p, 0, seedLocal)
           if (n > 0) { chains += p -> Vector(s); delta += p -> s }
         } else {
-          val (d, n) = materialize(seeded.distinct())
+          val (d, n) = materialize(seeded.distinct(), seedLocal)
           if (n > 0) {
-            val s = Slice(d, isLocal = false)
+            val local = driverLocalPlan(d)
+            if (local) initSeen(p, Seq(d))
+            val s = Slice(d, isLocal = local)
             chains += p -> Vector(s); delta += p -> s
           }
         }
@@ -460,10 +605,19 @@ final class Evaluator(
       iter += 1
       if (iter > maxIterations)
         throw new EvalException(s"fixpoint exceeded $maxIterations iterations")
-      val allView = preds.flatMap(p => allOf(p).map(p -> _)).toMap
-      val deltaView = delta.view.mapValues(_.df).toMap
       var newDelta = Map[String, Slice]()
       for (p <- preds) {
+        // Gauss-Seidel views: a predicate consumes deltas (and reads
+        // fact sets) produced by predicates evaluated EARLIER in this
+        // same round — sound for monotone semi-naive (each producer
+        // delta is consumed exactly once per consumer, in the
+        // consumer's next evaluation after the delta's creation), and
+        // it halves the rounds of alternating mutual cliques (a magic
+        // rewrite's m→answer hop happens within one round instead of
+        // two). Re-consumption of a still-standing old delta is
+        // deduplicated away by the diff, never wrong.
+        val allView = preds.flatMap(q => allOf(q).map(q -> _)).toMap
+        val deltaView = (delta ++ newDelta).view.mapValues(_.df).toMap
         val statT0 = System.nanoTime()
         val contribs = clique.recursiveRules(p)
           .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
@@ -504,7 +658,8 @@ final class Evaluator(
               delta.get(p).exists(s => s.claimed && !s.isLocal)
             val candidate =
               if (skipRepart) u.dropDuplicates() else repDedup(u, pv)
-            val (s, n) = sliceOf(diffChain(candidate, chain), pv, p, iter)
+            val (s, n) = sliceOf(diffChain(candidate, chain), pv, p, iter,
+              preferLocal = delta.get(p).exists(_.isLocal))
             recordStat(p, iter, n, statT0)
             if (n > 0) {
               newDelta += p -> s
@@ -533,14 +688,44 @@ final class Evaluator(
               }
               chains += p -> next
             }
+          } else if (driverTargets(p, u).isDefined) {
+            // driver-resident frontier: one narrow job collects the raw
+            // candidates; dedup + diff against all prior facts are
+            // driver-side set operations, and the fact set stays ONE
+            // flat LocalRelation
+            val targets = driverTargets(p, u).get
+            rewidenSeen(p, targets)
+            val set = seen(p)
+            val fresh = mutable.LinkedHashSet[Seq[Any]]()
+            u.collect().foreach { r =>
+              val k = r.toSeq.zip(targets).map { case (v, t) => castVal(v, t) }
+              if (!set.contains(k)) fresh += k
+            }
+            recordStat(p, iter, fresh.size.toLong, statT0)
+            if (fresh.nonEmpty) {
+              set ++= fresh
+              localizedSlices += 1
+              newDelta += p -> Slice(localDF(p, fresh), isLocal = true)
+              val allDf = localDF(p, set)
+              if (localizable(set.size.toLong, allDf)) {
+                chains += p -> Vector(Slice(allDf, isLocal = true))
+              } else {
+                // outgrew the local caps: convert to a cluster slice and
+                // leave driver mode for good (scalable path from here on)
+                val (d2, _) = materialize(allDf)
+                chains += p -> Vector(Slice(d2, isLocal = false))
+                seen -= p; seenSchema -= p
+              }
+            }
           } else {
+            seen -= p; seenSchema -= p // schema drift / logplans: stay off
             val (d, n) = materialize(allOf(p) match {
               case Some(a) => u.except(a)
               case None => u.distinct()
-            })
+            }, preferLocal = delta.get(p).exists(_.isLocal))
             recordStat(p, iter, n, statT0)
             if (n > 0) {
-              val s = Slice(d, isLocal = false)
+              val s = Slice(d, isLocal = driverLocalPlan(d))
               newDelta += p -> s
               var next = chain :+ s
               // compact the union chain so per-iteration analysis and
@@ -559,6 +744,11 @@ final class Evaluator(
                 next = Vector(Slice(c, isLocal = false))
               }
               chains += p -> next
+              // a predicate whose whole fact set is (or became) local
+              // enters driver-resident mode from the next iteration —
+              // covers preds with no exit rules (their first delta
+              // arrives here, e.g. the answer pred of a magic rewrite)
+              if (next.forall(_.isLocal)) initSeen(p, next.map(_.df))
             }
           }
         }

@@ -120,4 +120,32 @@ class BoundPushdownSpec extends DatalogSuite {
     assert(pushed)
     assert(rows == Set("[0,5]"))
   }
+
+  test("tiny-frontier bound fixpoint amortizes job latency (driver mode)") {
+    // a 40-hop chain bound at its head: ~40 alternating magic/answer
+    // iterations over 1-row frontiers. With the driver-resident frontier
+    // (dedup/diff as driver set ops, one narrow job per iteration,
+    // Gauss-Seidel round fusion) the whole fixpoint schedules a bounded
+    // number of jobs — without it, checkpoint+count+collect per pred per
+    // iteration schedules several hundred. The bound is generous (4x the
+    // observed count) so it only trips on a structural regression.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val nl = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), tc(C,B)."
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(db + nl)
+    ctx.registerData("arc", (0 until 40).map(i => s"$i,${i + 1}"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = ctx.queryStrings("tc(35,B).").toSet
+      assert(rows == (36 to 40).map(b => s"[35,$b]").toSet)
+      Thread.sleep(500) // let queued job-start events drain
+      assert(jobs.get < 300,
+        s"bound fixpoint scheduled ${jobs.get} jobs — driver-mode amortization regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
