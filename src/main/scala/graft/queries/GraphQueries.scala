@@ -47,6 +47,48 @@ object GraphQueries extends QueryPack {
               expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"))
         }
         pr
+      }),
+
+    // Open-ended PageRank: iterate until the EXACT integer fixed point
+    // (the ×10^6 floor arithmetic quantizes updates, and the edge DAG
+    // has no cycles, so ranks stop changing after ~depth rounds — no
+    // float epsilon needed, and the DuckDB oracle can find the same
+    // round). Each round localCheckpoints the new state (lineage stays
+    // O(1), the Datalog fixpoints' hygiene) and releases the superseded
+    // round's blocks; the convergence probe is one join + isEmpty.
+    "graph_pagerank_conv" -> ((s, dir) =>
+      PackResources.checkpoint(s, dir, "graph_pagerank_conv") {
+        val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
+        val nodes = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("x"))
+        val outdeg = arc.groupBy("x").agg(count(lit(1)).as("d"))
+        val edges = PackResources.checkpoint(s, dir, "graph_pagerank_edges")(
+          arc.join(outdeg, "x").select(col("x"), col("y"), col("d")))
+        val maxRounds = 64
+        var pr = nodes.select(col("x"), lit(1000000L).as("p")).localCheckpoint()
+        var rounds = 0
+        var converged = false
+        while (!converged && rounds < maxRounds) {
+          rounds += 1
+          val sums = pr.join(edges, "x")
+            .select(col("y").as("x"), expr("p div d").as("c"))
+            .groupBy("x").agg(sum("c").as("s"))
+          val next = nodes.join(sums, Seq("x"), "left")
+            .select(col("x"),
+              expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"))
+            .localCheckpoint()
+          converged = next
+            .join(pr.select(col("x"), col("p").as("po")), "x")
+            .filter(col("p") =!= col("po")).isEmpty
+          // the superseded round's blocks are dead once `next` is
+          // materialized and compared
+          org.apache.spark.sql.GraftColumnBridge.checkpointedRDD(pr)
+            .foreach(_.unpersist(blocking = false))
+          pr = next
+        }
+        require(converged, s"PageRank did not reach its integer fixed " +
+          s"point within $maxRounds rounds")
+        pr
       }))
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +108,37 @@ object GraphQueries extends QueryPack {
           pr0 AS (SELECT v, CAST(1000000 AS BIGINT) AS p FROM nodes),
           ${(1 to Iters).map(step).mkString(",\n")}
           SELECT CAST(v AS BIGINT) AS x, CAST(p AS BIGINT) AS p FROM pr$Iters"""
-    })
+    },
+    // Iterate-to-convergence oracle: the recursive CTE carries (it, v, p)
+    // full states (aug adds a zero-contribution self-loop per node so
+    // every node survives each round through the single recursive
+    // reference); the outer query picks the FIRST round whose state
+    // equals the previous one — the same exact integer fixed point the
+    // Spark loop stops at.
+    "graph_pagerank_conv" ->
+      s"""WITH RECURSIVE ${DatalogQueries.arcSql},
+          outd AS (SELECT src, count(*) AS d FROM arc GROUP BY src),
+          nodes AS (SELECT c_custkey AS v FROM customer),
+          aug AS (
+            SELECT arc.src, arc.dst, outd.d, TRUE AS re
+            FROM arc JOIN outd ON outd.src = arc.src
+            UNION ALL
+            SELECT v, v, 1, FALSE FROM nodes),
+          pr(it, v, p) AS (
+            SELECT 0, v, CAST(1000000 AS BIGINT) FROM nodes
+            UNION ALL
+            SELECT pr.it + 1, aug.dst,
+              CAST(150000 + (850000 * SUM(CASE WHEN aug.re
+                THEN pr.p // aug.d ELSE 0 END)) // 1000000 AS BIGINT)
+            FROM pr JOIN aug ON aug.src = pr.v
+            WHERE pr.it < 64
+            GROUP BY pr.it, aug.dst),
+          diffs AS (
+            SELECT a.it, max(abs(a.p - b.p)) AS md
+            FROM pr a JOIN pr b ON b.v = a.v AND b.it = a.it - 1
+            GROUP BY a.it),
+          conv AS (SELECT min(it) AS k FROM diffs WHERE md = 0)
+          SELECT CAST(pr.v AS BIGINT) AS x, CAST(pr.p AS BIGINT) AS p
+          FROM pr, conv WHERE pr.it = conv.k"""
+  )
 }
