@@ -76,7 +76,54 @@ final case class DatalogConf(
     storageLevel: String = "MEMORY_AND_DISK")
 
 object DatalogConf {
-  def from(spark: SparkSession): DatalogConf = DatalogConf(
+
+  /** Reference conf-key compatibility (the BigDatalog README's tuning
+    * table): a user porting a reference tuning script gets the native
+    * equivalent engaged (or a documented no-op) plus a one-line mapping
+    * warning instead of a silently ignored key.
+    *
+    *  - `spark.datalog.recursion.version` (ref Recursion.scala:30-228,
+    *    v1/v2/v3): v1 = one except-shuffle per iteration, v2/v3 =
+    *    partition-aware set structures → maps onto
+    *    `spark.datalog.recursion.copartition.enabled` (false / true).
+    *    An explicit native copartition key wins over the mapped one.
+    *  - `spark.datalog.shuffledistinct.enabled` (ref
+    *    ShuffleDistinct.scala:27-151): map-side pre-shuffle dedup —
+    *    always on here (Tungsten partial aggregation), accepted no-op.
+    *  - `spark.datalog.monotonicaggregate.usepartial` (ref
+    *    MonotonicAggregatePartial.scala): partial aggregation before
+    *    the shuffle — always on here, accepted no-op. */
+  def referenceMappings(spark: SparkSession): Seq[String] = {
+    val notes = Seq.newBuilder[String]
+    spark.conf.getOption("spark.datalog.recursion.version").foreach { v =>
+      val target = if (v.trim == "1") "false" else "true"
+      notes += s"spark.datalog.recursion.version=$v accepted: mapped to " +
+        s"spark.datalog.recursion.copartition.enabled=$target " +
+        "(v1 = per-iteration except shuffle; v2/v3 = partition-aware slice chain)"
+    }
+    spark.conf.getOption("spark.datalog.shuffledistinct.enabled").foreach { v =>
+      notes += s"spark.datalog.shuffledistinct.enabled=$v accepted: map-side " +
+        "pre-shuffle dedup is always on (Tungsten partial aggregation " +
+        "performs the reference's ShuffleDistinct)"
+    }
+    spark.conf.getOption("spark.datalog.monotonicaggregate.usepartial").foreach { v =>
+      notes += s"spark.datalog.monotonicaggregate.usepartial=$v accepted: " +
+        "partial aggregation before the monotonic-aggregate shuffle is always on"
+    }
+    notes.result()
+  }
+
+  private val warned = scala.collection.concurrent.TrieMap[String, Unit]()
+  private def warnOnce(msg: String): Unit =
+    if (warned.putIfAbsent(msg, ()).isEmpty)
+      System.err.println(s"[graft.datalog] $msg")
+
+  def from(spark: SparkSession): DatalogConf = {
+    referenceMappings(spark).foreach(warnOnce)
+    fromResolved(spark)
+  }
+
+  private def fromResolved(spark: SparkSession): DatalogConf = DatalogConf(
     unionDistinct =
       spark.conf.get("spark.datalog.uniondistinct.enabled", "true").toBoolean,
     joinType = spark.conf.get("spark.datalog.jointype", "auto"),
@@ -88,8 +135,12 @@ object DatalogConf {
       spark.conf.get("spark.datalog.recursion.localDeltaBytes",
         (4L * 1024 * 1024).toString).toLong,
     copartitionMode = {
+      // mapped reference key engages unless the native key is explicit
+      val mapped = spark.conf.getOption("spark.datalog.recursion.version")
+        .map(v => if (v.trim == "1") "false" else "true")
       val v = spark.conf
-        .get("spark.datalog.recursion.copartition.enabled", "auto")
+        .getOption("spark.datalog.recursion.copartition.enabled")
+        .orElse(mapped).getOrElse("auto")
         .trim.toLowerCase
       require(Set("auto", "true", "false")(v),
         s"spark.datalog.recursion.copartition.enabled must be auto|true|false, got '$v'")

@@ -164,4 +164,40 @@ class ConfSpec extends AnyFunSuite {
     assert(stats.exists(_._1 == "tc"),
       s"nested fixpoint stats must surface through the outer evaluator: $stats")
   }
+
+  test("reference conf keys are accepted and mapped, not silently ignored") {
+    // recursion.version maps onto the copartition mode (v1 = legacy
+    // except shuffle, v2/v3 = partition-aware slice chain)
+    withConf("spark.datalog.recursion.version" -> "1") {
+      assert(DatalogConf.from(spark).copartitionMode == "false")
+    }
+    withConf("spark.datalog.recursion.version" -> "2") {
+      assert(DatalogConf.from(spark).copartitionMode == "true")
+    }
+    // the explicit native key wins over the mapped reference key
+    withConf("spark.datalog.recursion.version" -> "2",
+      "spark.datalog.recursion.copartition.enabled" -> "false") {
+      assert(DatalogConf.from(spark).copartitionMode == "false")
+    }
+    // no-op acceptances still produce a mapping note each
+    withConf("spark.datalog.shuffledistinct.enabled" -> "true",
+      "spark.datalog.monotonicaggregate.usepartial" -> "true") {
+      val notes = DatalogConf.referenceMappings(spark)
+      assert(notes.exists(_.contains("shuffledistinct")), notes.mkString("; "))
+      assert(notes.exists(_.contains("monotonicaggregate")), notes.mkString("; "))
+    }
+    // and the mapped mode actually engages: under version=2 the fixpoint
+    // runs the copartition (claimed-slice) path end-to-end
+    val rows = withConf("spark.datalog.recursion.version" -> "2",
+      "spark.datalog.recursion.localDeltaRows" -> "0") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + tc)
+      ctx.registerData("arc", Fixtures.graph1b)
+      val r = ctx.queryStrings("tc(A,B).").toSet
+      assert(ctx.lastPivot.nonEmpty,
+        "copartition pivot bookkeeping did not engage under recursion.version=2")
+      r
+    }
+    assert(rows.nonEmpty)
+  }
 }
