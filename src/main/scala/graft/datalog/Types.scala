@@ -3,8 +3,11 @@ package graft.datalog
 import org.apache.spark.sql.types._
 
 /** Declared-type mapping (reference: dl/Utilities.scala:63-83 maps the 8
-  * supported DeAL types to Spark types; 128/256-bit ints unsupported
-  * there too). */
+  * supported DeAL types to Spark types; 128/256-bit ints — DbLongLong /
+  * DbLongLongLongLong at dl/Utilities.scala:34-45 — throw "unsupported"
+  * there. We EXCEED that: `decimal` maps to DecimalType(38,0), exact
+  * 128-bit integer arithmetic, the declared upgrade path SURVEY.md §1
+  * notes). */
 object Types {
   def sparkType(name: String): DataType = name.toLowerCase match {
     case "byte" => ByteType
@@ -15,6 +18,7 @@ object Types {
     case "double" => DoubleType
     case "string" => StringType
     case "datetime" | "date" => DateType
+    case "decimal" => DecimalType(38, 0)
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
 
@@ -29,6 +33,7 @@ object Types {
     case DoubleType => value.toDouble
     case StringType => value
     case DateType => java.sql.Date.valueOf(value)
+    case _: DecimalType => new java.math.BigDecimal(value)
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
 }

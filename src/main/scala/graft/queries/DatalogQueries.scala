@@ -232,6 +232,26 @@ object DatalogQueries extends QueryPack {
       c.query("segcount(S, N).")
     }),
 
+    // Decimal-typed EDB (EXCEEDS the reference: its DbLongLong 128-bit
+    // converters throw "unsupported", dl/Utilities.scala:34-45; our
+    // `decimal` declaration maps to DecimalType(38,0)): exact integer-
+    // cents totals per customer, summed and filtered in 128-bit decimal
+    // arithmetic — no double roundoff, so the hash compare is exact.
+    "dl_custsum_decimal" -> ((s, dir) => {
+      val c = PackResources.context(s, dir, "dl_custsum_decimal") {
+        val c0 = new DatalogContext(s)
+        c0.loadProgram(
+          "database({ord(C:long, P:decimal)}). " +
+            "ctot(C, sum<P>) <- ord(C, P). " +
+            "big(C, T) <- ctot(C, T), T >= 50000000.")
+        c0.registerTable("ord", Tables.load(s, dir, "orders").selectExpr(
+          "o_custkey as c",
+          "cast(round(o_totalprice * 100, 0) as decimal(38,0)) as p"))
+        c0
+      }
+      c.query("big(C, T).")
+    }),
+
     // DAG path counting via msum<(K,V)> support-set monotonic
     // aggregation — BEYOND the reference (mcount/msum are its declared
     // TODO, AggregateSetRDD.scala:146-147): per node, sum over distinct
@@ -395,6 +415,13 @@ object DatalogQueries extends QueryPack {
       "dl_segcount" ->
         """SELECT c_mktsegment AS s, CAST(count(c_custkey) AS BIGINT) AS n
            FROM customer GROUP BY c_mktsegment""",
+      "dl_custsum_decimal" ->
+        """SELECT o_custkey AS c,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS t
+           FROM orders GROUP BY o_custkey
+           HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0)))
+             >= 50000000""",
       "dl_pairs_countd" ->
         s"""WITH $arcSql,
             pairs AS (

@@ -57,4 +57,18 @@ class SchemaCoercionSpec extends AnyFunSuite {
       ctx.close()
     }
   }
+
+  test("decimal EDB: 128-bit exact sums beyond long range (exceeds reference)") {
+    // 2^63 ≈ 9.2e18; two 9e18 values overflow long but sum exactly in
+    // DecimalType(38,0) — the reference's DbLongLong converters throw
+    // "unsupported" here (dl/Utilities.scala:34-45)
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(
+      "database({v(K:long, P:decimal)}). tot(K, sum<P>) <- v(K, P).")
+    ctx.registerData("v",
+      Seq("1,9000000000000000000", "1,9000000000000000000", "2,5"))
+    val rows = ctx.queryStrings("tot(K,S).").toSet
+    assert(rows == Set("[1,18000000000000000000]", "[2,5]"), rows)
+    ctx.close()
+  }
 }
