@@ -992,9 +992,12 @@ final class Evaluator(
         // rule for p and an empty m leaves p without a schema prototype.
         // The original exit rule compiled against the full EDB supplies
         // the schema; the result is the correctly-typed empty frame.
+        // (boundQueryDF guarantees exitRules nonempty before rewriting;
+        // headOption keeps a future direct caller from trading the typed
+        // recovery for a NoSuchElementException.)
         case _: Evaluator#NoSchemaException =>
-          Some(RuleCompiler.compile(exitRules.head, baseResolver)
-            .filter(lit(false)))
+          exitRules.headOption.map(r =>
+            RuleCompiler.compile(r, baseResolver).filter(lit(false)))
       }
     // surface the nested fixpoint's per-iteration stats as our own
     if (conf.collectStats) iterationStats ++= ev2.iterationStats

@@ -49,7 +49,11 @@ class TemporalSpec extends AnyFunSuite {
       val in = events.filter(e => e._3 >= lo && e._3 < hi)
       if (in.isEmpty) None
       else Some((k, in.length.toLong,
-        in.map(e => math.round(e._5 * 100)).sum))
+        // HALF_UP matches Spark's round(x, 0) (half away from zero);
+        // math.round (half toward +Inf) would disagree on negative
+        // half-cent values if the generator ever emitted them
+        in.map(e => BigDecimal(e._5 * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum))
     }.toSet
     val got = run("evt_range_join").collect().map(r =>
       (r.getAs[Long]("k"), r.getAs[Long]("n"),
