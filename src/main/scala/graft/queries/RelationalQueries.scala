@@ -307,7 +307,23 @@ object RelationalQueries extends QueryPack {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           cents(col("value")).as("sum_value_cents"))
-    })
+    }),
+
+    // Salted skew join (the manual skew weapon the brief calls for, for
+    // when AQE's skew splitter can't apply — e.g. the build side must
+    // shuffle too, or the skew is in an aggregation feeding the join):
+    // the fact side salts each ROW by a uniform row-local value, the dim
+    // side replicates once per salt, and the join key becomes
+    // (key, salt) — a key with 10^9 rows spreads over SALT_R reducers
+    // instead of melting one. Salting is result-invariant, so the plain
+    // join is the oracle.
+    "q31_salted_join" -> ((s, dir) =>
+      SkewOps.saltedJoinAgg(
+        t(s, dir, "events")
+          .selectExpr("user_id", "event_id",
+            "cast(round(value * 100, 0) as bigint) as cents"),
+        t(s, dir, "customer").selectExpr("c_custkey", "c_mktsegment"))
+        .toDF("segment", "n", "sum_cents"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +425,11 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag,
          quantile_cont(CAST(ROUND(l_extendedprice*100,0) AS BIGINT), 0.5) AS median_cents
          FROM lineitem GROUP BY l_returnflag""",
+    "q31_salted_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
     "q29_lag" ->
       """SELECT o_custkey, o_orderkey,
          CAST(COALESCE(date_diff('day',
