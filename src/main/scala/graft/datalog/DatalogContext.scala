@@ -212,6 +212,22 @@ final class DatalogContext(val spark: SparkSession) {
   /** Did the most recent `query` push bound arguments into the fixpoint? */
   def lastBoundPushdown: Boolean = evaluator.exists(_.lastBoundPushdown)
 
+  /** Single-`explain` rendering of the WHOLE recursion behind `pred`:
+    * clique classification, pivot decision, optimized exit plan, and
+    * every recursive rule's one-iteration template plan per semi-naive
+    * variant (Δ/ALL placeholder leaves) — composed WITHOUT running the
+    * fixpoint. The reference shows one Catalyst tree per recursive
+    * query via its custom logical operators
+    * (dl/logical/operators.scala:23-31); this is the driver-loop
+    * engine's equivalent surface. */
+  def explainRecursion(pred: String): String = {
+    val ev = evaluator.getOrElse {
+      val e = new Evaluator(analysis, edb, DatalogConf.from(spark))
+      evaluator = Some(e); e
+    }
+    ev.explainRecursion(pred)
+  }
+
   /** Pivot positions chosen for the most recent recursive clique. */
   def lastPivot: Map[String, Seq[Int]] =
     evaluator.map(_.lastPivot).getOrElse(Map.empty)

@@ -80,6 +80,107 @@ final class Evaluator(
 
   private def baseResolver: RuleCompiler.Resolver = (pred, _) => predDF(pred)
 
+  /** Single-`explain` rendering of a WHOLE recursion — the reference
+    * shows one Catalyst tree per recursive query through its custom
+    * logical operators (dl/logical/operators.scala:23-31); our fixpoint
+    * is a driver loop, so a DataFrame `explain` shows one iteration
+    * only. This composes the full story without running the fixpoint:
+    * clique classification, pivot/partitioning decision, the optimized
+    * EXIT plan, and each recursive rule's one-iteration TEMPLATE plan
+    * per semi-naive variant, with `Δpred` / `ALLpred` placeholder
+    * leaves (empty LocalRelations whose column names mark the leaf) in
+    * the positions the loop feeds the delta / accumulated set. */
+  def explainRecursion(p: String): String = {
+    require(analysis.isIdb(p) && analysis.isRecursive(p),
+      s"$p is not a recursive IDB predicate")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val clique = analysis.cliqueOf(p)
+    val preds = clique.preds.toSeq.sorted
+    val sb = new StringBuilder
+
+    // schema prototypes: exit rules compile directly; preds whose first
+    // facts only arrive through recursive rules (magic answer preds)
+    // resolve once the other placeholders exist
+    val schemas = mutable.Map[String, org.apache.spark.sql.types.StructType]()
+    def placeholder(tag: String, q: String): DataFrame = {
+      val base = schemas(q)
+      val marked = org.apache.spark.sql.types.StructType(
+        base.zipWithIndex.map { case (f, i) =>
+          f.copy(name = s"$tag${q}_$i") })
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), marked)
+    }
+    val exitPlans = mutable.Map[String, DataFrame]()
+    for (q <- preds; exits = clique.exitRules(q) if exits.nonEmpty) {
+      val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
+        .reduce(_ union _)
+      exitPlans(q) = u
+      schemas(q) = u.schema
+    }
+    var progress = true
+    while (progress && schemas.size < preds.size) {
+      progress = false
+      for (q <- preds if !schemas.contains(q);
+           r <- clique.recursiveRules(q).headOption) {
+        try {
+          val df = RuleCompiler.compile(r, (pred, _) =>
+            if (clique.preds(pred)) {
+              if (!schemas.contains(pred)) throw new RuleCompiler.SkipRule
+              placeholder("ALL", pred)
+            } else predDF(pred))
+          schemas(q) = df.schema; progress = true
+        } catch { case _: RuleCompiler.SkipRule => }
+      }
+    }
+
+    val stable = preds.map(q => q -> stablePositions(clique, q)).toMap
+    sb ++= s"RecursiveUnion [${preds.mkString(", ")}]" +
+      s" (${if (clique.monotonic) "monotonic-aggregate" else "semi-naive PSN"}" +
+      s"${if (preds.size > 1) ", mutual round-robin (Gauss-Seidel)" else ""})\n"
+    for (q <- preds) {
+      val pivot = pivotOverride(q).getOrElse(
+        if (stable(q).nonEmpty) stable(q) else Seq(0))
+      sb ++= s": $q  pivot=${pivot.mkString("[", ",", "]")}" +
+        s"${if (stable(q).nonEmpty) s" (stable positions ${stable(q).mkString("[", ",", "]")})" else " (default col 0)"}\n"
+    }
+    for (q <- preds) {
+      sb ++= s"\n=== exit rules: $q ===\n"
+      exitPlans.get(q) match {
+        case Some(df) => sb ++= df.queryExecution.optimizedPlan.toString
+        case None => sb ++= "(none — first facts arrive through the " +
+          "recursive rules; typical for magic-rewrite answer predicates)\n"
+      }
+      sb ++= s"\n=== one iteration: $q (one variant per recursive occurrence; " +
+        "Δ = that occurrence fed the delta, ALL = accumulated set) ===\n"
+      for ((r, ri) <- clique.recursiveRules(q).zipWithIndex) {
+        val k = r.bodyAtoms.count(a => clique.preds(a.pred))
+        for (chosen <- 0 until k) {
+          try {
+            val occSeen = mutable.Map[String, Int]().withDefaultValue(0)
+            val order = mutable.Buffer[(String, Int)]()
+            // occurrence index across the rule, matching the loop's
+            // variantResolver numbering
+            val df = RuleCompiler.compile(r, (pred, occ) =>
+              if (clique.preds(pred)) {
+                val globalIdx = order.length
+                order += ((pred, occ))
+                if (globalIdx == chosen) placeholder("Δ", pred)
+                else placeholder("ALL", pred)
+              } else predDF(pred))
+            sb ++= s"-- rule ${ri + 1}, variant ${chosen + 1}/$k --\n"
+            // ANALYZED, not optimized: the optimizer's
+            // PropagateEmptyRelation would fold the whole template into
+            // an empty relation through the empty placeholder leaves.
+            // Runtime shapes are captured by `recursion.logplans`; this
+            // is the structural template.
+            sb ++= df.queryExecution.analyzed.toString
+          } catch { case _: RuleCompiler.SkipRule | _: RuleCompiler.CompileException => }
+        }
+      }
+    }
+    sb.result()
+  }
+
   private def evalNonRecursive(p: String): DataFrame = {
     val rules = analysis.rulesFor(p)
     val dfs = rules.map(r => RuleCompiler.compile(r, baseResolver))
