@@ -16,7 +16,9 @@ object Bench {
     "dl_tc", "dl_tc_nl", "dl_sg", "dl_apsp", "dl_sssp", "dl_cc",
     "dl_paths_msum", "txt_minhash", "txt_lsh_pairs", "txt_dedup_exact",
     "txt_neardup_groups", "emb_knn", "emb_knn_lsh", "emb_ivf_search",
-    "mm_features", "stream_hourly", "evt_sessions")
+    "mm_features", "stream_hourly", "evt_sessions",
+    "dl_tc_bound", "stream_dedup_count", "stream_user_state",
+    "graph_pagerank_conv", "q31_salted_join")
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
