@@ -53,42 +53,79 @@ object GraphQueries extends QueryPack {
     // (the ×10^6 floor arithmetic quantizes updates, and the edge DAG
     // has no cycles, so ranks stop changing after ~depth rounds — no
     // float epsilon needed, and the DuckDB oracle can find the same
-    // round). Each round localCheckpoints the new state (lineage stays
-    // O(1), the Datalog fixpoints' hygiene) and releases the superseded
-    // round's blocks; the convergence probe is one join + isEmpty.
+    // round). Engineered to ONE Spark job and one shuffle per round:
+    //   - the state checkpoint CLAIMS hash(x) partitioning (validated),
+    //     so the rank⋈edges join and the rank⋈sums merge re-use the
+    //     state's layout — the only exchange is the destination-keyed
+    //     contribution aggregation;
+    //   - the old rank rides along through the round (`po`), so
+    //     convergence is a boolean column counted BY THE CHECKPOINT
+    //     MATERIALIZATION itself (accumulator) — no probe join, no
+    //     second job;
+    //   - each round localCheckpoints the new state (lineage stays
+    //     O(1), the Datalog fixpoints' hygiene) and releases the
+    //     superseded round's blocks.
     "graph_pagerank_conv" -> ((s, dir) =>
       PackResources.checkpoint(s, dir, "graph_pagerank_conv") {
+        import org.apache.spark.sql.GraftColumnBridge
         val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
         val nodes = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("x"))
         val outdeg = arc.groupBy("x").agg(count(lit(1)).as("d"))
         val edges = PackResources.checkpoint(s, dir, "graph_pagerank_edges")(
           arc.join(outdeg, "x").select(col("x"), col("y"), col("d")))
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // On local[N] the broadcast-everything rounds win (shuffles are
+        // memory copies; the same measured tradeoff as
+        // spark.datalog.recursion.copartition) — on a real cluster the
+        // claimed hash(x) layout saves a full-state exchange per round:
+        // conf-gated, default off, like the fixpoint copart path.
+        val copart =
+          s.conf.getOption("spark.graft.pagerank.copartition").exists(_.toBoolean)
         val maxRounds = 64
-        var pr = nodes.select(col("x"), lit(1000000L).as("p")).localCheckpoint()
+        val seedPlan = nodes.select(col("x"), lit(1000000L).as("p"))
+        var pr = GraftColumnBridge.checkpointWithPartitioning(
+          if (copart) seedPlan.repartition(parts, col("x")) else seedPlan,
+          Seq("x"), parts)._1
         var rounds = 0
         var converged = false
-        while (!converged && rounds < maxRounds) {
-          rounds += 1
-          val sums = pr.join(edges, "x")
-            .select(col("y").as("x"), expr("p div d").as("c"))
-            .groupBy("x").agg(sum("c").as("s"))
-          val next = nodes.join(sums, Seq("x"), "left")
-            .select(col("x"),
-              expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"))
-            .localCheckpoint()
-          converged = next
-            .join(pr.select(col("x"), col("p").as("po")), "x")
-            .filter(col("p") =!= col("po")).isEmpty
-          // the superseded round's blocks are dead once `next` is
-          // materialized and compared
-          org.apache.spark.sql.GraftColumnBridge.checkpointedRDD(pr)
-            .foreach(_.unpersist(blocking = false))
-          pr = next
-        }
+        // Local path: AQE's per-stage materialization jobs are ~all of
+        // the per-round cost on a small state (each round = 1 shuffle +
+        // 2 broadcast stages + final, ≥5 scheduled jobs); with the plan
+        // shape known and both build sides hinted, static planning runs
+        // a round in 2-3 jobs. The copart (cluster) path keeps AQE on:
+        // there the state is too big to broadcast and AQE's runtime
+        // sizing + skew handling earn their stage jobs.
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = s.conf.get(aqeKey, "true")
+        if (!copart) s.conf.set(aqeKey, "false")
+        try {
+          while (!converged && rounds < maxRounds) {
+            rounds += 1
+            val sums = pr
+              .join(if (copart) edges else broadcast(edges), "x")
+              .select(col("y").as("x"), expr("p div d").as("c"))
+              .groupBy("x").agg(sum("c").as("s"))
+            val nextPlan = pr.select(col("x"), col("p").as("po"))
+              .join(if (copart) sums else broadcast(sums), Seq("x"), "left")
+              .select(col("x"),
+                expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
+                col("po"))
+              .withColumn("chg", col("p") =!= col("po"))
+            val (next, _, _, changed) =
+              GraftColumnBridge.checkpointWithPartitioningFlagged(
+                nextPlan, Seq("x"), parts, "chg")
+            converged = changed == 0L
+            // the superseded round's blocks are dead once `next` is
+            // materialized and compared
+            GraftColumnBridge.checkpointedRDD(pr)
+              .foreach(_.unpersist(blocking = false))
+            pr = next
+          }
+        } finally if (!copart) s.conf.set(aqeKey, prevAqe)
         require(converged, s"PageRank did not reach its integer fixed " +
           s"point within $maxRounds rounds")
-        pr
+        pr.select("x", "p")
       }))
 
   val oracles: Map[String, String] = Map(

@@ -24,9 +24,40 @@ object GraftColumnBridge {
     * the caller's layout contract blindly. Returns (df, claimHeld). */
   def checkpointWithPartitioning(
       df: DataFrame, keyCols: Seq[String], numParts: Int): (DataFrame, Boolean, Long) = {
+    val (ds, held, n, _) =
+      checkpointWithPartitioningFlagged(df, keyCols, numParts, null)
+    (ds, held, n)
+  }
+
+  /** `checkpointWithPartitioning` + a flagged-row count folded into the
+    * SAME materialization job: counts rows whose boolean `flagCol` is
+    * true via an accumulator while the checkpoint job runs. Iterative
+    * callers (open-ended PageRank, peeling fixpoints) use the flag as
+    * their convergence probe — "did any row change this round?" — which
+    * would otherwise cost a second whole-state job per iteration.
+    * Accumulator semantics under task retries can only INFLATE the
+    * count, and an inflated count still implies at least one genuinely
+    * flagged row — so `flagged == 0` remains a sound convergence test.
+    * Pass `flagCol = null` to skip flag counting. */
+  def checkpointWithPartitioningFlagged(
+      df: DataFrame, keyCols: Seq[String], numParts: Int, flagCol: String)
+      : (DataFrame, Boolean, Long, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
-    val rdd = qe.toRdd.map(_.copy())
+    val flagIdx =
+      if (flagCol == null) -1
+      else {
+        val i = qe.analyzed.output.indexWhere(_.name == flagCol)
+        require(i >= 0, s"no column $flagCol in ${qe.analyzed.output.map(_.name)}")
+        i
+      }
+    val acc = spark.sparkContext.longAccumulator("graft.flaggedRows")
+    val rdd =
+      if (flagIdx < 0) qe.toRdd.map(_.copy())
+      else qe.toRdd.map { r =>
+        if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1L)
+        r.copy()
+      }
     rdd.localCheckpoint()
     // materialize eagerly (also forces the AQE final plan); the count is
     // returned so fixpoint callers don't pay a second count job per slice
@@ -65,7 +96,7 @@ object GraftColumnBridge {
       if (held)
         execution.LogicalRDD(output, rdd, partitioning, Nil, isStreaming = false)(spark)
       else execution.LogicalRDD(output, rdd)(spark)
-    (classic.Dataset.ofRows(spark, logical), held, n)
+    (classic.Dataset.ofRows(spark, logical), held, n, acc.value)
   }
 
   /** `Dataset.localCheckpoint()` + row count in ONE job: the Dataset API
