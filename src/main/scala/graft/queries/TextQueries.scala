@@ -341,6 +341,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
 
+    // Benchmark decontamination (the eval-leakage scrub every training
+    // corpus runs before a model sees it): docs holding doc_id%10==7 are
+    // the "benchmark" split; a training doc is contaminated when it
+    // shares any 13-token n-gram with any benchmark doc. N-grams are
+    // rolling polynomial combines over the token-hash array (integers,
+    // never 13-token strings), the benchmark index is DISTINCT gram
+    // hashes — eval suites are tiny relative to a crawl, so AQE
+    // broadcasts the index; past the threshold the join falls back to a
+    // gram-hash-partitioned shuffle shared with the index's own
+    // distinct. Blocked on the gram key — never doc×doc. Output: the
+    // contamination report (training doc -> distinct benchmark grams it
+    // contains); the cleaned corpus is its anti-join complement.
+    "txt_decontam" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), tokHashes.as("h"))
+        .filter(size(col("h")) >= 13)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(0, size(h) - 13),
+                i -> aggregate(slice(h, i + 1, 13), cast(0 as bigint),
+                       (a, x) -> (a * 1000003 + x) % $P)))""")).as("ng"))
+      val bench = g.filter(col("doc_id") % 10 === 7).select("ng").distinct()
+      g.filter(col("doc_id") % 10 =!= 7)
+        .join(bench, "ng")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
     // Incremental (snapshot-over-snapshot) near-dup dedup: treating even
     // doc_ids as the already-ingested corpus and odd doc_ids as the new
     // crawl, keep new docs with no verified near-dup partner in the old
@@ -556,6 +582,18 @@ object TextQueries extends QueryPack {
                FROM d WHERE len(t) >= 2)
          SELECT bigram, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "txt_decontam" ->
+      s"""WITH t AS (SELECT doc_id,
+            list_transform(string_split(text,' '), tok -> ${thDuck("tok")}) AS h
+          FROM documents),
+          g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(h)-12),
+              i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i+1, i+13)),
+                     (a, b) -> (a*1000003 + b) % $P)))) AS ng
+            FROM t WHERE len(h) >= 13),
+          bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 7)
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM g JOIN bench USING (ng)
+          WHERE g.doc_id % 10 <> 7 GROUP BY g.doc_id""",
     "txt_dedup_incr" ->
       s"""WITH $shCte, $sigCte, $lshCte,
           pr AS (${verifyDuck(1, 2)}),
