@@ -341,6 +341,62 @@ object TextQueries extends QueryPack {
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
 
+    // KMV (k-minimum-values) distinct sketch — the mergeable cardinality
+    // sketch family (HLL's exact-arithmetic cousin), here estimating the
+    // per-source distinct-token count from the k=64 smallest distinct
+    // token hashes: est = (k-1)·2^32 div kth_min. Every step is exact
+    // integer arithmetic over the deterministic token hash, so unlike
+    // approx_count_distinct the result hash-matches an oracle
+    // bit-for-bit. Plan shape: map-side-partial dedup of (source, hash),
+    // then the per-source k-smallest compiles to WindowGroupLimit
+    // (top-k pushed below the shuffle — only k rows per partition move);
+    // the exact count rides the same deduped frame for the
+    // estimate-vs-truth report.
+    "txt_kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val dh = docs(s, dir)
+        .select(col("source"), explode(tokHashes).as("h"))
+        .distinct()
+      val w = Window.partitionBy("source").orderBy(col("h").asc)
+      val sk = dh.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .groupBy("source")
+        .agg(count(lit(1)).as("k_used"), max("h").as("kth_min"))
+      val exact = dh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      sk.join(exact, "source")
+        .select(col("source"), col("k_used"), col("kth_min"), col("exact_distinct"),
+          expr(s"case when k_used < $k then k_used " +
+            s"else (($k - 1) * 4294967296) div kth_min end").as("est_distinct"))
+    }),
+
+    // Token-budget domain mixing (the sampler that composes a training
+    // mix): each language gets a token budget (en 1600 / fr,de,es 800 /
+    // zh 320), docs are drawn in a deterministic LCG-priority order
+    // until the budget fills. The budget is split across 16 priority
+    // shards (budget div 16 each, filled independently) — a GLOBAL
+    // running sum per language would serialize an entire domain through
+    // one window partition at 100 TB, while per-shard fills are
+    // embarrassingly parallel and deterministic. A doc is kept when its
+    // shard's running total BEFORE it is under the shard budget (the
+    // crossing doc is admitted — standard fill semantics).
+    "txt_mix_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).selectExpr("doc_id", "lang",
+        s"size($toks) as n_tokens",
+        "(doc_id * 1103515245 + 12345) % 1000000 as prio")
+        .withColumn("shard", pmod(col("prio"), lit(16L)))
+      val w = Window.partitionBy("lang", "shard")
+        .orderBy(col("prio").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .filter(col("cum_before") < expr(
+          """(case when lang = 'en' then 1600
+                   when lang in ('fr','de','es') then 800
+                   else 320 end) div 16"""))
+        .select("doc_id", "lang", "shard", "n_tokens", "cum_before")
+    }),
+
     // Benchmark decontamination (the eval-leakage scrub every training
     // corpus runs before a model sees it): docs holding doc_id%10==7 are
     // the "benchmark" split; a training doc is contaminated when it
@@ -582,6 +638,38 @@ object TextQueries extends QueryPack {
                FROM d WHERE len(t) >= 2)
          SELECT bigram, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "txt_kmv_distinct" ->
+      s"""WITH toks AS (SELECT source,
+            unnest(list_transform(string_split(text,' '), tok -> ${thDuck("tok")})) AS h
+          FROM documents),
+          d AS (SELECT DISTINCT source, h FROM toks),
+          r AS (SELECT source, h,
+            row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk FROM d),
+          sk AS (SELECT source, CAST(count(*) AS BIGINT) AS k_used,
+            CAST(max(h) AS BIGINT) AS kth_min FROM r WHERE rk <= 64 GROUP BY source),
+          ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+            FROM d GROUP BY source)
+          SELECT sk.source, k_used, kth_min, exact_distinct,
+            CASE WHEN k_used < 64 THEN k_used
+                 ELSE (63 * 4294967296) // kth_min END AS est_distinct
+          FROM sk JOIN ex USING (source)""",
+    "txt_mix_budget" ->
+      """WITH base AS (SELECT doc_id, lang,
+           len(string_split(text,' ')) AS n_tokens,
+           (doc_id * 1103515245 + 12345) % 1000000 AS prio
+         FROM documents),
+         sh AS (SELECT *, prio % 16 AS shard FROM base),
+         c AS (SELECT doc_id, lang, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+             ORDER BY prio ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM sh)
+         SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+         FROM c
+         WHERE cum_before < (CASE WHEN lang = 'en' THEN 1600
+                                  WHEN lang IN ('fr','de','es') THEN 800
+                                  ELSE 320 END) // 16""",
     "txt_decontam" ->
       s"""WITH t AS (SELECT doc_id,
             list_transform(string_split(text,' '), tok -> ${thDuck("tok")}) AS h
