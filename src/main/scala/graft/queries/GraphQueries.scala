@@ -21,6 +21,13 @@ object GraphQueries extends QueryPack {
 
   private val Iters = 5
 
+  /** Cluster-path switch shared by the graph fixpoints: claim hash
+    * layouts / keep AQE instead of broadcast-pinning node-sized state
+    * (which is only correct while the state fits the 8 GB broadcast
+    * cliff — true on local[N] test scales, false at 100 TB). */
+  private[queries] def copartConf(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.graph.copartition").exists(_.toBoolean)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       PackResources.checkpoint(s, dir, "graph_pagerank") {
@@ -80,8 +87,7 @@ object GraphQueries extends QueryPack {
         // spark.datalog.recursion.copartition) — on a real cluster the
         // claimed hash(x) layout saves a full-state exchange per round:
         // conf-gated, default off, like the fixpoint copart path.
-        val copart =
-          s.conf.getOption("spark.graft.pagerank.copartition").exists(_.toBoolean)
+        val copart = GraphQueries.copartConf(s)
         val maxRounds = 64
         val seedPlan = nodes.select(col("x"), lit(1000000L).as("p"))
         var pr = GraftColumnBridge.checkpointWithPartitioning(
@@ -126,6 +132,82 @@ object GraphQueries extends QueryPack {
         require(converged, s"PageRank did not reach its integer fixed " +
           s"point within $maxRounds rounds")
         pr.select("x", "p")
+      }),
+
+    // k-core decomposition (k=3) by iterative peeling — the OTHER
+    // canonical graph fixpoint shape: monotone DELETION instead of
+    // monotone accumulation (TC) or value improvement (SSSP/PageRank).
+    // Output is the onion shell per node: the round it was peeled
+    // (0 = survives in the 3-core). Per round: one degree aggregation
+    // over the surviving symmetrized edge set, a node-state merge whose
+    // newly-peeled flag is counted by the checkpoint materialization
+    // itself (no probe job), and two semi-joins restricting the edge
+    // state to survivors. Node and edge state both localCheckpoint per
+    // round with superseded blocks released — the Datalog fixpoints'
+    // lineage hygiene. Local path broadcast-pins the node-sized sides
+    // with AQE off (plan shape known, rounds are job-latency-bound);
+    // spark.graft.graph.copartition keeps AQE + shuffle joins for
+    // cluster-sized state.
+    "graph_kcore" -> ((s, dir) =>
+      PackResources.checkpoint(s, dir, "graph_kcore") {
+        import org.apache.spark.sql.GraftColumnBridge
+        val K = 3
+        val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
+        val nodes = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("x"))
+        val copart = GraphQueries.copartConf(s)
+        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val maxRounds = 64
+        var st = GraftColumnBridge.checkpointWithPartitioning(
+          nodes.select(col("x"), lit(null).cast("long").as("shell")),
+          Seq("x"), parts)._1
+        var ae = GraftColumnBridge.checkpointWithPartitioning(
+          arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct(),
+          Seq("x"), parts)._1
+        var round = 0
+        var converged = false
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = s.conf.get(aqeKey, "true")
+        if (!copart) s.conf.set(aqeKey, "false")
+        try {
+          while (!converged && round < maxRounds) {
+            round += 1
+            val deg = ae.groupBy("x").agg(count(lit(1)).as("d"))
+            val nstPlan = st
+              .join(if (copart) deg else broadcast(deg), Seq("x"), "left")
+              .select(col("x"),
+                when(col("shell").isNotNull, col("shell"))
+                  .when(coalesce(col("d"), lit(0L)) < K, lit(round.toLong))
+                  .as("shell"),
+                col("shell").as("so"))
+              .withColumn("chg", col("shell").isNotNull && col("so").isNull)
+            val (nst, _, _, peeled) =
+              GraftColumnBridge.checkpointWithPartitioningFlagged(
+                nstPlan, Seq("x"), parts, "chg")
+            converged = peeled == 0L
+            if (!converged) {
+              val alive = nst.filter(col("shell").isNull).select("x")
+              val naePlan = ae
+                .join(if (copart) alive else broadcast(alive),
+                  Seq("x"), "left_semi")
+                .join(
+                  (if (copart) alive else broadcast(alive))
+                    .select(col("x").as("y")),
+                  Seq("y"), "left_semi")
+              val nae = GraftColumnBridge.checkpointWithPartitioning(
+                naePlan, Seq("x"), parts)._1
+              GraftColumnBridge.checkpointedRDD(ae)
+                .foreach(_.unpersist(blocking = false))
+              ae = nae
+            }
+            GraftColumnBridge.checkpointedRDD(st)
+              .foreach(_.unpersist(blocking = false))
+            st = nst
+          }
+        } finally if (!copart) s.conf.set(aqeKey, prevAqe)
+        require(converged,
+          s"k-core peeling did not stabilize within $maxRounds rounds")
+        st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
       }))
 
   val oracles: Map[String, String] = Map(
@@ -176,6 +258,37 @@ object GraphQueries extends QueryPack {
             GROUP BY a.it),
           conv AS (SELECT min(it) AS k FROM diffs WHERE md = 0)
           SELECT CAST(pr.v AS BIGINT) AS x, CAST(pr.p AS BIGINT) AS p
-          FROM pr, conv WHERE pr.it = conv.k"""
+          FROM pr, conv WHERE pr.it = conv.k""",
+    // Peeling unrolled to 16 chained rounds: the arc graph is made of
+    // fixed 16-key blocks at every SF, so the peel depth is a property
+    // of the block shape (7 rounds at k=3), never of the scale factor —
+    // by round 16 the state is provably stable (peeling an empty
+    // removal set is a fixed point). The Spark loop iterates to the
+    // SAME fixed point dynamically; a hypothetical deeper peel would
+    // hash-mismatch and fail the gate.
+    "graph_kcore" -> {
+      val n = 16
+      // MATERIALIZED stops DuckDB inlining each round's CTE into every
+      // consumer (3 references/round × 16 rounds would re-open the
+      // parquet scans hundreds of times — "Too many open files")
+      val steps = (1 to n).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT e.s AS v, count(*) AS c FROM e
+              JOIN a${i - 1} n1 ON e.s = n1.v JOIN a${i - 1} n2 ON e.t = n2.v
+              GROUP BY e.s),
+            rm$i AS MATERIALIZED (SELECT a.v FROM a${i - 1} a LEFT JOIN d$i d ON d.v = a.v
+              WHERE COALESCE(d.c, 0) < 3),
+            a$i AS MATERIALIZED (SELECT v FROM a${i - 1} WHERE v NOT IN (SELECT v FROM rm$i))"""
+      }.mkString(",\n")
+      val shells = (1 to n).map(i => s"SELECT v, $i AS shell FROM rm$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${DatalogQueries.arcSql},
+          nodes AS (SELECT c_custkey AS v FROM customer),
+          e AS MATERIALIZED (SELECT src AS s, dst AS t FROM arc UNION SELECT dst, src FROM arc),
+          a0 AS (SELECT v FROM nodes),
+          $steps
+          SELECT CAST(v AS BIGINT) AS x, CAST(shell AS BIGINT) AS shell FROM (
+            $shells
+            UNION ALL SELECT v, 0 AS shell FROM a$n) t"""
+    }
   )
 }

@@ -235,19 +235,21 @@ class QueryPackSpec extends AnyFunSuite {
       kept.size <= odd.toInt)
   }
 
-  test("graph_pagerank_conv: copart (cluster) path matches the broadcast path") {
-    def ranks(s: org.apache.spark.sql.SparkSession) =
-      graft.queries.GraphQueries.defs("graph_pagerank_conv")(s, dir)
-        .collect()
-        .map(r => (r.get(0).asInstanceOf[Number].longValue,
-          r.get(1).asInstanceOf[Number].longValue)).toSet
-    val base = ranks(spark.newSession())
-    val s2 = spark.newSession()
-    s2.conf.set("spark.graft.pagerank.copartition", "true")
-    val cop = ranks(s2)
-    assert(cop == base,
-      s"copart PageRank diverged: ${(cop diff base).take(3)} vs ${(base diff cop).take(3)}")
-    assert(base.nonEmpty)
+  test("graph fixpoints: copart (cluster) path matches the broadcast path") {
+    for (q <- Seq("graph_pagerank_conv", "graph_kcore")) {
+      def rows(s: org.apache.spark.sql.SparkSession) =
+        graft.queries.GraphQueries.defs(q)(s, dir)
+          .collect()
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)).toSet
+      val base = rows(spark.newSession())
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.graph.copartition", "true")
+      val cop = rows(s2)
+      assert(cop == base,
+        s"copart $q diverged: ${(cop diff base).take(3)} vs ${(base diff cop).take(3)}")
+      assert(base.nonEmpty)
+    }
     PackResources.releaseAll()
   }
 
