@@ -162,6 +162,17 @@ object StreamingQueries extends QueryPack {
     ss.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.statePartitions", "8"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // State-store backend switch: `spark.graft.stream.stateStore=rocksdb`
+    // swaps the default HDFS-backed in-memory provider for RocksDB —
+    // the 100 TB/day deployment choice (state spills to local SSD
+    // instead of living on the executor heap; changelog checkpointing
+    // keeps commits incremental). Results are provider-invariant
+    // (StreamEvictionSpec A/Bs it); the default stays in-memory because
+    // a local drain of ~25k-row batches only pays RocksDB's per-commit
+    // filesystem overhead.
+    if (s.conf.get("spark.graft.stream.stateStore", "memory") == "rocksdb")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val df = build(ss)
     val base = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
     val q = df.writeStream.format("parquet")

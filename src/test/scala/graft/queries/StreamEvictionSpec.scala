@@ -70,4 +70,18 @@ class StreamEvictionSpec extends AnyFunSuite {
     // already dropped — assert bounded, not drained.
     assert(state.max < 400, s"join state ${state.max} looks like history")
   }
+
+  test("rocksdb state store: provider swap is result-invariant") {
+    // the 100 TB/day backend (state on local SSD, incremental commits)
+    // must produce byte-identical results to the in-memory default —
+    // run the stateful dedup gate under RocksDB and compare
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = rows(graft.SparkEntry.queries("stream_dedup_count")(spark, dir))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.stream.stateStore", "rocksdb")
+    val rocks = rows(graft.SparkEntry.queries("stream_dedup_count")(s2, dir))
+    assert(rocks == base, s"RocksDB diverged: $rocks vs $base")
+    assert(base.nonEmpty)
+  }
 }
