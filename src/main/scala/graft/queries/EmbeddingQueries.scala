@@ -181,6 +181,57 @@ object EmbeddingQueries extends QueryPack {
         .select(col("vec_id"), col("clabel").as("assigned_label"), col("score"))
     }),
 
+    // Product-quantization codes (the memory-compression half of a
+    // production ANN index, alongside IVF's coarse partitioning): the
+    // 64-dim vector splits into M=4 16-dim subspaces; each subspace gets
+    // a 16-cell codebook and every subvector is coded by its nearest
+    // cell, so a vector stores as 4 small codes (here 4 bits each)
+    // instead of 64 floats — at 100 TB that's the difference between an
+    // index that fits executor memory and one that doesn't. "Training"
+    // is deterministic (no k-means RNG): cells are 4-bit hyperplane
+    // buckets per subspace, codebook entries are per-cell integer-mean
+    // centroids, and assignment maximizes 2·v·c − c·c (the integer form
+    // of nearest-by-L2), so the oracle reproduces codes bit-for-bit.
+    // Plan: one partial-agg shuffle builds codebooks (≤64 rows),
+    // broadcast back, assignment scans the corpus shuffle-free — ADC
+    // search then composes exactly like emb_ivf_search's probe join.
+    "emb_pq_codes" -> ((s, dir) => {
+      val sv = emb(s, dir).selectExpr("vec_id",
+        """explode(transform(sequence(0,3), m ->
+             struct(m as m, slice(q, m*16+1, 16) as qm))) as e""")
+        .select(col("vec_id"), col("e.m").as("m"), col("e.qm").as("qm"))
+      val cellExpr =
+        """aggregate(transform(sequence(0,3), j ->
+             if(aggregate(transform(sequence(0,15), i ->
+                  qm[i] * (((i*31 + j*17) % 7) - 3)),
+                cast(0 as bigint), (a, x) -> a + x) > 0,
+               shiftleft(1L, j), 0L)),
+           cast(0 as bigint), (a, x) -> a + x)"""
+      val cells = sv.selectExpr("vec_id", "m", "qm", s"$cellExpr as cell")
+      val cb = cells
+        .selectExpr("m", "cell", "posexplode(qm) as (i, v)")
+        .groupBy("m", "cell", "i")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy("m", "cell")
+        .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+          max("n").as("n"))
+        .selectExpr("m", "cell as ccell",
+          "transform(cs, x -> x.sv div n) as cmean")
+      val w = Window.partitionBy("vec_id", "m").orderBy(desc("score"), asc("ccell"))
+      cells.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("ccell"),
+          (lit(2L) * dotI64(col("qm"), col("cmean"))
+            - dotI64(col("cmean"), col("cmean"))).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("ccell"))).as("c0"),
+          max(when(col("m") === 1, col("ccell"))).as("c1"),
+          max(when(col("m") === 2, col("ccell"))).as("c2"),
+          max(when(col("m") === 3, col("ccell"))).as("c3"))
+    }),
+
     // Full IVF top-k search (the complete ANN query path): queries probe
     // their nProbe=2 best coarse cells, candidates are only the vectors
     // ASSIGNED to a probed cell, exact top-5 by quantized dot within.
@@ -312,6 +363,36 @@ object EmbeddingQueries extends QueryPack {
             FROM scored)
           SELECT vec_id, clabel AS assigned_label, score
           FROM ranked WHERE rk = 1""",
+    "emb_pq_codes" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          sv AS (SELECT vec_id, m, list_slice(v, m*16+1, m*16+16) AS qm
+                 FROM e, range(4) r(m)),
+          cells AS (SELECT vec_id, m, qm,
+            CAST(list_sum(list_transform(range(4), j ->
+              CASE WHEN list_sum(list_transform(range(16), i ->
+                     qm[i+1] * (((i*31 + j*17) % 7) - 3))) > 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS cell FROM sv),
+          comp AS (SELECT m, cell, i, CAST(sum(qm[i+1]) AS BIGINT) AS sv_,
+              CAST(count(*) AS BIGINT) AS n
+            FROM cells, range(16) r(i) GROUP BY m, cell, i),
+          cb AS (SELECT m, cell AS ccell, list(sv_ // n ORDER BY i) AS cmean
+                 FROM comp GROUP BY m, cell),
+          scored AS (SELECT c.vec_id, c.m, cb.ccell,
+              CAST(2 * list_sum(list_transform(range(1,17), i -> c.qm[i]*cb.cmean[i]))
+                 - list_sum(list_transform(range(1,17), i -> cb.cmean[i]*cb.cmean[i]))
+                AS BIGINT) AS score
+            FROM cells c JOIN cb ON cb.m = c.m),
+          ranked AS (SELECT vec_id, m, ccell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY score DESC, ccell ASC) AS rk
+            FROM scored)
+          SELECT vec_id,
+            CAST(max(CASE WHEN m = 0 THEN ccell END) AS BIGINT) AS c0,
+            CAST(max(CASE WHEN m = 1 THEN ccell END) AS BIGINT) AS c1,
+            CAST(max(CASE WHEN m = 2 THEN ccell END) AS BIGINT) AS c2,
+            CAST(max(CASE WHEN m = 3 THEN ccell END) AS BIGINT) AS c3
+          FROM ranked WHERE rk = 1 GROUP BY vec_id""",
     "emb_ivf_search" ->
       s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
           c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
