@@ -18,7 +18,8 @@ object Bench {
     "txt_neardup_groups", "emb_knn", "emb_knn_lsh", "emb_ivf_search",
     "mm_features", "stream_hourly", "evt_sessions",
     "dl_tc_bound", "stream_dedup_count", "stream_user_state",
-    "graph_pagerank_conv", "q31_salted_join")
+    "graph_pagerank_conv", "q31_salted_join",
+    "txt_decontam", "graph_kcore", "emb_pq_codes")
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
