@@ -110,6 +110,28 @@ object DatalogConf {
       notes += s"spark.datalog.monotonicaggregate.usepartial=$v accepted: " +
         "partial aggregation before the monotonic-aggregate shuffle is always on"
     }
+    spark.conf.getOption("spark.datalog.recursion.memorycheckpoint").foreach { v =>
+      notes += s"spark.datalog.recursion.memorycheckpoint=$v accepted: " +
+        "per-iteration lineage truncation (localCheckpoint) is always on — " +
+        "driver plan growth is the failure mode it prevents"
+    }
+    spark.conf.getOption(
+        "spark.datalog.recursion.iterateinfixedpointresulttask").foreach { v =>
+      notes += "spark.datalog.recursion.iterateinfixedpointresulttask=" +
+        s"$v accepted: mapped to the localDelta LocalRelation path " +
+        "(spark.datalog.recursion.localDeltaRows/Bytes) — small frontiers " +
+        "iterate without cluster shuffles, the within-task-iteration analog"
+    }
+    spark.conf.getOption("spark.datalog.aggregaterecursion.version").foreach { v =>
+      notes += s"spark.datalog.aggregaterecursion.version=$v accepted: the " +
+        "monotonic fixpoint always runs the single tagged-union aggregation " +
+        "per iteration (one shuffle, improved-only delta)"
+    }
+    spark.conf.getOption("spark.datalog.shufflehashjoin.cachebuildside").foreach { v =>
+      notes += s"spark.datalog.shufflehashjoin.cachebuildside=$v accepted: " +
+        "static join sides are persisted on first use across iterations " +
+        "(spark.datalog.storage.level controls the level)"
+    }
     notes.result()
   }
 

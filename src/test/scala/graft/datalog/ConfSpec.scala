@@ -181,10 +181,16 @@ class ConfSpec extends AnyFunSuite {
     }
     // no-op acceptances still produce a mapping note each
     withConf("spark.datalog.shuffledistinct.enabled" -> "true",
-      "spark.datalog.monotonicaggregate.usepartial" -> "true") {
+      "spark.datalog.monotonicaggregate.usepartial" -> "true",
+      "spark.datalog.recursion.memorycheckpoint" -> "true",
+      "spark.datalog.recursion.iterateinfixedpointresulttask" -> "true",
+      "spark.datalog.aggregaterecursion.version" -> "2",
+      "spark.datalog.shufflehashjoin.cachebuildside" -> "true") {
       val notes = DatalogConf.referenceMappings(spark)
-      assert(notes.exists(_.contains("shuffledistinct")), notes.mkString("; "))
-      assert(notes.exists(_.contains("monotonicaggregate")), notes.mkString("; "))
+      for (key <- Seq("shuffledistinct", "monotonicaggregate",
+        "memorycheckpoint", "iterateinfixedpointresulttask",
+        "aggregaterecursion.version", "cachebuildside"))
+        assert(notes.exists(_.contains(key)), s"$key: ${notes.mkString("; ")}")
     }
     // and the mapped mode actually engages: under version=2 the fixpoint
     // runs the copartition (claimed-slice) path end-to-end
