@@ -74,64 +74,13 @@ object GraphQueries extends QueryPack {
     //     superseded round's blocks.
     "graph_pagerank_conv" -> ((s, dir) =>
       PackResources.checkpoint(s, dir, "graph_pagerank_conv") {
-        import org.apache.spark.sql.GraftColumnBridge
         val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
         val nodes = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("x"))
         val outdeg = arc.groupBy("x").agg(count(lit(1)).as("d"))
         val edges = PackResources.checkpoint(s, dir, "graph_pagerank_edges")(
           arc.join(outdeg, "x").select(col("x"), col("y"), col("d")))
-        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // On local[N] the broadcast-everything rounds win (shuffles are
-        // memory copies; the same measured tradeoff as
-        // spark.datalog.recursion.copartition) — on a real cluster the
-        // claimed hash(x) layout saves a full-state exchange per round:
-        // conf-gated, default off, like the fixpoint copart path.
-        val copart = GraphQueries.copartConf(s)
-        val maxRounds = 64
-        val seedPlan = nodes.select(col("x"), lit(1000000L).as("p"))
-        var pr = GraftColumnBridge.checkpointWithPartitioning(
-          if (copart) seedPlan.repartition(parts, col("x")) else seedPlan,
-          Seq("x"), parts)._1
-        var rounds = 0
-        var converged = false
-        // Local path: AQE's per-stage materialization jobs are ~all of
-        // the per-round cost on a small state (each round = 1 shuffle +
-        // 2 broadcast stages + final, ≥5 scheduled jobs); with the plan
-        // shape known and both build sides hinted, static planning runs
-        // a round in 2-3 jobs. The copart (cluster) path keeps AQE on:
-        // there the state is too big to broadcast and AQE's runtime
-        // sizing + skew handling earn their stage jobs.
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = s.conf.get(aqeKey, "true")
-        if (!copart) s.conf.set(aqeKey, "false")
-        try {
-          while (!converged && rounds < maxRounds) {
-            rounds += 1
-            val sums = pr
-              .join(if (copart) edges else broadcast(edges), "x")
-              .select(col("y").as("x"), expr("p div d").as("c"))
-              .groupBy("x").agg(sum("c").as("s"))
-            val nextPlan = pr.select(col("x"), col("p").as("po"))
-              .join(if (copart) sums else broadcast(sums), Seq("x"), "left")
-              .select(col("x"),
-                expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
-                col("po"))
-              .withColumn("chg", col("p") =!= col("po"))
-            val (next, _, _, changed) =
-              GraftColumnBridge.checkpointWithPartitioningFlagged(
-                nextPlan, Seq("x"), parts, "chg")
-            converged = changed == 0L
-            // the superseded round's blocks are dead once `next` is
-            // materialized and compared
-            GraftColumnBridge.checkpointedRDD(pr)
-              .foreach(_.unpersist(blocking = false))
-            pr = next
-          }
-        } finally if (!copart) s.conf.set(aqeKey, prevAqe)
-        require(converged, s"PageRank did not reach its integer fixed " +
-          s"point within $maxRounds rounds")
-        pr.select("x", "p")
+        GraphQueries.pagerankConverged(s, nodes, edges)
       }),
 
     // k-core decomposition (k=3) by iterative peeling — the OTHER
@@ -150,65 +99,130 @@ object GraphQueries extends QueryPack {
     // cluster-sized state.
     "graph_kcore" -> ((s, dir) =>
       PackResources.checkpoint(s, dir, "graph_kcore") {
-        import org.apache.spark.sql.GraftColumnBridge
-        val K = 3
         val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
         val nodes = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("x"))
-        val copart = GraphQueries.copartConf(s)
-        val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val maxRounds = 64
-        var st = GraftColumnBridge.checkpointWithPartitioning(
-          nodes.select(col("x"), lit(null).cast("long").as("shell")),
-          Seq("x"), parts)._1
-        var ae = GraftColumnBridge.checkpointWithPartitioning(
-          arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct(),
-          Seq("x"), parts)._1
-        var round = 0
-        var converged = false
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = s.conf.get(aqeKey, "true")
-        if (!copart) s.conf.set(aqeKey, "false")
-        try {
-          while (!converged && round < maxRounds) {
-            round += 1
-            val deg = ae.groupBy("x").agg(count(lit(1)).as("d"))
-            val nstPlan = st
-              .join(if (copart) deg else broadcast(deg), Seq("x"), "left")
-              .select(col("x"),
-                when(col("shell").isNotNull, col("shell"))
-                  .when(coalesce(col("d"), lit(0L)) < K, lit(round.toLong))
-                  .as("shell"),
-                col("shell").as("so"))
-              .withColumn("chg", col("shell").isNotNull && col("so").isNull)
-            val (nst, _, _, peeled) =
-              GraftColumnBridge.checkpointWithPartitioningFlagged(
-                nstPlan, Seq("x"), parts, "chg")
-            converged = peeled == 0L
-            if (!converged) {
-              val alive = nst.filter(col("shell").isNull).select("x")
-              val naePlan = ae
-                .join(if (copart) alive else broadcast(alive),
-                  Seq("x"), "left_semi")
-                .join(
-                  (if (copart) alive else broadcast(alive))
-                    .select(col("x").as("y")),
-                  Seq("y"), "left_semi")
-              val nae = GraftColumnBridge.checkpointWithPartitioning(
-                naePlan, Seq("x"), parts)._1
-              GraftColumnBridge.checkpointedRDD(ae)
-                .foreach(_.unpersist(blocking = false))
-              ae = nae
-            }
-            GraftColumnBridge.checkpointedRDD(st)
-              .foreach(_.unpersist(blocking = false))
-            st = nst
-          }
-        } finally if (!copart) s.conf.set(aqeKey, prevAqe)
-        require(converged,
-          s"k-core peeling did not stabilize within $maxRounds rounds")
-        st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
+        GraphQueries.kcoreShells(s, nodes, arc, 3)
       }))
+
+  /** Open-ended integer PageRank to the exact fixed point over
+    * `nodes(x)` and out-degree-annotated `edges(x, y, d)`. On local[N]
+    * the broadcast-everything rounds win (shuffles are memory copies;
+    * the same measured tradeoff as spark.datalog.recursion.copartition)
+    * — on a real cluster the claimed hash(x) layout saves a full-state
+    * exchange per round: `spark.graft.graph.copartition`, default off.
+    * Local path also pins AQE off — its per-stage materialization jobs
+    * are ~all of the per-round cost on a small state (each round =
+    * 1 shuffle + 2 broadcast stages + final, ≥5 scheduled jobs); with
+    * the plan shape known and both build sides hinted, static planning
+    * runs a round in 2-3 jobs. The copart (cluster) path keeps AQE on:
+    * there the state is too big to broadcast and AQE's runtime sizing +
+    * skew handling earn their stage jobs. */
+  private[queries] def pagerankConverged(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val copart = copartConf(s)
+    val maxRounds = 64
+    val seedPlan = nodes.select(col("x"), lit(1000000L).as("p"))
+    var pr = GraftColumnBridge.checkpointWithPartitioning(
+      if (copart) seedPlan.repartition(parts, col("x")) else seedPlan,
+      Seq("x"), parts)._1
+    var rounds = 0
+    var converged = false
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    if (!copart) s.conf.set(aqeKey, "false")
+    try {
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        val sums = pr
+          .join(if (copart) edges else broadcast(edges), "x")
+          .select(col("y").as("x"), expr("p div d").as("c"))
+          .groupBy("x").agg(sum("c").as("s"))
+        val nextPlan = pr.select(col("x"), col("p").as("po"))
+          .join(if (copart) sums else broadcast(sums), Seq("x"), "left")
+          .select(col("x"),
+            expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
+            col("po"))
+          .withColumn("chg", col("p") =!= col("po"))
+        val (next, _, _, changed) =
+          GraftColumnBridge.checkpointWithPartitioningFlagged(
+            nextPlan, Seq("x"), parts, "chg")
+        converged = changed == 0L
+        // the superseded round's blocks are dead once `next` is
+        // materialized and compared
+        GraftColumnBridge.checkpointedRDD(pr)
+          .foreach(_.unpersist(blocking = false))
+        pr = next
+      }
+    } finally if (!copart) s.conf.set(aqeKey, prevAqe)
+    require(converged, s"PageRank did not reach its integer fixed " +
+      s"point within $maxRounds rounds")
+    pr.select("x", "p")
+  }
+
+  /** Onion shells of k-core peeling over `nodes(x)` and directed
+    * `arc(x, y)` (symmetrized internally): shell = the round a node was
+    * peeled, 0 = survives the k-core. Same local/cluster path split as
+    * `pagerankConverged`. */
+  private[queries] def kcoreShells(
+      s: SparkSession, nodes: DataFrame, arc: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val copart = copartConf(s)
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxRounds = 64
+    var st = GraftColumnBridge.checkpointWithPartitioning(
+      nodes.select(col("x"), lit(null).cast("long").as("shell")),
+      Seq("x"), parts)._1
+    var ae = GraftColumnBridge.checkpointWithPartitioning(
+      arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct(),
+      Seq("x"), parts)._1
+    var round = 0
+    var converged = false
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    if (!copart) s.conf.set(aqeKey, "false")
+    try {
+      while (!converged && round < maxRounds) {
+        round += 1
+        val deg = ae.groupBy("x").agg(count(lit(1)).as("d"))
+        val nstPlan = st
+          .join(if (copart) deg else broadcast(deg), Seq("x"), "left")
+          .select(col("x"),
+            when(col("shell").isNotNull, col("shell"))
+              .when(coalesce(col("d"), lit(0L)) < k, lit(round.toLong))
+              .as("shell"),
+            col("shell").as("so"))
+          .withColumn("chg", col("shell").isNotNull && col("so").isNull)
+        val (nst, _, _, peeled) =
+          GraftColumnBridge.checkpointWithPartitioningFlagged(
+            nstPlan, Seq("x"), parts, "chg")
+        converged = peeled == 0L
+        if (!converged) {
+          val alive = nst.filter(col("shell").isNull).select("x")
+          val naePlan = ae
+            .join(if (copart) alive else broadcast(alive),
+              Seq("x"), "left_semi")
+            .join(
+              (if (copart) alive else broadcast(alive))
+                .select(col("x").as("y")),
+              Seq("y"), "left_semi")
+          val nae = GraftColumnBridge.checkpointWithPartitioning(
+            naePlan, Seq("x"), parts)._1
+          GraftColumnBridge.checkpointedRDD(ae)
+            .foreach(_.unpersist(blocking = false))
+          ae = nae
+        }
+        GraftColumnBridge.checkpointedRDD(st)
+          .foreach(_.unpersist(blocking = false))
+        st = nst
+      }
+    } finally if (!copart) s.conf.set(aqeKey, prevAqe)
+    require(converged,
+      s"k-core peeling did not stabilize within $maxRounds rounds")
+    st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
+  }
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> {
