@@ -151,16 +151,19 @@ object StreamingQueries extends QueryPack {
     * The query runs on a CLONED session so two replay-only knobs don't
     * leak into the caller's (batch) session: state/shuffle partitions
     * sized to the micro-batch volume (`spark.graft.stream.statePartitions`,
-    * default 8 — a real deployment sizes this to cluster width via the
-    * normal shuffle-partitions conf; a local drain of ~25k-row batches
-    * only pays state-commit overhead past that), and no-data micro-batches
-    * off (the second flush sentinel already runs a batch with the final
-    * watermark, so a trailing empty batch is pure latency). */
+    * default 2 — a real deployment sizes this to cluster width via the
+    * normal shuffle-partitions conf; locally every extra partition is a
+    * state-store instance paying load/commit/snapshot overhead per
+    * micro-batch, and the A/B at sf0.1/32 measured 8→2 partitions as
+    * stream_join 14.3→7.4s, stream_user_state 6.8→3.8s with the other
+    * gates ~25% faster), and no-data micro-batches off (the second
+    * flush sentinel already runs a batch with the final watermark, so a
+    * trailing empty batch is pure latency). */
   private def drainAppend(s: SparkSession, name: String)
       (build: SparkSession => DataFrame): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.graft.stream.statePartitions", "8"))
+      s.conf.get("spark.graft.stream.statePartitions", "2"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // State-store backend switch: `spark.graft.stream.stateStore=rocksdb`
     // swaps the default HDFS-backed in-memory provider for RocksDB —
