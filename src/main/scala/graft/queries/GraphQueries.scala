@@ -159,6 +159,9 @@ object GraphQueries extends QueryPack {
     } finally if (!copart) s.conf.set(aqeKey, prevAqe)
     require(converged, s"PageRank did not reach its integer fixed " +
       s"point within $maxRounds rounds")
+    // the final round's blocks back the returned lineage — tracked for
+    // PackResources.releaseAll rather than leaked past release()
+    GraftColumnBridge.checkpointedRDD(pr).foreach(PackResources.trackRDD)
     pr.select("x", "p")
   }
 
@@ -221,6 +224,10 @@ object GraphQueries extends QueryPack {
     } finally if (!copart) s.conf.set(aqeKey, prevAqe)
     require(converged,
       s"k-core peeling did not stabilize within $maxRounds rounds")
+    // final node/edge state blocks back the returned lineage — tracked
+    // for PackResources.releaseAll rather than leaked past release()
+    GraftColumnBridge.checkpointedRDD(st).foreach(PackResources.trackRDD)
+    GraftColumnBridge.checkpointedRDD(ae).foreach(PackResources.trackRDD)
     st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
   }
 

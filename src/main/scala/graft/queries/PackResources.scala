@@ -16,6 +16,15 @@ object PackResources {
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private val ctxMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), graft.datalog.DatalogContext]()
+  private val rddTracked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
+
+  /** Track a loose checkpointed RDD (a fixpoint's FINAL state, still
+    * backing the returned DataFrame's lineage) for release: the graph
+    * fixpoints unpersist superseded rounds eagerly, but the last
+    * round's blocks must outlive the result's consumption — releaseAll
+    * drains them with everything else. */
+  def trackRDD(r: org.apache.spark.rdd.RDD[_]): Unit = rddTracked.add(r)
 
   /** Memoized localCheckpoint: one materialization per (session, dir,
     * tag), tracked for release. */
@@ -41,5 +50,7 @@ object PackResources {
     ckMemo.clear()
     ctxMemo.values.foreach(_.close())
     ctxMemo.clear()
+    rddTracked.forEach(_.unpersist(blocking = false))
+    rddTracked.clear()
   }
 }

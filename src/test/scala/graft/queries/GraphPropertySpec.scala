@@ -90,6 +90,7 @@ class GraphPropertySpec extends AnyFunSuite {
       assert(got == want,
         s"trial $trial (n=$n): ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
     }
+    PackResources.releaseAll()
   }
 
   test("kcoreShells matches the in-JVM peel oracle on random cyclic graphs") {
@@ -107,5 +108,24 @@ class GraphPropertySpec extends AnyFunSuite {
       assert(got == want,
         s"trial $trial (n=$n): ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
     }
+    PackResources.releaseAll()
+  }
+
+  test("graph fixpoint state is fully released (no leaked blocks)") {
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val s = spark.newSession()
+    import s.implicits._
+    val edges = randomDag(new Random(3), 50, 120)
+    val nodes = (0 until 50).map(_.toLong).toDF("x")
+    val arc = edges.toDF("x", "y")
+    val ed = arc.join(arc.groupBy("x").agg(count(lit(1)).as("d")), "x")
+      .select(col("x"), col("y"), col("d"))
+    GraphQueries.pagerankConverged(s, nodes, ed).count()
+    GraphQueries.kcoreShells(s, nodes, arc, 3).count()
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline).nonEmpty,
+      "fixpoints must have pinned final-state blocks until release")
+    PackResources.releaseAll()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    assert(leaked.isEmpty, s"leaked persistent RDDs after releaseAll: $leaked")
   }
 }
