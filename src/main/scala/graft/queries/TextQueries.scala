@@ -397,6 +397,32 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "shard", "n_tokens", "cum_before")
     }),
 
+    // Sequence packing (the pretraining batch-layout op): documents are
+    // concatenated in a deterministic LCG-priority order and the token
+    // stream is chunked into fixed 512-token training sequences — each
+    // doc's placement is (sequence id, offset) = (cum_before div 512,
+    // cum_before mod 512), a pure prefix sum. Like txt_mix_budget the
+    // stream is split across 16 priority shards packed independently
+    // (sequence ids are globally unique via shard*10^6 + local id):
+    // per-shard packing is embarrassingly parallel where a single
+    // global concatenation order would serialize the corpus through one
+    // window partition. Docs may span a sequence boundary — standard
+    // concat-then-chunk packing semantics.
+    "txt_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).selectExpr("doc_id",
+        s"size($toks) as n_tokens",
+        "(doc_id * 1103515245 + 12345) % 1000000 as prio")
+        .withColumn("shard", pmod(col("prio"), lit(16L)))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("prio").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .selectExpr("doc_id", "shard", "n_tokens",
+          "shard * 1000000 + cum_before div 512 as seq_id",
+          "cum_before % 512 as seq_off")
+    }),
+
     // Benchmark decontamination (the eval-leakage scrub every training
     // corpus runs before a model sees it): docs holding doc_id%10==7 are
     // the "benchmark" split; a training doc is contaminated when it
@@ -638,6 +664,21 @@ object TextQueries extends QueryPack {
                FROM d WHERE len(t) >= 2)
          SELECT bigram, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "txt_pack_sequences" ->
+      """WITH base AS (SELECT doc_id,
+           len(string_split(text,' ')) AS n_tokens,
+           (doc_id * 1103515245 + 12345) % 1000000 AS prio
+         FROM documents),
+         sh AS (SELECT *, prio % 16 AS shard FROM base),
+         c AS (SELECT doc_id, shard, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+             ORDER BY prio ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM sh)
+         SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard * 1000000 + cum_before // 512 AS BIGINT) AS seq_id,
+           CAST(cum_before % 512 AS BIGINT) AS seq_off
+         FROM c""",
     "txt_kmv_distinct" ->
       s"""WITH toks AS (SELECT source,
             unnest(list_transform(string_split(text,' '), tok -> ${thDuck("tok")})) AS h
