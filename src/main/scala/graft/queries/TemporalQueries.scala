@@ -73,6 +73,28 @@ object TemporalQueries extends QueryPack {
           col("last_c.cval").as("click_value"))
     }),
 
+    // Time-bucket downsampling with arg-min/arg-max semantics (OHLC —
+    // the telemetry/metrics compaction every event pipeline runs):
+    // per hour, the value of the first and last event plus min/max/n.
+    // ONE aggregation with map-side partials carries everything —
+    // `min_by`/`max_by` keyed on the lexicographic (ts, event_id)
+    // struct replace the naive sort-within-bucket (no window, no
+    // second shuffle), and event_id's uniqueness makes the pick
+    // deterministic so the oracle (a row_number formulation — DuckDB's
+    // arg_min keys are scalar-only) lands on the same rows.
+    "evt_ohlc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "ts div 1000 as tsu",
+          "cast(round(value * 100, 0) as bigint) as cents")
+        .withColumn("bucket", expr(s"tsu div $Hour"))
+      e.groupBy("bucket").agg(
+        min_by(col("cents"), struct(col("tsu"), col("event_id"))).as("open_cents"),
+        max("cents").as("high_cents"),
+        min("cents").as("low_cents"),
+        max_by(col("cents"), struct(col("tsu"), col("event_id"))).as("close_cents"),
+        count(lit(1)).as("n"))
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -106,6 +128,26 @@ object TemporalQueries extends QueryPack {
                 c.cid AS click_id, c.cval AS click_value
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.tsu >= c.ctsu""",
+    "evt_ohlc" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) // 3600000000 AS bucket
+           FROM events),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY tsu ASC, event_id ASC) AS rka,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY tsu DESC, event_id DESC) AS rkd
+           FROM e),
+         agg AS (SELECT bucket, CAST(max(cents) AS BIGINT) AS high_cents,
+             CAST(min(cents) AS BIGINT) AS low_cents,
+             CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY bucket),
+         op AS (SELECT bucket, cents AS open_cents FROM r WHERE rka = 1),
+         cl AS (SELECT bucket, cents AS close_cents FROM r WHERE rkd = 1)
+         SELECT agg.bucket, op.open_cents, agg.high_cents, agg.low_cents,
+                cl.close_cents, agg.n
+         FROM agg JOIN op USING (bucket) JOIN cl USING (bucket)""",
     "evt_range_join" ->
       """WITH w AS (SELECT k,
                       1704067200000000 + k * 14400000000 AS lo,
