@@ -118,9 +118,10 @@ object DatalogConf {
     spark.conf.getOption(
         "spark.datalog.recursion.iterateinfixedpointresulttask").foreach { v =>
       notes += "spark.datalog.recursion.iterateinfixedpointresulttask=" +
-        s"$v accepted: mapped to the localDelta LocalRelation path " +
-        "(spark.datalog.recursion.localDeltaRows/Bytes) — small frontiers " +
-        "iterate without cluster shuffles, the within-task-iteration analog"
+        s"$v accepted (value-insensitive): the within-task-iteration " +
+        "analog here is the always-available localDelta LocalRelation path — " +
+        "tune it via spark.datalog.recursion.localDeltaRows/Bytes " +
+        "(0 disables it)"
     }
     spark.conf.getOption("spark.datalog.aggregaterecursion.version").foreach { v =>
       notes += s"spark.datalog.aggregaterecursion.version=$v accepted: the " +

@@ -31,15 +31,17 @@ object EmbeddingQueries extends QueryPack {
   // zip_with/aggregate lambdas (this is the per-pair inner kernel)
   import graft.functions.GraftFunctions.dotI64
 
-  /** Hyperplane-sign bucket over `bits` planes (2^bits buckets); plane
-    * weights w(i,j) = ((i*31+j*17) % 7) - 3. Bits come from
-    * `spark.graft.lsh.bits` (default 8): more bits → smaller buckets →
-    * fewer candidates per bucket and lower recall — the knob a 100 TB
-    * corpus turns UP so within-bucket work stays bounded as the corpus
-    * grows. (The DuckDB oracles pin the default; the gates run at 8.) */
-  private def bucket(v: String, bits: Int) =
+  /** Hyperplane-sign bucket over `bits` planes (2^bits buckets) of a
+    * `dims`-wide vector; plane weights w(i,j) = ((i*31+j*17) % 7) - 3.
+    * Bits come from `spark.graft.lsh.bits` (default 8): more bits →
+    * smaller buckets → fewer candidates per bucket and lower recall —
+    * the knob a 100 TB corpus turns UP so within-bucket work stays
+    * bounded as the corpus grows. (The DuckDB oracles pin the default;
+    * the gates run at 8.) The same kernel at dims=16/bits=4 is the PQ
+    * subspace cell hash. */
+  private def bucket(v: String, bits: Int, dims: Int = 64) =
     s"""aggregate(transform(sequence(0,${bits - 1}), j ->
-          if(aggregate(transform(sequence(0,63), i ->
+          if(aggregate(transform(sequence(0,${dims - 1}), i ->
                $v[i] * (((i*31 + j*17) % 7) - 3)), cast(0 as bigint), (s, x) -> s + x) > 0,
              shiftleft(1L, j), 0L)),
         0L, (s, x) -> s + x)"""
@@ -200,14 +202,8 @@ object EmbeddingQueries extends QueryPack {
         """explode(transform(sequence(0,3), m ->
              struct(m as m, slice(q, m*16+1, 16) as qm))) as e""")
         .select(col("vec_id"), col("e.m").as("m"), col("e.qm").as("qm"))
-      val cellExpr =
-        """aggregate(transform(sequence(0,3), j ->
-             if(aggregate(transform(sequence(0,15), i ->
-                  qm[i] * (((i*31 + j*17) % 7) - 3)),
-                cast(0 as bigint), (a, x) -> a + x) > 0,
-               shiftleft(1L, j), 0L)),
-           cast(0 as bigint), (a, x) -> a + x)"""
-      val cells = sv.selectExpr("vec_id", "m", "qm", s"$cellExpr as cell")
+      val cells = sv.selectExpr("vec_id", "m", "qm",
+        s"${bucket("qm", bits = 4, dims = 16)} as cell")
       val cb = cells
         .selectExpr("m", "cell", "posexplode(qm) as (i, v)")
         .groupBy("m", "cell", "i")

@@ -124,10 +124,27 @@ object GraphQueries extends QueryPack {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val copart = copartConf(s)
     val maxRounds = 64
+    // every loop checkpoint registers for releaseAll AT CREATION, so a
+    // non-convergence failure cannot strand blocks past release()
+    // (superseded rounds are additionally unpersisted eagerly below —
+    // double unpersist at release is a no-op)
+    def ck(df: DataFrame, flag: String): (DataFrame, Long) = {
+      val (out, _, _, flagged) = GraftColumnBridge
+        .checkpointWithPartitioningFlagged(df, Seq("x"), parts, flag)
+      GraftColumnBridge.checkpointedRDD(out).foreach(PackResources.trackRDD)
+      (out, flagged)
+    }
+    // cluster path: the edge state must share the state's hash(x) claim
+    // or every round re-exchanges the full (largest) side — claim it
+    // ONCE here; the comment "the only per-round exchange is the
+    // destination-keyed aggregation" holds only with this in place
+    val ed =
+      if (copart)
+        ck(edges.repartition(parts, col("x")), null)._1
+      else edges
     val seedPlan = nodes.select(col("x"), lit(1000000L).as("p"))
-    var pr = GraftColumnBridge.checkpointWithPartitioning(
-      if (copart) seedPlan.repartition(parts, col("x")) else seedPlan,
-      Seq("x"), parts)._1
+    var pr = ck(
+      if (copart) seedPlan.repartition(parts, col("x")) else seedPlan, null)._1
     var rounds = 0
     var converged = false
     val aqeKey = "spark.sql.adaptive.enabled"
@@ -137,7 +154,7 @@ object GraphQueries extends QueryPack {
       while (!converged && rounds < maxRounds) {
         rounds += 1
         val sums = pr
-          .join(if (copart) edges else broadcast(edges), "x")
+          .join(if (copart) ed else broadcast(ed), "x")
           .select(col("y").as("x"), expr("p div d").as("c"))
           .groupBy("x").agg(sum("c").as("s"))
         val nextPlan = pr.select(col("x"), col("p").as("po"))
@@ -146,9 +163,7 @@ object GraphQueries extends QueryPack {
             expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
             col("po"))
           .withColumn("chg", col("p") =!= col("po"))
-        val (next, _, _, changed) =
-          GraftColumnBridge.checkpointWithPartitioningFlagged(
-            nextPlan, Seq("x"), parts, "chg")
+        val (next, changed) = ck(nextPlan, "chg")
         converged = changed == 0L
         // the superseded round's blocks are dead once `next` is
         // materialized and compared
@@ -159,9 +174,6 @@ object GraphQueries extends QueryPack {
     } finally if (!copart) s.conf.set(aqeKey, prevAqe)
     require(converged, s"PageRank did not reach its integer fixed " +
       s"point within $maxRounds rounds")
-    // the final round's blocks back the returned lineage — tracked for
-    // PackResources.releaseAll rather than leaked past release()
-    GraftColumnBridge.checkpointedRDD(pr).foreach(PackResources.trackRDD)
     pr.select("x", "p")
   }
 
@@ -175,12 +187,25 @@ object GraphQueries extends QueryPack {
     val copart = copartConf(s)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val maxRounds = 64
-    var st = GraftColumnBridge.checkpointWithPartitioning(
-      nodes.select(col("x"), lit(null).cast("long").as("shell")),
-      Seq("x"), parts)._1
-    var ae = GraftColumnBridge.checkpointWithPartitioning(
-      arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct(),
-      Seq("x"), parts)._1
+    // checkpoints register for releaseAll at creation (failure-path
+    // safe; double unpersist of superseded rounds is a no-op)
+    def ck(df: DataFrame, flag: String): (DataFrame, Long) = {
+      val (out, _, _, flagged) = GraftColumnBridge
+        .checkpointWithPartitioningFlagged(df, Seq("x"), parts, flag)
+      GraftColumnBridge.checkpointedRDD(out).foreach(PackResources.trackRDD)
+      (out, flagged)
+    }
+    var st = ck({
+      val seed = nodes.select(col("x"), lit(null).cast("long").as("shell"))
+      if (copart) seed.repartition(parts, col("x")) else seed
+    }, null)._1
+    var ae = ck({
+      val sym = arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct()
+      // cluster path: the edge state carries the hash(x) claim so the
+      // per-round degree aggregation and the x-side semi-join reuse its
+      // layout instead of re-exchanging the (largest) state every round
+      if (copart) sym.repartition(parts, col("x")) else sym
+    }, null)._1
     var round = 0
     var converged = false
     val aqeKey = "spark.sql.adaptive.enabled"
@@ -198,21 +223,23 @@ object GraphQueries extends QueryPack {
               .as("shell"),
             col("shell").as("so"))
           .withColumn("chg", col("shell").isNotNull && col("so").isNull)
-        val (nst, _, _, peeled) =
-          GraftColumnBridge.checkpointWithPartitioningFlagged(
-            nstPlan, Seq("x"), parts, "chg")
+        val (nst, peeled) = ck(nstPlan, "chg")
         converged = peeled == 0L
         if (!converged) {
           val alive = nst.filter(col("shell").isNull).select("x")
+          val aliveJ = if (copart) alive else broadcast(alive)
+          // the edge state is SYMMETRIC (both directions present), so
+          // restricting the x endpoint, flipping, and restricting the
+          // x endpoint again restricts both ends — and both semi-joins
+          // share ONE broadcast subtree (exchange reuse) instead of
+          // broadcasting a renamed copy of `alive` separately
           val naePlan = ae
-            .join(if (copart) alive else broadcast(alive),
-              Seq("x"), "left_semi")
-            .join(
-              (if (copart) alive else broadcast(alive))
-                .select(col("x").as("y")),
-              Seq("y"), "left_semi")
-          val nae = GraftColumnBridge.checkpointWithPartitioning(
-            naePlan, Seq("x"), parts)._1
+            .join(aliveJ, Seq("x"), "left_semi")
+            .select(col("y").as("x"), col("x").as("y"))
+            .join(aliveJ, Seq("x"), "left_semi")
+          val nae = ck(
+            if (copart) naePlan.repartition(parts, col("x")) else naePlan,
+            null)._1
           GraftColumnBridge.checkpointedRDD(ae)
             .foreach(_.unpersist(blocking = false))
           ae = nae
@@ -224,10 +251,6 @@ object GraphQueries extends QueryPack {
     } finally if (!copart) s.conf.set(aqeKey, prevAqe)
     require(converged,
       s"k-core peeling did not stabilize within $maxRounds rounds")
-    // final node/edge state blocks back the returned lineage — tracked
-    // for PackResources.releaseAll rather than leaked past release()
-    GraftColumnBridge.checkpointedRDD(st).foreach(PackResources.trackRDD)
-    GraftColumnBridge.checkpointedRDD(ae).foreach(PackResources.trackRDD)
     st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
   }
 

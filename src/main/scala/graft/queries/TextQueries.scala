@@ -34,6 +34,36 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Deterministic LCG priority + 16-way priority shard + exclusive
+    * per-shard prefix sum of token counts — the shared scaffolding of
+    * the mixing sampler and the sequence packer (and, in oracle form,
+    * `prioShardedCte`). `extra` columns ride along. */
+  private def prioSharded(s: SparkSession, dir: String,
+                          extra: Seq[String], partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).selectExpr(Seq("doc_id",
+      s"size($toks) as n_tokens",
+      "(doc_id * 1103515245 + 12345) % 1000000 as prio") ++ extra: _*)
+      .withColumn("shard", pmod(col("prio"), lit(16L)))
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("prio").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+  }
+
+  /** the same scaffolding as DuckDB CTEs (`partBy` = window keys) */
+  private def prioShardedCte(extra: String, partBy: String) =
+    s"""base AS (SELECT doc_id$extra,
+         len(string_split(text,' ')) AS n_tokens,
+         (doc_id * 1103515245 + 12345) % 1000000 AS prio
+       FROM documents),
+       sh AS (SELECT *, prio % 16 AS shard FROM base),
+       c AS (SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY $partBy
+           ORDER BY prio ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       FROM sh)"""
+
   // ---- shared SQL fragments (Spark side; arrays are 0-based in expr) ----
 
   private val toks = "split(text, ' ')"
@@ -380,22 +410,13 @@ object TextQueries extends QueryPack {
     // embarrassingly parallel and deterministic. A doc is kept when its
     // shard's running total BEFORE it is under the shard budget (the
     // crossing doc is admitted — standard fill semantics).
-    "txt_mix_budget" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = docs(s, dir).selectExpr("doc_id", "lang",
-        s"size($toks) as n_tokens",
-        "(doc_id * 1103515245 + 12345) % 1000000 as prio")
-        .withColumn("shard", pmod(col("prio"), lit(16L)))
-      val w = Window.partitionBy("lang", "shard")
-        .orderBy(col("prio").asc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+    "txt_mix_budget" -> ((s, dir) =>
+      prioSharded(s, dir, Seq("lang"), Seq("lang", "shard"))
         .filter(col("cum_before") < expr(
           """(case when lang = 'en' then 1600
                    when lang in ('fr','de','es') then 800
                    else 320 end) div 16"""))
-        .select("doc_id", "lang", "shard", "n_tokens", "cum_before")
-    }),
+        .select("doc_id", "lang", "shard", "n_tokens", "cum_before")),
 
     // Sequence packing (the pretraining batch-layout op): documents are
     // concatenated in a deterministic LCG-priority order and the token
@@ -408,20 +429,11 @@ object TextQueries extends QueryPack {
     // global concatenation order would serialize the corpus through one
     // window partition. Docs may span a sequence boundary — standard
     // concat-then-chunk packing semantics.
-    "txt_pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = docs(s, dir).selectExpr("doc_id",
-        s"size($toks) as n_tokens",
-        "(doc_id * 1103515245 + 12345) % 1000000 as prio")
-        .withColumn("shard", pmod(col("prio"), lit(16L)))
-      val w = Window.partitionBy("shard")
-        .orderBy(col("prio").asc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+    "txt_pack_sequences" -> ((s, dir) =>
+      prioSharded(s, dir, Nil, Seq("shard"))
         .selectExpr("doc_id", "shard", "n_tokens",
           "shard * 1000000 + cum_before div 512 as seq_id",
-          "cum_before % 512 as seq_off")
-    }),
+          "cum_before % 512 as seq_off")),
 
     // Benchmark decontamination (the eval-leakage scrub every training
     // corpus runs before a model sees it): docs holding doc_id%10==7 are
@@ -665,16 +677,7 @@ object TextQueries extends QueryPack {
          SELECT bigram, CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
     "txt_pack_sequences" ->
-      """WITH base AS (SELECT doc_id,
-           len(string_split(text,' ')) AS n_tokens,
-           (doc_id * 1103515245 + 12345) % 1000000 AS prio
-         FROM documents),
-         sh AS (SELECT *, prio % 16 AS shard FROM base),
-         c AS (SELECT doc_id, shard, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
-             ORDER BY prio ASC, doc_id ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         FROM sh)
+      s"""WITH ${prioShardedCte("", "shard")}
          SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(shard * 1000000 + cum_before // 512 AS BIGINT) AS seq_id,
            CAST(cum_before % 512 AS BIGINT) AS seq_off
@@ -695,16 +698,7 @@ object TextQueries extends QueryPack {
                  ELSE (63 * 4294967296) // kth_min END AS est_distinct
           FROM sk JOIN ex USING (source)""",
     "txt_mix_budget" ->
-      """WITH base AS (SELECT doc_id, lang,
-           len(string_split(text,' ')) AS n_tokens,
-           (doc_id * 1103515245 + 12345) % 1000000 AS prio
-         FROM documents),
-         sh AS (SELECT *, prio % 16 AS shard FROM base),
-         c AS (SELECT doc_id, lang, shard, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
-             ORDER BY prio ASC, doc_id ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         FROM sh)
+      s"""WITH ${prioShardedCte(", lang", "lang, shard")}
          SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(cum_before AS BIGINT) AS cum_before
          FROM c

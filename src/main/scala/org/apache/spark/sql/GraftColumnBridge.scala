@@ -51,13 +51,19 @@ object GraftColumnBridge {
         require(i >= 0, s"no column $flagCol in ${qe.analyzed.output.map(_.name)}")
         i
       }
-    val acc = spark.sparkContext.longAccumulator("graft.flaggedRows")
-    val rdd =
-      if (flagIdx < 0) qe.toRdd.map(_.copy())
-      else qe.toRdd.map { r =>
-        if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1L)
+    // accumulator only when a flag is asked for — plain checkpoints
+    // (every Datalog fixpoint iteration) must not register dead
+    // accumulators with the SparkContext
+    val acc =
+      if (flagIdx < 0) None
+      else Some(spark.sparkContext.longAccumulator("graft.flaggedRows"))
+    val rdd = acc match {
+      case None => qe.toRdd.map(_.copy())
+      case Some(a) => qe.toRdd.map { r =>
+        if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) a.add(1L)
         r.copy()
       }
+    }
     rdd.localCheckpoint()
     // materialize eagerly (also forces the AQE final plan); the count is
     // returned so fixpoint callers don't pay a second count job per slice
@@ -96,7 +102,8 @@ object GraftColumnBridge {
       if (held)
         execution.LogicalRDD(output, rdd, partitioning, Nil, isStreaming = false)(spark)
       else execution.LogicalRDD(output, rdd)(spark)
-    (classic.Dataset.ofRows(spark, logical), held, n, acc.value)
+    (classic.Dataset.ofRows(spark, logical), held, n,
+      acc.map(_.value.longValue).getOrElse(0L))
   }
 
   /** `Dataset.localCheckpoint()` + row count in ONE job: the Dataset API
