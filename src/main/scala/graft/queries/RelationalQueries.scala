@@ -271,6 +271,21 @@ object RelationalQueries extends QueryPack {
         .count()
         .na.fill(0L)),
 
+    // UNPIVOT (wide → long, the inverse of q30_pivot): three integer
+    // measure columns melt into (metric, value) rows — Dataset.unpivot
+    // is a zero-shuffle per-row expansion; the only exchange is the
+    // metric-keyed partial aggregation on top.
+    "q32_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .selectExpr("l_orderkey",
+          "cast(round(l_quantity*100,0) as bigint) as qty_c",
+          "cast(round(l_extendedprice*100,0) as bigint) as price_c",
+          "cast(round(l_discount*100,0) as bigint) as disc_c")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("qty_c"), col("price_c"), col("disc_c")), "metric", "v")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))),
+
     // Exact median (sort-based percentile; interpolated halves of
     // integer cents are exact in double on both engines).
     "q28_median" -> ((s, dir) =>
@@ -421,6 +436,17 @@ object RelationalQueries extends QueryPack {
          CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
          CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
          FROM orders GROUP BY o_orderpriority""",
+    "q32_unpivot" ->
+      """WITH u AS (
+           SELECT 'qty_c' AS metric,
+                  CAST(round(l_quantity*100,0) AS BIGINT) AS v FROM lineitem
+           UNION ALL SELECT 'price_c',
+                  CAST(round(l_extendedprice*100,0) AS BIGINT) FROM lineitem
+           UNION ALL SELECT 'disc_c',
+                  CAST(round(l_discount*100,0) AS BIGINT) FROM lineitem)
+         SELECT metric, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS BIGINT) AS s
+         FROM u GROUP BY metric""",
     "q28_median" ->
       """SELECT l_returnflag,
          quantile_cont(CAST(ROUND(l_extendedprice*100,0) AS BIGINT), 0.5) AS median_cents

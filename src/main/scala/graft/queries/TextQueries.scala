@@ -461,6 +461,34 @@ object TextQueries extends QueryPack {
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Collocation mining (PMI-style): the corpus-statistics operator
+    // behind phrase detection / tokenizer-merge candidates. Strength is
+    // the exact-integer PMI ratio n12·N·10^6 div (n1·n2) (monotone in
+    // PMI — no float log, so the oracle hash-matches), over bigrams
+    // with support ≥ 5. Plan: one bigram-keyed and one unigram-keyed
+    // partial-agg shuffle, two vocabulary joins (AQE broadcasts the
+    // unigram side when small), TakeOrderedAndProject top-20.
+    "txt_pmi_top" -> ((s, dir) => {
+      val tok = docs(s, dir).selectExpr(s"$toks as t").filter("size(t) >= 2")
+      val uni = tok.selectExpr("explode(t) as w")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n_total"))
+      val big = tok.selectExpr(
+        """explode(transform(sequence(0, size(t) - 2),
+             i -> struct(t[i] as w1, t[i+1] as w2))) as b""")
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        .filter(col("n12") >= 5)
+      big
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(tot))
+        .selectExpr("w1", "w2", "n12",
+          "(n12 * n_total * 1000000) div (c1 * c2) as pmi_ratio_x1e6")
+        .orderBy(col("pmi_ratio_x1e6").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    }),
+
     // Incremental (snapshot-over-snapshot) near-dup dedup: treating even
     // doc_ids as the already-ingested corpus and odd doc_ids as the new
     // crawl, keep new docs with no verified near-dup partner in the old
@@ -717,6 +745,23 @@ object TextQueries extends QueryPack {
           SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
           FROM g JOIN bench USING (ng)
           WHERE g.doc_id % 10 <> 7 GROUP BY g.doc_id""",
+    "txt_pmi_top" ->
+      """WITH d AS (SELECT string_split(text,' ') AS t FROM documents
+             WHERE len(string_split(text,' ')) >= 2),
+         uni AS (SELECT w, count(*) AS c
+             FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+         big AS (SELECT w1, w2, count(*) AS n12 FROM (
+             SELECT unnest(list_transform(range(len(t)-1), i -> t[i+1])) AS w1,
+                    unnest(list_transform(range(len(t)-1), i -> t[i+2])) AS w2
+             FROM d)
+           GROUP BY w1, w2 HAVING count(*) >= 5)
+         SELECT big.w1, big.w2, CAST(n12 AS BIGINT) AS n12,
+           CAST((n12 * n_total * 1000000) // (u1.c * u2.c) AS BIGINT)
+             AS pmi_ratio_x1e6
+         FROM big JOIN uni u1 ON u1.w = big.w1
+                  JOIN uni u2 ON u2.w = big.w2, tot
+         ORDER BY pmi_ratio_x1e6 DESC, big.w1 ASC, big.w2 ASC LIMIT 20""",
     "txt_dedup_incr" ->
       s"""WITH $shCte, $sigCte, $lshCte,
           pr AS (${verifyDuck(1, 2)}),
