@@ -228,6 +228,27 @@ object EmbeddingQueries extends QueryPack {
           max(when(col("m") === 3, col("ccell"))).as("c3"))
     }),
 
+    // Scalar quantization to int8 (SQ8 — the other standard index
+    // compression next to PQ): each vector stores a per-vector scale
+    // m = max|q_i| and 64 int8 codes code_i = q_i·127 div m; the gate
+    // reports the scale, the code checksum and the exact L1
+    // reconstruction error Σ|q_i − code_i·m div 127| — the quality
+    // metric an index build monitors. Pure per-row arithmetic: scan-
+    // parallel, zero shuffles, the same plan at any corpus size.
+    "emb_sq8" -> ((s, dir) =>
+      emb(s, dir)
+        .selectExpr("vec_id", "q",
+          "aggregate(q, cast(0 as bigint), (a, x) -> greatest(a, abs(x))) as m")
+        .filter(col("m") > 0)
+        .selectExpr("vec_id", "m",
+          "transform(q, x -> (x * 127) div m) as code",
+          """aggregate(zip_with(q, transform(q, x -> (x * 127) div m),
+               (x, c) -> abs(x - (c * m) div 127)),
+             cast(0 as bigint), (a, e) -> a + e) as l1_err""")
+        .selectExpr("vec_id", "m",
+          "aggregate(code, cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007) as code_sig",
+          "l1_err")),
+
     // Full IVF top-k search (the complete ANN query path): queries probe
     // their nProbe=2 best coarse cells, candidates are only the vectors
     // ASSIGNED to a probed cell, exact top-5 by quantized dot within.
@@ -389,6 +410,21 @@ object EmbeddingQueries extends QueryPack {
             CAST(max(CASE WHEN m = 2 THEN ccell END) AS BIGINT) AS c2,
             CAST(max(CASE WHEN m = 3 THEN ccell END) AS BIGINT) AS c3
           FROM ranked WHERE rk = 1 GROUP BY vec_id""",
+    "emb_sq8" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS q FROM embeddings),
+          mx AS (SELECT vec_id, q,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(q, x -> abs(x))), (a, b) -> greatest(a, b)) AS m
+            FROM e),
+          cd AS (SELECT vec_id, q, m,
+              list_transform(q, x -> (x * 127) // m) AS code
+            FROM mx WHERE m > 0)
+          SELECT vec_id, CAST(m AS BIGINT) AS m,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), code),
+              (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS code_sig,
+            CAST(list_sum(list_transform(range(len(q)),
+              i -> abs(q[i+1] - (code[i+1] * m) // 127))) AS BIGINT) AS l1_err
+          FROM cd""",
     "emb_ivf_search" ->
       s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
           c AS (SELECT CAST(label AS BIGINT) AS clabel, i,

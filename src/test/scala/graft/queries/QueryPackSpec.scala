@@ -235,6 +235,57 @@ class QueryPackSpec extends AnyFunSuite {
       kept.size <= odd.toInt)
   }
 
+  test("txt_pack_sequences: offsets stay inside the chunks, shards consistent") {
+    val rows = run("txt_pack_sequences").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (shard, seqId, off) =
+        (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off"))
+      assert(off >= 0 && off < 512, s"offset $off outside chunk")
+      assert(seqId / 1000000 == shard, s"seq $seqId not in shard $shard")
+    }
+    // every shard's sequences are contiguous from its base id
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id") - shard * 1000000)
+        .distinct.sorted.toVector
+      assert(ids.head == 0 && ids == (0L to ids.last).toVector,
+        s"shard $shard sequence ids not contiguous: $ids")
+    }
+  }
+
+  test("txt_kmv_distinct: sketch brackets the exact distinct count") {
+    val rows = run("txt_kmv_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kUsed, exact, est) = (r.getAs[Long]("k_used"),
+        r.getAs[Long]("exact_distinct"), r.getAs[Long]("est_distinct"))
+      assert(kUsed <= 64)
+      if (kUsed < 64) assert(est == exact, s"sub-k estimate must be exact")
+      else assert(est >= exact / 2 && est <= exact * 2,
+        s"KMV estimate $est implausible vs exact $exact (k=64 err ~12.5%)")
+    }
+  }
+
+  test("txt_decontam: reports only training docs, never the benchmark split") {
+    val rows = run("txt_decontam").collect()
+    assert(rows.nonEmpty, "synthetic corpus should show some contamination")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 7, "benchmark doc reported")
+      assert(r.getAs[Long]("n_hits") > 0)
+    }
+  }
+
+  test("emb_sq8: reconstruction error bounded by the quantization step") {
+    val rows = run("emb_sq8").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, err) = (r.getAs[Long]("m"), r.getAs[Long]("l1_err"))
+      // per component |x - dequant(x)| < m/127 + 1 → L1 over 64 dims
+      assert(err >= 0 && err <= 64 * (m / 127 + 1),
+        s"l1_err $err exceeds the quantization bound for scale $m")
+    }
+  }
+
   test("graph fixpoints: copart (cluster) path matches the broadcast path") {
     for (q <- Seq("graph_pagerank_conv", "graph_kcore")) {
       def rows(s: org.apache.spark.sql.SparkSession) =
