@@ -73,6 +73,36 @@ object TemporalQueries extends QueryPack {
           col("last_c.cval").as("click_value"))
     }),
 
+    // Funnel analysis (sequential pattern matching, the product-
+    // analytics staple): per user, the earliest view, the earliest
+    // click within 24h AFTER that view, and the earliest purchase
+    // within 24h after that click — each stage anchored on the
+    // previous one (earliest-first semantics, deterministic without
+    // tie-breaks because stage times are minima). Built as stage
+    // aggregations chained by user-keyed joins: every shuffle is on
+    // user_id so the stages co-partition and reuse one exchange
+    // layout; no per-user event buffering anywhere (a hot user costs a
+    // bigger partial-agg, not an executor OOM — the same discipline as
+    // evt_sessions).
+    "evt_funnel" -> ((s, dir) => {
+      val Day = 86400000000L
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "event_type", "ts div 1000 as tsu")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tsu").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tsu") >= col("v_ts") && col("tsu") <= col("v_ts") + Day)
+        .groupBy("user_id").agg(min("tsu").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("tsu") >= col("c_ts") && col("tsu") <= col("c_ts") + Day)
+        .groupBy("user_id").agg(min("tsu").as("p_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"))
+    }),
+
     // Time-bucket downsampling with arg-min/arg-max semantics (OHLC —
     // the telemetry/metrics compaction every event pipeline runs):
     // per hour, the value of the first and last event plus min/max/n.
@@ -128,6 +158,21 @@ object TemporalQueries extends QueryPack {
                 c.cid AS click_id, c.cval AS click_value
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.tsu >= c.ctsu""",
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         v AS (SELECT user_id, min(tsu) AS v_ts FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(tsu) AS c_ts FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click'
+                 AND tsu >= v_ts AND tsu <= v_ts + 86400000000
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(tsu) AS p_ts FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase'
+                 AND tsu >= c_ts AND tsu <= c_ts + 86400000000
+               GROUP BY e.user_id)
+         SELECT v.user_id, CAST(v_ts AS BIGINT) AS v_ts,
+                CAST(c_ts AS BIGINT) AS c_ts, CAST(p_ts AS BIGINT) AS p_ts
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     "evt_ohlc" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS tsu,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,
