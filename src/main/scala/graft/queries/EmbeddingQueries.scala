@@ -240,14 +240,12 @@ object EmbeddingQueries extends QueryPack {
         .selectExpr("vec_id", "q",
           "aggregate(q, cast(0 as bigint), (a, x) -> greatest(a, abs(x))) as m")
         .filter(col("m") > 0)
-        .selectExpr("vec_id", "m",
-          "transform(q, x -> (x * 127) div m) as code",
-          """aggregate(zip_with(q, transform(q, x -> (x * 127) div m),
-               (x, c) -> abs(x - (c * m) div 127)),
-             cast(0 as bigint), (a, e) -> a + e) as l1_err""")
+        .selectExpr("vec_id", "q", "m",
+          "transform(q, x -> (x * 127) div m) as code")
         .selectExpr("vec_id", "m",
           "aggregate(code, cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007) as code_sig",
-          "l1_err")),
+          """aggregate(zip_with(q, code, (x, c) -> abs(x - (c * m) div 127)),
+             cast(0 as bigint), (a, e) -> a + e) as l1_err""")),
 
     // Full IVF top-k search (the complete ANN query path): queries probe
     // their nProbe=2 best coarse cells, candidates are only the vectors

@@ -483,8 +483,12 @@ object TextQueries extends QueryPack {
         .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
         .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
         .crossJoin(broadcast(tot))
+        // the numerator n12·N·10^6 grows ~corpus² and exceeds int64 near
+        // ~80M tokens — the product runs in DECIMAL(38,0) (HUGEINT on
+        // the oracle side) and only the small quotient returns to long
         .selectExpr("w1", "w2", "n12",
-          "(n12 * n_total * 1000000) div (c1 * c2) as pmi_ratio_x1e6")
+          """(cast(n12 as decimal(38,0)) * n_total * 1000000)
+             div (cast(c1 as decimal(38,0)) * c2) as pmi_ratio_x1e6""")
         .orderBy(col("pmi_ratio_x1e6").desc, col("w1").asc, col("w2").asc)
         .limit(20)
     }),
@@ -757,7 +761,8 @@ object TextQueries extends QueryPack {
              FROM d)
            GROUP BY w1, w2 HAVING count(*) >= 5)
          SELECT big.w1, big.w2, CAST(n12 AS BIGINT) AS n12,
-           CAST((n12 * n_total * 1000000) // (u1.c * u2.c) AS BIGINT)
+           CAST((CAST(n12 AS HUGEINT) * n_total * 1000000)
+             // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT)
              AS pmi_ratio_x1e6
          FROM big JOIN uni u1 ON u1.w = big.w1
                   JOIN uni u2 ON u2.w = big.w2, tot

@@ -244,12 +244,22 @@ class QueryPackSpec extends AnyFunSuite {
       assert(off >= 0 && off < 512, s"offset $off outside chunk")
       assert(seqId / 1000000 == shard, s"seq $seqId not in shard $shard")
     }
-    // every shard's sequences are contiguous from its base id
+    // exact layout: within a shard, each doc's absolute token position
+    // (seq_id − base)·512 + seq_off equals the running sum of the
+    // preceding docs' token counts — holds regardless of doc length
+    // (a ≥513-token doc legitimately SPANS sequence ids, so a naive
+    // contiguity-of-reported-ids check would be wrong)
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
-      val ids = rs.map(_.getAs[Long]("seq_id") - shard * 1000000)
-        .distinct.sorted.toVector
-      assert(ids.head == 0 && ids == (0L to ids.last).toVector,
-        s"shard $shard sequence ids not contiguous: $ids")
+      val ordered = rs.sortBy(r =>
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+      var cum = 0L
+      for (r <- ordered) {
+        val pos = (r.getAs[Long]("seq_id") - shard * 1000000) * 512 +
+          r.getAs[Long]("seq_off")
+        assert(pos == cum,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")} at $pos, expected $cum")
+        cum += r.getAs[Number]("n_tokens").longValue
+      }
     }
   }
 
