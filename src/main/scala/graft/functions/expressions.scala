@@ -372,6 +372,79 @@ case class Shingle3SortedSet(child: Expression, p: Long = 1000000007L)
     copy(child = newChild)
 }
 
+/** Sorted distinct rolling n-gram hashes over a token-hash array —
+  * `Shingle3SortedSet` generalized to any window (the decontamination
+  * scrub runs 13-token grams): gram_i = fold over w hashes of
+  * (acc·1000003 + h) mod p starting from 0. O(tokens·w) per row in a
+  * tight generated loop instead of an interpreted
+  * aggregate-inside-transform lambda pair. */
+case class NGramHashSet(child: Expression, width: Int, p: Long = 1000000007L)
+    extends UnaryExpression {
+  require(width >= 1, "width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireLongArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, arr, GraftFunctions.elemNullable(child))
+    val n = arr.numElements()
+    val m = math.max(0, n - width + 1)
+    val tmp = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var v = 0L
+      var j = 0
+      while (j < width) { v = (v * 1000003L + arr.getLong(i + j)) % p; j += 1 }
+      tmp(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(tmp)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || tmp(i) != tmp(w - 1)) { tmp(w) = tmp(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(tmp, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val tmp = ctx.freshName("tmp")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val w = ctx.freshName("w")
+      s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, c, GraftFunctions.elemNullable(child))}
+        final int $n = $c.numElements();
+        final int $m = java.lang.Math.max(0, $n - $width + 1);
+        final long[] $tmp = new long[$m];
+        for (int $i = 0; $i < $m; $i++) {
+          long $v = 0L;
+          for (int $j = 0; $j < $width; $j++) {
+            $v = ($v * 1000003L + $c.getLong($i + $j)) % ${p}L;
+          }
+          $tmp[$i] = $v;
+        }
+        java.util.Arrays.sort($tmp);
+        int $w = 0;
+        for (int $i = 0; $i < $m; $i++) {
+          if ($w == 0 || $tmp[$i] != $tmp[$w - 1]) { $tmp[$w] = $tmp[$i]; $w++; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOf($tmp, $w));
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashSet =
+    copy(child = newChild)
+}
+
 /** Column-API helpers for the native expressions. */
 object GraftFunctions {
   private[functions] def requireLongArray(
@@ -425,6 +498,8 @@ object GraftFunctions {
     GraftColumnBridge.column(TokenHash64(GraftColumnBridge.expression(c)))
   def shingle3SortedSet(c: Column): Column =
     GraftColumnBridge.column(Shingle3SortedSet(GraftColumnBridge.expression(c)))
+  def nGramHashSet(c: Column, width: Int): Column =
+    GraftColumnBridge.column(NGramHashSet(GraftColumnBridge.expression(c), width))
   def minhashSig(c: Column, k: Int = 16): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), k))
   def simhash32(c: Column): Column =

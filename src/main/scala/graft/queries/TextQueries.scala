@@ -448,13 +448,14 @@ object TextQueries extends QueryPack {
     // contamination report (training doc -> distinct benchmark grams it
     // contains); the cleaned corpus is its anti-join complement.
     "txt_decontam" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.nGramHashSet
       val g = docs(s, dir)
         .select(col("doc_id"), tokHashes.as("h"))
         .filter(size(col("h")) >= 13)
-        .select(col("doc_id"), explode(expr(
-          s"""array_distinct(transform(sequence(0, size(h) - 13),
-                i -> aggregate(slice(h, i + 1, 13), cast(0 as bigint),
-                       (a, x) -> (a * 1000003 + x) % $P)))""")).as("ng"))
+        // 13-gram hashes via the codegen'd NGramHashSet kernel (the
+        // aggregate-inside-transform HOF pair evaluates interpreted
+        // per window — the scrub's hot path at corpus scale)
+        .select(col("doc_id"), explode(nGramHashSet(col("h"), 13)).as("ng"))
       val bench = g.filter(col("doc_id") % 10 === 7).select("ng").distinct()
       g.filter(col("doc_id") % 10 =!= 7)
         .join(bench, "ng")

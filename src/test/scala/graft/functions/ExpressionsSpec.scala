@@ -111,6 +111,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("NGramHashSet matches the aggregate-in-transform HOF formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L to 40L).toSeq,
+      Seq(5L, 4294967295L, 17L, 123456789L, 5L, 4294967295L, 17L,
+        9L, 8L, 7L, 6L, 5L, 4L, 3L, 2L),
+      Seq(1L, 2L) // fewer than 13 → empty
+    ).toDF("h")
+    val hof = df.selectExpr(
+      s"""array_sort(array_distinct(
+            case when size(h) >= 13 then
+              transform(sequence(0, size(h) - 13),
+                i -> aggregate(slice(h, i + 1, 13), cast(0 as bigint),
+                       (a, x) -> (a * 1000003 + x) % $P))
+            else cast(array() as array<bigint>) end)) as s""")
+    val native = df.select(GraftFunctions.nGramHashSet(col("h"), 13).as("s"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // width 3 with the 0-fold start equals Shingle3SortedSet
+    val s3 = df.select(GraftFunctions.shingle3SortedSet(col("h")).as("s"))
+    val n3 = df.select(GraftFunctions.nGramHashSet(col("h"), 3).as("s"))
+    assert(n3.exceptAll(s3).isEmpty && s3.exceptAll(n3).isEmpty)
+  }
+
+  test("NGramHashSet interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val df = Seq((1L to 30L).toSeq).toDF("h")
+    def run(): Array[String] = df
+      .select(GraftFunctions.nGramHashSet(col("h"), 13).as("s"))
+      .collect().map(_.toString)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(run().sameElements(interp))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("TokenHash64/Shingle3SortedSet interpreted eval agrees with codegen") {
     import spark.implicits._
     val df = Seq(Seq("alpha", "beta", "gamma", "delta", "beta")).toDF("t")
