@@ -236,7 +236,11 @@ object DatalogQueries extends QueryPack {
     // converters throw "unsupported", dl/Utilities.scala:34-45; our
     // `decimal` declaration maps to DecimalType(38,0)): exact integer-
     // cents totals per customer, summed and filtered in 128-bit decimal
-    // arithmetic — no double roundoff, so the hash compare is exact.
+    // arithmetic — no double roundoff. The gate surface casts the total
+    // to BIGINT (sf-scale sums fit int64) because DECIMAL(38,0) crosses
+    // the two oracle bridges differently (python Decimal vs float64) and
+    // hash-mismatches on representation; the >2^63 exactness proof lives
+    // in SchemaCoercionSpec where the comparison stays in-JVM.
     "dl_custsum_decimal" -> ((s, dir) => {
       val c = PackResources.context(s, dir, "dl_custsum_decimal") {
         val c0 = new DatalogContext(s)
@@ -249,7 +253,7 @@ object DatalogQueries extends QueryPack {
           "cast(round(o_totalprice * 100, 0) as decimal(38,0)) as p"))
         c0
       }
-      c.query("big(C, T).")
+      c.query("big(C, T).").selectExpr("c", "cast(t as bigint) as t")
     }),
 
     // DAG path counting via msum<(K,V)> support-set monotonic
@@ -418,7 +422,7 @@ object DatalogQueries extends QueryPack {
       "dl_custsum_decimal" ->
         """SELECT o_custkey AS c,
              CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0)))
-               AS DECIMAL(38,0)) AS t
+               AS BIGINT) AS t
            FROM orders GROUP BY o_custkey
            HAVING SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(38,0)))
              >= 50000000""",
