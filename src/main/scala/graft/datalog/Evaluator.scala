@@ -294,6 +294,29 @@ final class Evaluator(
     n > 0 && n <= conf.localDeltaRows &&
       n * df.schema.fields.map(_.dataType.defaultSize.toLong).sum <= conf.localDeltaBytes
 
+  /** Largest row count that could still pass `localizable` for this
+    * schema — the legal ceiling for any driver-side collect. Clamped so
+    * an aggressive conf cannot push a limit() past Int range. */
+  private def localRowCap(df: DataFrame): Int = {
+    val rowBytes =
+      df.schema.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    math.min(conf.localDeltaRows, conf.localDeltaBytes / rowBytes)
+      .min(1L << 24).max(0L).toInt
+  }
+
+  /** Collect at most `cap` rows, probed via a limit(cap+1) job — never
+    * an unbounded collect. Some(rows) when the result is complete; None
+    * when it exceeds the cap, in which case the caller falls back to
+    * the checkpointed cluster path (the probe's work is re-done there,
+    * but driver memory stays bounded even on a one-iteration blowup —
+    * e.g. a tiny local delta non-linearly joined against a hub-heavy
+    * EDB). */
+  private def collectCapped(df: DataFrame, cap: Int)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val probe = df.limit(cap + 1).collect()
+    if (probe.length > cap) None else Some(probe)
+  }
+
   /** All semi-naive contributions of one rule this iteration. */
   private def ruleVariants(
       rule: Rule,
@@ -392,13 +415,16 @@ final class Evaluator(
     // iteration schedules. A frontier that explodes past the local caps
     // falls back to the checkpointed path with the rows it already has.
     if (preferLocal && !conf.logPlans) {
-      val rows = df.collect()
-      val n = rows.length.toLong
-      if (n == 0 || localizable(n, df)) {
-        if (n > 0) localizedSlices += 1
-        (spark.createDataFrame(rows.toSeq.asJava, df.schema), n)
-      } else
-        materialize(spark.createDataFrame(rows.toSeq.asJava, df.schema))
+      // size-guarded: limit(cap+1) bounds driver memory even when one
+      // iteration explodes; an over-cap result takes the checkpointed
+      // path below instead of landing on the driver first
+      collectCapped(df, localRowCap(df)) match {
+        case Some(rows) =>
+          val n = rows.length.toLong
+          if (n > 0) localizedSlices += 1
+          (spark.createDataFrame(rows.toSeq.asJava, df.schema), n)
+        case None => materialize(df)
+      }
     } else {
       val (ck0, n) = org.apache.spark.sql.GraftColumnBridge.localCheckpointCounted(df)
       val ck = track(ck0)
@@ -475,12 +501,20 @@ final class Evaluator(
     val seen = mutable.Map[String, mutable.Set[Seq[Any]]]()
     val seenSchema = mutable.Map[String, org.apache.spark.sql.types.StructType]()
     // driver-side dedup relies on Scala value equality of collected Row
-    // fields — sound for scalar types, not for nested/binary columns
+    // fields — sound for scalar types, not for nested/binary columns.
+    // Fractional types are excluded too: the cluster path normalizes
+    // -0.0 == 0.0 (NormalizeFloatingNumbers) and compares decimals
+    // scale-insensitively, while boxed Double.equals / BigDecimal.equals
+    // distinguish them — the two paths could converge on different fact
+    // sets for a recursive predicate with fractional columns.
     def valueComparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.ArrayType |
            _: org.apache.spark.sql.types.MapType |
            _: org.apache.spark.sql.types.StructType |
            org.apache.spark.sql.types.BinaryType => false
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => false
       case _ => true
     }
     def initSeen(p: String, dfs: Seq[DataFrame]): Unit = {
@@ -626,17 +660,20 @@ final class Evaluator(
       // needs no partitioning claim (joins against it broadcast)
       if (preferLocal && !conf.logPlans) {
         import scala.jdk.CollectionConverters._
-        val rows = df.collect()
-        val n = rows.length.toLong
-        if (n == 0 || localizable(n, df)) {
-          if (n > 0) localizedSlices += 1
-          return (Slice(spark.createDataFrame(rows.toSeq.asJava, df.schema),
-            isLocal = true), n)
+        // size-guarded collect (see collectCapped): an over-cap result
+        // never lands on the driver — it re-runs on the checkpointed
+        // path, whose claim validation self-heals the partitioning
+        collectCapped(df, localRowCap(df)) match {
+          case Some(rows) =>
+            val n = rows.length.toLong
+            if (n > 0) localizedSlices += 1
+            return (Slice(spark.createDataFrame(rows.toSeq.asJava, df.schema),
+              isLocal = true), n)
+          case None =>
+            return sliceOf(
+              df.repartition(nParts, pivot.map(df.col).toIndexedSeq: _*),
+              pivot, pred, iter)
         }
-        val back = spark.createDataFrame(rows.toSeq.asJava, df.schema)
-        return sliceOf(
-          back.repartition(nParts, pivot.map(back.col).toIndexedSeq: _*),
-          pivot, pred, iter)
       }
       val (ck, held, n) = org.apache.spark.sql.GraftColumnBridge
         .checkpointWithPartitioning(df, pivot, nParts)
@@ -720,6 +757,10 @@ final class Evaluator(
         val allView = preds.flatMap(q => allOf(q).map(q -> _)).toMap
         val deltaView = (delta ++ newDelta).view.mapValues(_.df).toMap
         val statT0 = System.nanoTime()
+        // set by the driver-frontier guard below (collect is capped, so
+        // the guard doubles as the branch condition)
+        var localCands: Option[(Seq[org.apache.spark.sql.types.DataType],
+          Array[org.apache.spark.sql.Row])] = None
         val contribs = clique.recursiveRules(p)
           .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
         if (contribs.nonEmpty) {
@@ -789,16 +830,26 @@ final class Evaluator(
               }
               chains += p -> next
             }
-          } else if (driverTargets(p, u).isDefined) {
+          } else if ({
+            // size-guarded candidate collect: driver mode proceeds only
+            // when the raw candidates (duplicate derivations included,
+            // hence 16× headroom over the fact-set caps) fit the local
+            // bound; a one-iteration blowup falls through to the
+            // cluster path below instead of landing on the driver
+            localCands = driverTargets(p, u).flatMap(ts =>
+              collectCapped(u, localRowCap(u).min((1 << 24) / 16) * 16)
+                .map(ts -> _))
+            localCands.isDefined
+          }) {
             // driver-resident frontier: one narrow job collects the raw
             // candidates; dedup + diff against all prior facts are
             // driver-side set operations, and the fact set stays ONE
             // flat LocalRelation
-            val targets = driverTargets(p, u).get
+            val (targets, cands) = localCands.get
             rewidenSeen(p, targets)
             val set = seen(p)
             val fresh = mutable.LinkedHashSet[Seq[Any]]()
-            u.collect().foreach { r =>
+            cands.foreach { r =>
               val k = r.toSeq.zip(targets).map { case (v, t) => castVal(v, t) }
               if (!set.contains(k)) fresh += k
             }
@@ -819,7 +870,9 @@ final class Evaluator(
               }
             }
           } else {
-            seen -= p; seenSchema -= p // schema drift / logplans: stay off
+            // schema drift / logplans / candidate blowup: driver mode
+            // off for good — the scalable path from here on
+            seen -= p; seenSchema -= p
             val (d, n) = materialize(allOf(p) match {
               case Some(a) => u.except(a)
               case None => u.distinct()

@@ -28,6 +28,21 @@ object GraphQueries extends QueryPack {
   private[queries] def copartConf(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.graph.copartition").exists(_.toBoolean)
 
+  /** Session clone hosting a local-path fixpoint's planning conf: the
+    * caller's runtime conf is copied over (static/immutable keys are
+    * skipped), then AQE is pinned off for the loop only. Mutating the
+    * caller's session instead would silently strip AQE from any query
+    * running concurrently on it, and two overlapping fixpoints could
+    * restore each other's stale previous value. */
+  private def localLoopSession(s: SparkSession): SparkSession = {
+    val c = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try c.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
+    }
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    c
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       PackResources.checkpoint(s, dir, "graph_pagerank") {
@@ -119,11 +134,22 @@ object GraphQueries extends QueryPack {
     * there the state is too big to broadcast and AQE's runtime sizing +
     * skew handling earn their stage jobs. */
   private[queries] def pagerankConverged(
-      s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+      s: SparkSession, nodes0: DataFrame, edges0: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val copart = copartConf(s)
     val maxRounds = 64
+    // local path: the rounds run on a CLONED session with AQE pinned
+    // off (plan shape known, both build sides hinted — static planning
+    // runs a round in 2-3 jobs), so the knob never mutates the caller's
+    // session: a query running concurrently on the same SparkSession
+    // would silently lose AQE, and an overlapping second fixpoint could
+    // restore the wrong previous value. Same isolation drainAppend
+    // gives its streaming knobs. The copart (cluster) path needs no
+    // conf change and stays on the caller's session.
+    val loop = if (copart) s else localLoopSession(s)
+    val nodes = if (copart) nodes0 else GraftColumnBridge.onSession(loop, nodes0)
+    val edges = if (copart) edges0 else GraftColumnBridge.onSession(loop, edges0)
     // every loop checkpoint registers for releaseAll AT CREATION, so a
     // non-convergence failure cannot strand blocks past release()
     // (superseded rounds are additionally unpersisted eagerly below —
@@ -147,34 +173,31 @@ object GraphQueries extends QueryPack {
       if (copart) seedPlan.repartition(parts, col("x")) else seedPlan, null)._1
     var rounds = 0
     var converged = false
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = s.conf.get(aqeKey, "true")
-    if (!copart) s.conf.set(aqeKey, "false")
-    try {
-      while (!converged && rounds < maxRounds) {
-        rounds += 1
-        val sums = pr
-          .join(if (copart) ed else broadcast(ed), "x")
-          .select(col("y").as("x"), expr("p div d").as("c"))
-          .groupBy("x").agg(sum("c").as("s"))
-        val nextPlan = pr.select(col("x"), col("p").as("po"))
-          .join(if (copart) sums else broadcast(sums), Seq("x"), "left")
-          .select(col("x"),
-            expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
-            col("po"))
-          .withColumn("chg", col("p") =!= col("po"))
-        val (next, changed) = ck(nextPlan, "chg")
-        converged = changed == 0L
-        // the superseded round's blocks are dead once `next` is
-        // materialized and compared
-        GraftColumnBridge.checkpointedRDD(pr)
-          .foreach(_.unpersist(blocking = false))
-        pr = next
-      }
-    } finally if (!copart) s.conf.set(aqeKey, prevAqe)
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val sums = pr
+        .join(if (copart) ed else broadcast(ed), "x")
+        .select(col("y").as("x"), expr("p div d").as("c"))
+        .groupBy("x").agg(sum("c").as("s"))
+      val nextPlan = pr.select(col("x"), col("p").as("po"))
+        .join(if (copart) sums else broadcast(sums), Seq("x"), "left")
+        .select(col("x"),
+          expr("150000 + (850000 * coalesce(s, 0)) div 1000000").as("p"),
+          col("po"))
+        .withColumn("chg", col("p") =!= col("po"))
+      val (next, changed) = ck(nextPlan, "chg")
+      converged = changed == 0L
+      // the superseded round's blocks are dead once `next` is
+      // materialized and compared
+      GraftColumnBridge.checkpointedRDD(pr)
+        .foreach(_.unpersist(blocking = false))
+      pr = next
+    }
     require(converged, s"PageRank did not reach its integer fixed " +
       s"point within $maxRounds rounds")
-    pr.select("x", "p")
+    // the result re-roots onto the caller's session (the clone only
+    // hosted the loop's planning conf; the data is a materialized RDD)
+    GraftColumnBridge.onSession(s, pr.select("x", "p"))
   }
 
   /** Onion shells of k-core peeling over `nodes(x)` and directed
@@ -182,11 +205,16 @@ object GraphQueries extends QueryPack {
     * peeled, 0 = survives the k-core. Same local/cluster path split as
     * `pagerankConverged`. */
   private[queries] def kcoreShells(
-      s: SparkSession, nodes: DataFrame, arc: DataFrame, k: Int): DataFrame = {
+      s: SparkSession, nodes0: DataFrame, arc0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val copart = copartConf(s)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val maxRounds = 64
+    // local path runs on a cloned session with AQE pinned off (see
+    // pagerankConverged) — never on the caller's mutable conf
+    val loop = if (copart) s else localLoopSession(s)
+    val nodes = if (copart) nodes0 else GraftColumnBridge.onSession(loop, nodes0)
+    val arc = if (copart) arc0 else GraftColumnBridge.onSession(loop, arc0)
     // checkpoints register for releaseAll at creation (failure-path
     // safe; double unpersist of superseded rounds is a no-op)
     def ck(df: DataFrame, flag: String): (DataFrame, Long) = {
@@ -208,50 +236,48 @@ object GraphQueries extends QueryPack {
     }, null)._1
     var round = 0
     var converged = false
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = s.conf.get(aqeKey, "true")
-    if (!copart) s.conf.set(aqeKey, "false")
-    try {
-      while (!converged && round < maxRounds) {
-        round += 1
-        val deg = ae.groupBy("x").agg(count(lit(1)).as("d"))
-        val nstPlan = st
-          .join(if (copart) deg else broadcast(deg), Seq("x"), "left")
-          .select(col("x"),
-            when(col("shell").isNotNull, col("shell"))
-              .when(coalesce(col("d"), lit(0L)) < k, lit(round.toLong))
-              .as("shell"),
-            col("shell").as("so"))
-          .withColumn("chg", col("shell").isNotNull && col("so").isNull)
-        val (nst, peeled) = ck(nstPlan, "chg")
-        converged = peeled == 0L
-        if (!converged) {
-          val alive = nst.filter(col("shell").isNull).select("x")
-          val aliveJ = if (copart) alive else broadcast(alive)
-          // the edge state is SYMMETRIC (both directions present), so
-          // restricting the x endpoint, flipping, and restricting the
-          // x endpoint again restricts both ends — and both semi-joins
-          // share ONE broadcast subtree (exchange reuse) instead of
-          // broadcasting a renamed copy of `alive` separately
-          val naePlan = ae
-            .join(aliveJ, Seq("x"), "left_semi")
-            .select(col("y").as("x"), col("x").as("y"))
-            .join(aliveJ, Seq("x"), "left_semi")
-          val nae = ck(
-            if (copart) naePlan.repartition(parts, col("x")) else naePlan,
-            null)._1
-          GraftColumnBridge.checkpointedRDD(ae)
-            .foreach(_.unpersist(blocking = false))
-          ae = nae
-        }
-        GraftColumnBridge.checkpointedRDD(st)
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = ae.groupBy("x").agg(count(lit(1)).as("d"))
+      val nstPlan = st
+        .join(if (copart) deg else broadcast(deg), Seq("x"), "left")
+        .select(col("x"),
+          when(col("shell").isNotNull, col("shell"))
+            .when(coalesce(col("d"), lit(0L)) < k, lit(round.toLong))
+            .as("shell"),
+          col("shell").as("so"))
+        .withColumn("chg", col("shell").isNotNull && col("so").isNull)
+      val (nst, peeled) = ck(nstPlan, "chg")
+      converged = peeled == 0L
+      if (!converged) {
+        val alive = nst.filter(col("shell").isNull).select("x")
+        val aliveJ = if (copart) alive else broadcast(alive)
+        // the edge state is SYMMETRIC (both directions present), so
+        // restricting the x endpoint, flipping, and restricting the
+        // x endpoint again restricts both ends — and both semi-joins
+        // share ONE broadcast subtree (exchange reuse) instead of
+        // broadcasting a renamed copy of `alive` separately
+        val naePlan = ae
+          .join(aliveJ, Seq("x"), "left_semi")
+          .select(col("y").as("x"), col("x").as("y"))
+          .join(aliveJ, Seq("x"), "left_semi")
+        val nae = ck(
+          if (copart) naePlan.repartition(parts, col("x")) else naePlan,
+          null)._1
+        GraftColumnBridge.checkpointedRDD(ae)
           .foreach(_.unpersist(blocking = false))
-        st = nst
+        ae = nae
       }
-    } finally if (!copart) s.conf.set(aqeKey, prevAqe)
+      GraftColumnBridge.checkpointedRDD(st)
+        .foreach(_.unpersist(blocking = false))
+      st = nst
+    }
     require(converged,
       s"k-core peeling did not stabilize within $maxRounds rounds")
-    st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell"))
+    // re-root onto the caller's session (the clone only hosted the
+    // loop's planning conf; the data is a materialized RDD)
+    GraftColumnBridge.onSession(s,
+      st.select(col("x"), coalesce(col("shell"), lit(0L)).as("shell")))
   }
 
   val oracles: Map[String, String] = Map(

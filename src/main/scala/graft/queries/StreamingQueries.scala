@@ -213,6 +213,13 @@ object StreamingQueries extends QueryPack {
     // delay — the retry/replay horizon — never the full id history).
     // The sink holds the clean stream a pipeline would persist; the
     // per-type totals the oracle checks are a batch rollup of the sink.
+    // ORACLE INVARIANT: the oracle is COUNT(DISTINCT event_id) over full
+    // history, so gate equality relies on duplicate event_ids recurring
+    // only WITHIN the 1-hour horizon in event time (the retry/replay
+    // shape within-watermark dedup is built for). The events generator
+    // satisfies this — StreamEvictionSpec asserts the invariant on the
+    // actual table (max same-id event-time spread < 1h) so a testdata
+    // regeneration that broke it would fail loudly, not silently.
     "stream_dedup_count" -> ((s, dir) => {
       drainAppend(s, "stream_dedup_count") { ss =>
         dropSentinels(
@@ -289,9 +296,16 @@ object StreamingQueries extends QueryPack {
     // window of each side in the state store, so the join's state is
     // O(traffic in the interval), never O(history). Inner-join matches
     // append eagerly; the time-ordered replay means no row is ever late,
-    // so the multi-batch drain loses nothing. The sentinel cutoff sits
-    // AFTER each side's watermark node, so the flush sentinels advance
-    // both watermarks (clearing state) without joining.
+    // so the multi-batch drain loses nothing. NOTE: the flush sentinels
+    // do NOT advance these watermarks — the event_type filter does not
+    // reference the event-time column, so the optimizer
+    // (PushPredicateThroughNonJoin) pushes it below each side's
+    // EventTimeWatermark node and sentinel rows never reach the
+    // watermark tracker. That is fine here: inner-join matches emit
+    // eagerly, so results are complete; the final batch's state stays
+    // bounded-but-undrained, which StreamEvictionSpec asserts. (To
+    // actually drain, the type filter would have to be phrased against
+    // the watermark column so it stays above the watermark node.)
     "stream_join" -> ((s, dir) => {
       drainAppend(s, "stream_join") { ss =>
         def side(t: String, idCol: String, tsCol: String, userCol: String) =

@@ -10,6 +10,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Re-root a frame's analyzed plan onto another session of the same
+    * SparkContext: lets a fixpoint loop run under session-local conf
+    * (AQE pinning, partition sizing) without mutating the caller's
+    * session — the public-API analog of `Dataset.ofRows`. */
+  def onSession(target: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(target.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Materialize `df` (localCheckpoint semantics) while *preserving* a
     * hash partitioning claim over `keyCols`, VALIDATED against the
     * executed physical plan: after materialization the final (AQE)
