@@ -53,7 +53,11 @@ object Bench {
     }
     // Committed per-query baseline (our own BENCH_FULL.json format) for
     // the outlier guard — only trusted when sf and cpus match this run.
-    val baseline: Map[String, Double] = try {
+    // `configMatch` additionally gates where this run's full map is
+    // WRITTEN: a run at another sf/cpus must never clobber the
+    // committed baseline (it did in r5 and r6 — the next cold reader of
+    // the file then compared against a skewed or wrong-scale run).
+    val (baseline: Map[String, Double], baselineConfigMatch: Boolean) = try {
       val txt = new String(Files.readAllBytes(Paths.get("BENCH_FULL.json")),
         StandardCharsets.UTF_8)
       val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
@@ -61,11 +65,11 @@ object Bench {
       val cpuOk = """"cpus":\s*(\d+)""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == cpus)
       if (sfOk && cpuOk)
-        """"([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
+        (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, v) => k != "total" && v > 0 }.toMap
-      else Map.empty
-    } catch { case _: Throwable => Map.empty }
+          .filter { case (k, v) => k != "total" && v > 0 }.toMap, true)
+      else (Map.empty[String, Double], false)
+    } catch { case _: Throwable => (Map.empty[String, Double], true) }
 
     // >5x the committed baseline (and >2s absolute, so sub-second jitter
     // never trips it) = environment-suspect; retry once — a one-off
@@ -94,6 +98,17 @@ object Bench {
       name -> t
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Uniform-stall detector: the per-query 5x retry catches isolated
+    // spikes, but a box episode that inflates EVERYTHING ~1.4x never
+    // trips it — flag the whole run when the MEDIAN shared-query ratio
+    // vs the committed baseline exceeds 1.3. Only queries large enough
+    // to measure (baseline > 0.2s) vote, so scheduler jitter on 50ms
+    // queries can't swing the median either way.
+    val ratios = results.toSeq.flatMap { case (k, v) =>
+      baseline.get(k).filter(_ > 0.2).map(b => v / b)
+    }.sorted
+    val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val envSuspect = suspects.nonEmpty || medianRatio > 1.3
     val head = headline.filter(results.contains)
       .map(k => s"\"$k\":" + fmt(results(k))).mkString("{", ",", "}")
     // Keep the metric line short (the invoking harness tail-parses it):
@@ -105,8 +120,8 @@ object Bench {
       }.mkString(""","errors":{""", ",", "}") +
         s""","n_err":${errors.size}"""
     val suspectJson =
-      if (suspects.isEmpty) ""
-      else s""","env_suspect":true,"n_suspect":${suspects.size},"suspect_queries":[${suspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
+      if (!envSuspect) ""
+      else s""","env_suspect":true,"median_ratio":${fmt(medianRatio)},"n_suspect":${suspects.size},"suspect_queries":[${suspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size}$errJson$suspectJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per round).
@@ -118,12 +133,21 @@ object Bench {
         s"""    "$k": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}""""
       }.mkString("  \"errors\": {\n", ",\n", "\n  },\n")
     val suspectFull =
-      if (suspects.isEmpty) ""
+      if (!envSuspect) ""
       else suspects.map("\"" + _ + "\"").mkString(
-        "  \"env_suspect\": true,\n  \"suspect_queries\": [", ", ", "],\n")
+        s"""  "env_suspect": true,\n  "median_ratio": ${fmt(medianRatio)},\n  "suspect_queries": [""",
+        ", ", "],\n")
     val fullJson = full + errFull + suspectFull +
       s"""  "total": ${fmt(total)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
-    try Files.write(Paths.get("BENCH_FULL.json"), fullJson.getBytes(StandardCharsets.UTF_8))
+    // A suspect run — or one at a different sf/cpus than the committed
+    // baseline — is written ASIDE, never over BENCH_FULL.json: the
+    // committed baseline stays the last verified-clean run of its own
+    // config (promote a side file by hand after checking a control
+    // query like dl_sssp against it).
+    val fullTarget =
+      if (envSuspect || !baselineConfigMatch) "BENCH_FULL_SUSPECT.json"
+      else "BENCH_FULL.json"
+    try Files.write(Paths.get(fullTarget), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // Silence shutdown-time logging (unpersist of localCheckpointed slices
     // WARNs per RDD) so nothing lands in the tail after the metric line.
