@@ -213,8 +213,6 @@ object GraphQueries extends QueryPack {
     // local path runs on a cloned session with AQE pinned off (see
     // pagerankConverged) — never on the caller's mutable conf
     val loop = if (copart) s else localLoopSession(s)
-    val nodes = if (copart) nodes0 else GraftColumnBridge.onSession(loop, nodes0)
-    val arc = if (copart) arc0 else GraftColumnBridge.onSession(loop, arc0)
     // checkpoints register for releaseAll at creation (failure-path
     // safe; double unpersist of superseded rounds is a no-op)
     def ck(df: DataFrame, flag: String): (DataFrame, Long) = {
@@ -223,17 +221,29 @@ object GraphQueries extends QueryPack {
       GraftColumnBridge.checkpointedRDD(out).foreach(PackResources.trackRDD)
       (out, flagged)
     }
+    // the SETUP checkpoints run on the caller's session — with AQE on,
+    // the symmetrize+distinct coalesces the edge state to few
+    // partitions, and all ~O(rounds) peeling stages against it stay
+    // cheap. Re-rooting the inputs onto the AQE-off loop clone BEFORE
+    // setup pinned this checkpoint at `parts` static partitions and
+    // cost ~2x on the whole query; only the materialized checkpoints
+    // move to the clone (the LogicalRDD survives onSession unchanged,
+    // so the in-loop unpersist hooks still find the RDDs)
     var st = ck({
-      val seed = nodes.select(col("x"), lit(null).cast("long").as("shell"))
+      val seed = nodes0.select(col("x"), lit(null).cast("long").as("shell"))
       if (copart) seed.repartition(parts, col("x")) else seed
     }, null)._1
     var ae = ck({
-      val sym = arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct()
+      val sym = arc0.union(arc0.select(col("y").as("x"), col("x").as("y"))).distinct()
       // cluster path: the edge state carries the hash(x) claim so the
       // per-round degree aggregation and the x-side semi-join reuse its
       // layout instead of re-exchanging the (largest) state every round
       if (copart) sym.repartition(parts, col("x")) else sym
     }, null)._1
+    if (!copart) {
+      st = GraftColumnBridge.onSession(loop, st)
+      ae = GraftColumnBridge.onSession(loop, ae)
+    }
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
