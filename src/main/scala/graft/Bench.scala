@@ -23,6 +23,31 @@ object Bench {
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
+  /** Stall-episode verdict over a finished run: (medianRatio,
+    * tailSuspects). Median ratio is computed over non-errored queries
+    * with a measurable baseline (>0.2s) — errored queries report
+    * time-to-failure (often ~0) and would mask a uniform stall. Tail
+    * suspects are non-errored queries with baseline >0.5s still
+    * running >2.5x after the retry pass: a stall episode that inflates
+    * a FEW heavy queries 2.5-5x each (r7: five queries at 2.8-4.3x
+    * while the median sat at 1.04) trips neither the per-query retry
+    * nor the median gate — three or more such queries at once is
+    * overwhelmingly an environment episode, not three simultaneous
+    * independent code regressions. Exposed for BenchGuardSpec. */
+  private[graft] def stallVerdict(
+      results: Seq[(String, Double)], baseline: Map[String, Double],
+      errored: Set[String]): (Double, Seq[String]) = {
+    val ratios = results.flatMap { case (k, v) =>
+      if (errored(k)) None
+      else baseline.get(k).filter(_ > 0.2).map(b => v / b)
+    }.sorted
+    val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val tailSuspects = results.collect { case (k, v)
+      if !errored(k) &&
+        baseline.get(k).exists(b => b > 0.5 && v > 2.5 * b) => k }
+    (medianRatio, tailSuspects)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,6 +101,15 @@ object Bench {
     // stall clears, a real regression reproduces.
     def isOutlier(name: String, t: Double): Boolean =
       baseline.get(name).exists(b => t > 5 * b && t - b > 2.0)
+    // Wider retry band for queries big enough to measure: box stall
+    // episodes historically inflate heavy queries 2.5-5x — below the
+    // outlier threshold but far beyond jitter. A retried one-off stall
+    // clears (min is kept); only the hard 5x level marks the query
+    // itself suspect, so a genuine ~3x code regression still shows up
+    // as its own number instead of being written off as environment.
+    def retryWorthy(name: String, t: Double): Boolean =
+      isOutlier(name, t) ||
+        baseline.get(name).exists(b => b > 1.0 && t > 2.5 * b)
 
     var errors = Vector.empty[(String, String)]
     var suspects = Vector.empty[String]
@@ -90,7 +124,7 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       var t = timed(name, fn)
-      if (errors.lastOption.forall(_._1 != name) && isOutlier(name, t)) {
+      if (errors.lastOption.forall(_._1 != name) && retryWorthy(name, t)) {
         val retry = timed(name, fn)
         t = math.min(t, retry)
         if (isOutlier(name, t)) suspects :+= name
@@ -98,17 +132,14 @@ object Bench {
       name -> t
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Uniform-stall detector: the per-query 5x retry catches isolated
-    // spikes, but a box episode that inflates EVERYTHING ~1.4x never
-    // trips it — flag the whole run when the MEDIAN shared-query ratio
-    // vs the committed baseline exceeds 1.3. Only queries large enough
-    // to measure (baseline > 0.2s) vote, so scheduler jitter on 50ms
-    // queries can't swing the median either way.
-    val ratios = results.toSeq.flatMap { case (k, v) =>
-      baseline.get(k).filter(_ > 0.2).map(b => v / b)
-    }.sorted
-    val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
-    val envSuspect = suspects.nonEmpty || medianRatio > 1.3
+    // Stall detection, three prongs: per-query 5x retry (isolated
+    // spikes), median shared-query ratio >1.3 (uniform ~1.4x box
+    // episodes), and >=3 heavy queries >2.5x (heavy-tail episodes the
+    // first two miss — see stallVerdict).
+    val (medianRatio, tailSuspects) =
+      stallVerdict(results.toSeq, baseline, errors.map(_._1).toSet)
+    val envSuspect =
+      suspects.nonEmpty || medianRatio > 1.3 || tailSuspects.size >= 3
     val head = headline.filter(results.contains)
       .map(k => s"\"$k\":" + fmt(results(k))).mkString("{", ",", "}")
     // Keep the metric line short (the invoking harness tail-parses it):
@@ -119,11 +150,20 @@ object Bench {
         s"""\"$k\":\"${m.replace("\\", "\\\\").replace("\"", "\\\"")}\""""
       }.mkString(""","errors":{""", ",", "}") +
         s""","n_err":${errors.size}"""
+    val allSuspects = (suspects ++ tailSuspects).distinct
     val suspectJson =
       if (!envSuspect) ""
-      else s""","env_suspect":true,"median_ratio":${fmt(medianRatio)},"n_suspect":${suspects.size},"suspect_queries":[${suspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
+      else s""","env_suspect":true,"median_ratio":${fmt(medianRatio)},"n_suspect":${allSuspects.size},"suspect_queries":[${allSuspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
+    // A suspect run — or one at a different sf/cpus than the committed
+    // baseline — is written ASIDE, never over BENCH_FULL.json: the
+    // committed baseline stays the last verified-clean run of its own
+    // config (promote a side file by hand after checking a control
+    // query like dl_sssp against it).
+    val fullTarget =
+      if (envSuspect || !baselineConfigMatch) "BENCH_FULL_SUSPECT.json"
+      else "BENCH_FULL.json"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size}$errJson$suspectJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per round).
     val full = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n")
@@ -134,19 +174,11 @@ object Bench {
       }.mkString("  \"errors\": {\n", ",\n", "\n  },\n")
     val suspectFull =
       if (!envSuspect) ""
-      else suspects.map("\"" + _ + "\"").mkString(
+      else allSuspects.map("\"" + _ + "\"").mkString(
         s"""  "env_suspect": true,\n  "median_ratio": ${fmt(medianRatio)},\n  "suspect_queries": [""",
         ", ", "],\n")
     val fullJson = full + errFull + suspectFull +
       s"""  "total": ${fmt(total)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
-    // A suspect run — or one at a different sf/cpus than the committed
-    // baseline — is written ASIDE, never over BENCH_FULL.json: the
-    // committed baseline stays the last verified-clean run of its own
-    // config (promote a side file by hand after checking a control
-    // query like dl_sssp against it).
-    val fullTarget =
-      if (envSuspect || !baselineConfigMatch) "BENCH_FULL_SUSPECT.json"
-      else "BENCH_FULL.json"
     try Files.write(Paths.get(fullTarget), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // Silence shutdown-time logging (unpersist of localCheckpointed slices

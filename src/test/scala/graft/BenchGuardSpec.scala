@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stall-detector's pure verdict logic (Bench.stallVerdict):
+  * the r7 episode — five heavy queries inflated 2.8-4.3x while the
+  * median shared-query ratio sat at 1.04 — must flag, a clean run and
+  * a run with a single genuine regression must not. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def envSuspect(median: Double, tail: Seq[String]): Boolean =
+    median > 1.3 || tail.size >= 3
+
+  test("r7-style heavy-tail episode flags env_suspect") {
+    // 24 small/medium queries on-baseline, 5 heavies inflated — the
+    // shape of BENCH_r07.json (total 105.3s vs clean 67.5s)
+    val baseline =
+      (1 to 24).map(i => s"ok$i" -> 1.0).toMap ++ Map(
+        "dl_tc" -> 2.01, "dl_cc" -> 1.91, "txt_neardup_groups" -> 1.05,
+        "txt_lsh_pairs" -> 0.62, "q1_agg" -> 0.26)
+    val run =
+      (1 to 24).map(i => s"ok$i" -> 1.04) ++ Seq(
+        "dl_tc" -> 6.75, "dl_cc" -> 5.86, "txt_neardup_groups" -> 4.41,
+        "txt_lsh_pairs" -> 2.47, "q1_agg" -> 0.94)
+    val (median, tail) = Bench.stallVerdict(run, baseline, Set.empty)
+    assert(median <= 1.3, "the old median gate alone must NOT trip (that's the r7 miss)")
+    // q1_agg (baseline 0.26 < 0.5) doesn't vote; the four heavies do
+    assert(tail.toSet == Set("dl_tc", "dl_cc", "txt_neardup_groups", "txt_lsh_pairs"))
+    assert(envSuspect(median, tail))
+  }
+
+  test("clean run does not flag") {
+    val baseline = (1 to 29).map(i => s"q$i" -> (0.3 + i * 0.1)).toMap
+    val run = baseline.toSeq.map { case (k, v) => k -> v * 1.05 }
+    val (median, tail) = Bench.stallVerdict(run, baseline, Set.empty)
+    assert(median < 1.3 && tail.isEmpty && !envSuspect(median, tail))
+  }
+
+  test("one or two genuine regressions stay visible, not env_suspect") {
+    val baseline = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    val run = (1 to 20).map { i =>
+      s"q$i" -> (if (i <= 2) 3.0 else 1.0)
+    }
+    val (median, tail) = Bench.stallVerdict(run, baseline, Set.empty)
+    assert(tail.size == 2 && !envSuspect(median, tail))
+  }
+
+  test("errored queries vote in neither the median nor the tail") {
+    // three fast-failing heavies (time-to-failure ~0) would drag the
+    // median to ~0 and mask a uniform 1.5x stall
+    val baseline = (1 to 10).map(i => s"q$i" -> 1.0).toMap ++
+      Map("e1" -> 2.0, "e2" -> 2.0, "e3" -> 2.0)
+    val run = (1 to 10).map(i => s"q$i" -> 1.5) ++
+      Seq("e1" -> 0.01, "e2" -> 0.01, "e3" -> 0.01)
+    val errored = Set("e1", "e2", "e3")
+    val (median, tail) = Bench.stallVerdict(run, baseline, errored)
+    assert(median == 1.5 && envSuspect(median, tail))
+    // and an errored slow query is not a tail suspect either
+    val (_, tail2) = Bench.stallVerdict(
+      Seq("e1" -> 9.0, "e2" -> 9.0, "e3" -> 9.0), baseline, errored)
+    assert(tail2.isEmpty)
+  }
+}
