@@ -34,30 +34,91 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Deterministic LCG priority + 16-way priority shard + exclusive
-    * per-shard prefix sum of token counts — the shared scaffolding of
-    * the mixing sampler and the sequence packer (and, in oracle form,
-    * `prioShardedCte`). `extra` columns ride along. */
+  /** Default priority-shard count; `spark.graft.pack.shards` overrides
+    * on the Spark side. The DuckDB oracles are static SQL, so they pin
+    * this default — specs A/B other shard counts in-JVM. */
+  private[queries] val DefaultPackShards = 16
+
+  private[queries] def packShards(s: SparkSession): Int =
+    s.conf.get("spark.graft.pack.shards", DefaultPackShards.toString).toInt
+
+  /** Deterministic LCG priority + `spark.graft.pack.shards`-way
+    * priority shard + exclusive per-group prefix sum of token counts —
+    * the shared scaffolding of the mixing sampler and the sequence
+    * packer (and, in oracle form, `prioShardedCte`). `extra` columns
+    * ride along; `partCols` are the prefix-sum group keys.
+    *
+    * The prefix sum is TWO-LEVEL, never a single window partition per
+    * group (which would funnel ~corpus/shards rows through one task at
+    * 100 TB): rows are range-partitioned on (group, prio, doc_id) so
+    * every task holds a contiguous slice of each group's global order,
+    * per-(partition, group) token totals — a few rows per partition,
+    * since a range partition overlaps at most a handful of groups —
+    * are collected and turned into exclusive per-partition offsets on
+    * the driver, and a second linear pass adds the local running sum.
+    * Each task scans corpus/numPartitions rows regardless of the shard
+    * count; the driver state is O(partitions + groups). */
   private def prioSharded(s: SparkSession, dir: String,
                           extra: Seq[String], partCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val shards = packShards(s)
     val base = docs(s, dir).selectExpr(Seq("doc_id",
       s"size($toks) as n_tokens",
       "(doc_id * 1103515245 + 12345) % 1000000 as prio") ++ extra: _*)
-      .withColumn("shard", pmod(col("prio"), lit(16L)))
-    val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(col("prio").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("shard", pmod(col("prio"), lit(shards.toLong)))
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val orderCols = partCols.map(col) ++ Seq(col("prio").asc, col("doc_id").asc)
+    val sorted = base.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema
+    val keyIdx = partCols.map(schema.fieldIndex).toArray
+    val nIdx = schema.fieldIndex("n_tokens")
+    // the sorted pass is scanned twice (totals, then placement) — keep
+    // it materialized; released with the pack's other state
+    val rows = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PackResources.trackRDD(rows)
+    val key = (r: Row) => keyIdx.map(r.get).toList
+    val partTotals = rows.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+      it.foreach { r =>
+        val k = key(r)
+        m.update(k, m.getOrElse(k, 0L) + r.getAs[Number](nIdx).longValue)
+      }
+      m.iterator.map { case (k, v) => (pid, k, v) }
+    }.collect()
+    // exclusive offset of (group, partition) = that group's total in
+    // all earlier partitions (range partitioning puts a group's
+    // earlier rows in earlier partitions)
+    val offsets: Map[(Int, List[Any]), Long] =
+      partTotals.groupBy(_._2).iterator.flatMap { case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, tot) =>
+          val entry = ((pid, g), acc); acc += tot; entry
+        }
+      }.toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    val out = rows.mapPartitionsWithIndex { (pid, it) =>
+      val running = scala.collection.mutable.HashMap.empty[List[Any], Long]
+      it.map { r =>
+        val k = key(r)
+        val cum = running.getOrElse(k, bc.value.getOrElse((pid, k), 0L))
+        running.update(k, cum + r.getAs[Number](nIdx).longValue)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    s.createDataFrame(out, schema.add("cum_before", LongType, nullable = false))
   }
 
-  /** the same scaffolding as DuckDB CTEs (`partBy` = window keys) */
+  /** the same scaffolding as DuckDB CTEs (`partBy` = group keys) —
+    * static SQL, so pinned at the DEFAULT shard count */
   private def prioShardedCte(extra: String, partBy: String) =
     s"""base AS (SELECT doc_id$extra,
          len(string_split(text,' ')) AS n_tokens,
          (doc_id * 1103515245 + 12345) % 1000000 AS prio
        FROM documents),
-       sh AS (SELECT *, prio % 16 AS shard FROM base),
+       sh AS (SELECT *, prio % $DefaultPackShards AS shard FROM base),
        c AS (SELECT *,
          COALESCE(SUM(n_tokens) OVER (PARTITION BY $partBy
            ORDER BY prio ASC, doc_id ASC
@@ -403,19 +464,20 @@ object TextQueries extends QueryPack {
     // Token-budget domain mixing (the sampler that composes a training
     // mix): each language gets a token budget (en 1600 / fr,de,es 800 /
     // zh 320), docs are drawn in a deterministic LCG-priority order
-    // until the budget fills. The budget is split across 16 priority
-    // shards (budget div 16 each, filled independently) — a GLOBAL
-    // running sum per language would serialize an entire domain through
-    // one window partition at 100 TB, while per-shard fills are
-    // embarrassingly parallel and deterministic. A doc is kept when its
-    // shard's running total BEFORE it is under the shard budget (the
-    // crossing doc is admitted — standard fill semantics).
+    // until the budget fills. The budget is split across
+    // spark.graft.pack.shards priority shards (budget div shards each,
+    // filled independently) — per-shard fills are embarrassingly
+    // parallel and deterministic, and the per-shard prefix sum itself
+    // is two-level (see prioSharded), so no task ever scans a whole
+    // shard. A doc is kept when its shard's running total BEFORE it is
+    // under the shard budget (the crossing doc is admitted — standard
+    // fill semantics).
     "txt_mix_budget" -> ((s, dir) =>
       prioSharded(s, dir, Seq("lang"), Seq("lang", "shard"))
         .filter(col("cum_before") < expr(
-          """(case when lang = 'en' then 1600
+          s"""(case when lang = 'en' then 1600
                    when lang in ('fr','de','es') then 800
-                   else 320 end) div 16"""))
+                   else 320 end) div ${packShards(s)}"""))
         .select("doc_id", "lang", "shard", "n_tokens", "cum_before")),
 
     // Sequence packing (the pretraining batch-layout op): documents are
@@ -423,12 +485,12 @@ object TextQueries extends QueryPack {
     // stream is chunked into fixed 512-token training sequences — each
     // doc's placement is (sequence id, offset) = (cum_before div 512,
     // cum_before mod 512), a pure prefix sum. Like txt_mix_budget the
-    // stream is split across 16 priority shards packed independently
-    // (sequence ids are globally unique via shard*10^6 + local id):
-    // per-shard packing is embarrassingly parallel where a single
-    // global concatenation order would serialize the corpus through one
-    // window partition. Docs may span a sequence boundary — standard
-    // concat-then-chunk packing semantics.
+    // stream is split across spark.graft.pack.shards priority shards
+    // packed independently (sequence ids are globally unique via
+    // shard*10^6 + local id), and each shard's prefix sum is itself
+    // two-level (see prioSharded) — no task scans more than
+    // corpus/numPartitions rows at any shard count. Docs may span a
+    // sequence boundary — standard concat-then-chunk packing semantics.
     "txt_pack_sequences" -> ((s, dir) =>
       prioSharded(s, dir, Nil, Seq("shard"))
         .selectExpr("doc_id", "shard", "n_tokens",
