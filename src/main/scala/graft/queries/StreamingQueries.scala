@@ -188,24 +188,27 @@ object StreamingQueries extends QueryPack {
     s.read.schema(df.schema).parquet(base.resolve("data").toString)
   }
 
+  /** The watermarked hourly-window aggregation plan — shared by the
+    * `stream_hourly` gate and StreamRestartSpec (which drives its own
+    * sink/checkpoint to exercise a mid-replay restart). */
+  private[queries] def hourlyPlan(ss: SparkSession, dir: String): DataFrame =
+    dropSentinels(
+        streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)"))
+          .as("sum_value_cents"))
+      .selectExpr(
+        "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
+        "event_type", "n", "sum_value_cents")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Event-time hourly aggregation: watermarked tumbling windows in
     // append mode — a window's row is written exactly once, when the
     // watermark passes its end and its state is evicted. State is the
     // watermark horizon (~2h of windows), independent of stream length.
-    "stream_hourly" -> ((s, dir) => {
-      drainAppend(s, "stream_hourly") { ss =>
-        dropSentinels(
-            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
-          .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(expr("cast(round(value * 100, 0) as bigint)"))
-              .as("sum_value_cents"))
-          .selectExpr(
-            "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
-            "event_type", "n", "sum_value_cents")
-      }
-    }),
+    "stream_hourly" -> ((s, dir) =>
+      drainAppend(s, "stream_hourly")(hourlyPlan(_, dir))),
 
     // Stateful streaming dedup: dropDuplicatesWithinWatermark appends the
     // first-seen copy of each event to the sink; its dedup state is
