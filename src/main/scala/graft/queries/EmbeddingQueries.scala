@@ -49,6 +49,24 @@ object EmbeddingQueries extends QueryPack {
   private def lshBits(s: SparkSession): Int =
     s.conf.get("spark.graft.lsh.bits", "8").toInt
 
+  /** Multi-probe count (`spark.graft.lsh.probes`, default 1 = own
+    * bucket only): a query probes its own bucket plus `probes-1`
+    * single-bit-flip neighbor buckets — the standard recall knob that
+    * trades a small, BOUNDED candidate growth (×probes, still
+    * bucket-blocked) for the recall lost to raising `bits`. At 100 TB
+    * the pairing is bits UP (smaller buckets) + probes UP (recover
+    * recall); candidate volume stays ~corpus·probes/2^bits and the
+    * plan stays a bucket-key join — never all-pairs. */
+  private def lshProbes(s: SparkSession): Int =
+    math.max(1, math.min(s.conf.get("spark.graft.lsh.probes", "1").toInt,
+      lshBits(s) + 1))
+
+  /** The probe set of `bkt`: itself + the first `probes-1` one-bit
+    * flips (deterministic, so the oracle/spec can reproduce it). */
+  private def probeArray(s: SparkSession, bkt: org.apache.spark.sql.Column) =
+    array((bkt +: (0 until lshProbes(s) - 1)
+      .map(j => bkt.bitwiseXOR(lit(1L << j)))): _*)
+
   /** Per-bucket candidate cap (`spark.graft.lsh.maxBucketSize`, default
     * 100k = no-op at test scale): keeps the first `cap` vectors of each
     * bucket (deterministic by vec_id) before pair generation, so a
@@ -95,11 +113,17 @@ object EmbeddingQueries extends QueryPack {
     }),
 
     // LSH variant: candidates restricted to the query's hyperplane-sign
-    // bucket; top-5 by the same exact dot product.
+    // bucket (plus spark.graft.lsh.probes-1 one-bit-flip neighbor
+    // buckets — probe buckets are distinct and a candidate lives in
+    // exactly one bucket, so the expansion can't duplicate a (qid,cid)
+    // pair); top-5 by the same exact dot product. The probe explode is
+    // on the tiny broadcast query side — the corpus side still joins
+    // once on its single bucket key.
     "emb_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt")
       val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt"))
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+          explode(probeArray(s, col("bkt"))).as("bkt"))
       val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("bkt"))
       val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
       cands.join(broadcast(queries), "bkt")
@@ -127,7 +151,11 @@ object EmbeddingQueries extends QueryPack {
       cands.crossJoin(broadcast(queries))
         .filter(col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"),
-          (col("cbkt") === col("qbkt")).cast("long").as("hit"))
+          // a true neighbor is "found" when its bucket is in the
+          // query's PROBE set (own bucket at probes=1 — the gate
+          // default; + one-bit flips beyond)
+          array_contains(probeArray(s, col("qbkt")), col("cbkt"))
+            .cast("long").as("hit"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .groupBy("qid")

@@ -51,6 +51,38 @@ class LshCapSpec extends AnyFunSuite {
     graft.SparkEntry.release()
   }
 
+  test("multi-probe lifts recall at high bits and stays bucket-joined") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val dir = "/root/testdata/sf0.001"
+    // 12 bits → 4096 buckets: sparse enough that single-bucket recall
+    // visibly drops; probing one-bit-flip neighbors must recover some
+    def recall(probes: Int): Long = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.lsh.bits", "12")
+      s.conf.set("spark.graft.lsh.probes", probes.toString)
+      val r = graft.queries.EmbeddingQueries.defs("emb_lsh_recall")(s, dir)
+        .agg(sum("n_bucket_hits")).collect()(0).getLong(0)
+      graft.SparkEntry.release()
+      r
+    }
+    val single = recall(1)
+    val multi = recall(13)
+    assert(multi > single,
+      s"probing 12 neighbor buckets found no extra true neighbors " +
+        s"($single -> $multi)")
+    // and the probed kNN is still a bucket-key join, never all-pairs
+    val s = spark.newSession()
+    s.conf.set("spark.graft.lsh.bits", "12")
+    s.conf.set("spark.graft.lsh.probes", "13")
+    val knn = graft.queries.EmbeddingQueries.defs("emb_knn_lsh")(s, dir)
+    assert(knn.count() > 0)
+    val plan = GraftColumnBridge.executedPlanString(knn)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "multi-probe kNN fell back to an all-pairs join")
+    assert(plan.contains("bkt"), "kNN join lost its bucket key")
+    graft.SparkEntry.release()
+  }
+
   test("spark.graft.lsh.bits controls the bucket-space size") {
     // 4 bits → at most 16 buckets; more buckets than that means the conf
     // did not reach the bucketing expression
