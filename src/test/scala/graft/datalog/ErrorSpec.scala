@@ -38,6 +38,30 @@ class ErrorSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("mixes"))
   }
 
+  test("win/lose game: direct negative self-recursion is rejected") {
+    // the XSB-style game over a move graph — locally stratified under
+    // well-founded semantics, but OUTSIDE stratified Datalog: the
+    // engine must reject it with the clique named, matching the
+    // reference compiler's rejection path (its DeALS front end fails
+    // compile; ref dl/BigDatalogContext.scala:124-138 surfaces it)
+    val e = intercept[Exception] {
+      run("win(X) <- arc(X,Y), ~win(Y).", "win(A).")
+    }
+    assert(e.getMessage.contains("stratified") && e.getMessage.contains("win"))
+  }
+
+  test("win/lose game: negative cycle through a second predicate is rejected") {
+    // negation crossing predicates inside one SCC (win -> ~lose -> win):
+    // the stratification check must see negated dependency edges when
+    // forming cliques, or this would silently evaluate garbage
+    val e = intercept[Exception] {
+      run("win(X) <- arc(X,Y), ~lose(Y). lose(X) <- arc(X,Y), ~win(Y).",
+        "win(A).")
+    }
+    assert(e.getMessage.contains("stratified"),
+      s"expected a stratification rejection, got: ${e.getMessage}")
+  }
+
   test("unknown relation is reported by name") {
     val e = intercept[Exception] { run("p(X) <- nosuch(X).", "p(A).") }
     assert(e.getMessage.contains("nosuch"))
