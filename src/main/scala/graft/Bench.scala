@@ -123,8 +123,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val snap = graft.queries.PackResources.snapshot()
       var t = timed(name, fn)
       if (errors.lastOption.forall(_._1 != name) && retryWorthy(name, t)) {
+        // Roll back the memos THIS query materialized so the retry
+        // re-times the same cache state as the first run (r8 bug: the
+        // retry hit the first run's persisted fixpoint/checkpoint memos
+        // and min() recorded warm-cache fabrications like dl_tc_nl
+        // 0.08s vs its 1.8s cold baseline).
+        graft.queries.PackResources.releaseNewSince(snap)
         val retry = timed(name, fn)
         t = math.min(t, retry)
         if (isOutlier(name, t)) suspects :+= name

@@ -63,9 +63,12 @@ object EmbeddingQueries extends QueryPack {
 
   /** The probe set of `bkt`: itself + the first `probes-1` one-bit
     * flips (deterministic, so the oracle/spec can reproduce it). */
-  private def probeArray(s: SparkSession, bkt: org.apache.spark.sql.Column) =
-    array((bkt +: (0 until lshProbes(s) - 1)
+  private def probeArrayN(bkt: org.apache.spark.sql.Column, probes: Int) =
+    array((bkt +: (0 until probes - 1)
       .map(j => bkt.bitwiseXOR(lit(1L << j)))): _*)
+
+  private def probeArray(s: SparkSession, bkt: org.apache.spark.sql.Column) =
+    probeArrayN(bkt, lshProbes(s))
 
   /** Per-bucket candidate cap (`spark.graft.lsh.maxBucketSize`, default
     * 100k = no-op at test scale): keeps the first `cap` vectors of each
@@ -160,6 +163,31 @@ object EmbeddingQueries extends QueryPack {
         .filter(col("rk") <= 10)
         .groupBy("qid")
         .agg(count(lit(1)).as("n_true"), sum("hit").as("n_bucket_hits"))
+    }),
+
+    // Multi-probe recall measurement at the 100 TB operating point:
+    // bits UP to 12 (4096 buckets — small buckets, cheap within-bucket
+    // work) with probes=4 recovering the recall a single probe loses.
+    // Pinned literals (not the session confs) so the gate exercises
+    // the probes>1 path deterministically against the DuckDB oracle,
+    // which reproduces the same first-3-one-bit-flip probe set.
+    "emb_lsh_recall_mp" -> ((s, dir) => {
+      val bits = 12; val probes = 4
+      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", bits)} as bkt")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt").as("qbkt"))
+      val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"),
+        col("bkt").as("cbkt"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      cands.crossJoin(broadcast(queries))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"),
+          array_contains(probeArrayN(col("qbkt"), probes), col("cbkt"))
+            .cast("long").as("hit"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"), sum("hit").as("n_probe_hits"))
     }),
 
     // Embedding near-duplicate pairs (the brief's embedding-cosine
@@ -374,6 +402,30 @@ object EmbeddingQueries extends QueryPack {
             FROM scored)
           SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
                  CAST(sum(hit) AS BIGINT) AS n_bucket_hits
+          FROM ranked WHERE rk <= 10 GROUP BY qid""",
+    "emb_lsh_recall_mp" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          eb AS (SELECT vec_id, v,
+            CAST(list_sum(list_transform(range(12), j ->
+              CASE WHEN list_sum(list_transform(range(64), i ->
+                     v[i+1] * (((i*31 + j*17) % 7) - 3))) > 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS bkt FROM e),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              CAST(list_sum(list_transform(range(1, len(q.v)+1),
+                i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+              CASE WHEN c.bkt IN (q.bkt, xor(q.bkt, CAST(1 AS BIGINT)),
+                                  xor(q.bkt, CAST(2 AS BIGINT)),
+                                  xor(q.bkt, CAST(4 AS BIGINT)))
+                   THEN 1 ELSE 0 END AS hit
+            FROM eb q JOIN eb c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 5),
+          ranked AS (SELECT qid, cid, dot, hit,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rk
+            FROM scored)
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(sum(hit) AS BIGINT) AS n_probe_hits
           FROM ranked WHERE rk <= 10 GROUP BY qid""",
     "emb_neardup" ->
       s"""WITH e AS (SELECT vec_id, $quantD AS v FROM embeddings),

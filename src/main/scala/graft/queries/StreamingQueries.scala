@@ -39,6 +39,9 @@ object StreamingQueries extends QueryPack {
   private val FLUSH = "__flush__"
   /** Data files per staged replay (plus 2 sentinel files). */
   private val STAGE_PARTS = 4
+  // bump on loader-contract changes; "ts-bigint-v2" = ts normalized to
+  // epoch-nanos BIGINT by Tables.load regardless of fixture encoding
+  private val STAGE_FORMAT = "ts-bigint-v2"
   /** Sentinel event time (epoch-nanos, 2100-01-01) and the cutoff that
     * drops sentinels from real processing (2090-01-01). The cutoff
     * predicate references the EVENT-TIME column on purpose:
@@ -88,7 +91,11 @@ object StreamingQueries extends QueryPack {
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val stage = Paths.get("/tmp/graft_stream_v2", canon, "events")
     val marker = stage.resolve("_STAGED")
-    val tag = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}:$STAGE_PARTS"
+    // STAGE_FORMAT bumps whenever the staged on-disk encoding changes
+    // (e.g. the Tables.load ts-normalization contract): a stage written
+    // under an older loader must not satisfy the marker check even when
+    // the source parquet is unchanged.
+    val tag = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}:$STAGE_PARTS:$STAGE_FORMAT"
     if (Files.exists(marker) && Files.readString(marker) == tag)
       return stage.toString
 

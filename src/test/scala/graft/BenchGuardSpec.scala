@@ -45,6 +45,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(tail.size == 2 && !envSuspect(median, tail))
   }
 
+  test("retry rollback: releaseNewSince drops only what the query built") {
+    // The r8 fabrication: a stall-retried query re-ran against the memo
+    // its own first run had checkpointed and min() recorded the warm
+    // time. The bench now snapshots before each query and rolls back
+    // what that query pinned, so a retry rebuilds its own memos (cold,
+    // like run 1) while memos built by EARLIER queries stay warm (also
+    // like run 1).
+    import graft.queries.PackResources
+    val spark = graft.datalog.TestSpark.spark
+    PackResources.releaseAll()
+    var priorBuilds = 0
+    var ownBuilds = 0
+    def prior() = PackResources.checkpoint(spark, "/bench-guard", "prior") {
+      priorBuilds += 1; spark.range(10).toDF("v")
+    }
+    def own() = PackResources.checkpoint(spark, "/bench-guard", "own") {
+      ownBuilds += 1; spark.range(20).toDF("v")
+    }
+    prior().count() // an earlier query's memo, warm before the snapshot
+    val snap = PackResources.snapshot()
+    assert(own().count() == 20 && prior().count() == 10) // first timed run
+    assert(priorBuilds == 1 && ownBuilds == 1)
+    PackResources.releaseNewSince(snap) // retry rollback
+    assert(own().count() == 20 && prior().count() == 10) // the retry
+    assert(ownBuilds == 2, "the query's own memo must rebuild on retry")
+    assert(priorBuilds == 1, "earlier queries' memos must stay warm")
+    PackResources.releaseAll()
+  }
+
   test("errored queries vote in neither the median nor the tail") {
     // three fast-failing heavies (time-to-failure ~0) would drag the
     // median to ~0 and mask a uniform 1.5x stall
