@@ -451,7 +451,12 @@ final class Evaluator(
     * against it are exchange-free ShuffledHashJoins), a LocalRelation
     * (anti-joins against it broadcast), or — when the runtime claim
     * validation rejected the layout — a plain unclaimed checkpoint. */
-  private case class Slice(df: DataFrame, isLocal: Boolean, claimed: Boolean = false)
+  private case class Slice(df: DataFrame, isLocal: Boolean,
+      claimed: Boolean = false,
+      /** materialized row count (0 = unknown) — drives the diffflip
+        * auto decision: flip when the accumulated slice rows are big
+        * enough that hash-building them dominates the iteration */
+      rows: Long = 0L)
 
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
     * predicate's exit rules (bound-argument pushdown).
@@ -668,7 +673,7 @@ final class Evaluator(
             val n = rows.length.toLong
             if (n > 0) localizedSlices += 1
             return (Slice(spark.createDataFrame(rows.toSeq.asJava, df.schema),
-              isLocal = true), n)
+              isLocal = true, rows = n), n)
           case None =>
             return sliceOf(
               df.repartition(nParts, pivot.map(df.col).toIndexedSeq: _*),
@@ -687,19 +692,69 @@ final class Evaluator(
         val local = spark.createDataFrame(ck.collect().toSeq.asJava, ck.schema)
         retire(ck)
         localizedSlices += 1
-        (Slice(local, isLocal = true), n)
-      } else (Slice(ck, isLocal = false, claimed = held), n)
+        (Slice(local, isLocal = true, rows = n), n)
+      } else (Slice(ck, isLocal = false, claimed = held, rows = n), n)
     }
 
     /** set difference against every prior slice: broadcast anti for
-      * local slices, exchange-free shuffled-hash anti for the rest */
-    def diffChain(cand: DataFrame, chain: Vector[Slice]): DataFrame =
-      chain.foldLeft(cand) { (acc, s) =>
+      * local slices; for cluster slices either an exchange-free
+      * shuffled-hash anti (hash-builds the slice — O(|all|) hashed per
+      * iteration) or, under `diffflip`, the semi-join flip that only
+      * ever hash-builds candidate-sized sets: `matched = all ⋉ cand`
+      * streams the claimed union of slices through ONE hash of the
+      * candidates, and the final anti subtracts the matched rows
+      * (|matched| ≤ |cand| — slices are a set, a candidate matches at
+      * most once). Both joins stay on the claimed pivot layout (zero
+      * exchanges; DiffFlipSpec), and anti-joins against disjoint sets
+      * commute, so reordering locals first is sound. Spark has no
+      * BuildLeft shuffled-hash LeftAnti (probed: the hint falls back
+      * to sort-merge), hence the flip rather than a build-side hint.
+      *
+      * `auto` flips only past `diffflip.minrows` accumulated slice
+      * rows: the candidate subtree (rule join + dedup) is evaluated
+      * twice under the flip (semi build + anti stream — there is no
+      * exchange to reuse in the zero-exchange loop), so small
+      * latency-bound fixpoints measure FASTER on the plain anti
+      * (dl_tc sf0.1 A/B: 3.3s anti vs 5.5s forced flip), while at
+      * 100 TB slice sizes the O(|all|)-per-iteration hash build is
+      * the dominant term and the flip wins. */
+    def diffChain(cand: DataFrame, chain: Vector[Slice]): DataFrame = {
+      val (locals, clusters) = chain.partition(_.isLocal)
+      val base = locals.foldLeft(cand) { (acc, s) =>
         val cond = acc.columns.zip(s.df.columns)
           .map { case (a, b) => acc(a) === s.df(b) }.reduce(_ && _)
-        val rhs = if (s.isLocal) s.df else s.df.hint("shuffle_hash")
-        acc.join(rhs, cond, "left_anti")
+        acc.join(s.df, cond, "left_anti")
       }
+      val flipNow = conf.diffFlip match {
+        case "false" => false
+        case "true" => clusters.nonEmpty
+        case _ => clusters.nonEmpty && clusters.forall(_.claimed) &&
+          clusters.map(_.rows).sum >= conf.diffFlipMinRows
+      }
+      if (!flipNow)
+        clusters.foldLeft(base) { (acc, s) =>
+          val cond = acc.columns.zip(s.df.columns)
+            .map { case (a, b) => acc(a) === s.df(b) }.reduce(_ && _)
+          acc.join(s.df.hint("shuffle_hash"), cond, "left_anti")
+        }
+      else {
+        // one streamed pass over the union of slices (claimed narrow
+        // union keeps the layout; plain union otherwise — forced mode
+        // may see unclaimed slices, where the exchange it costs is the
+        // same one the plain anti would pay)
+        val allDf =
+          if (clusters.size == 1) clusters.head.df
+          else org.apache.spark.sql.GraftColumnBridge
+            .unionClaimed(clusters.map(_.df), nParts)
+            .getOrElse(clusters.map(_.df).reduce(_ union _))
+        val semiCond = allDf.columns.zip(cand.columns)
+          .map { case (a, b) => allDf(a) === cand(b) }.reduce(_ && _)
+        val matched = allDf.join(cand.hint("shuffle_hash"), semiCond, "left_semi")
+        val antiCond = base.columns.zip(matched.columns)
+          .map { case (a, b) => base(a) === matched(b) }.reduce(_ && _)
+        base.join(matched.hint("shuffle_hash"), antiCond, "left_anti")
+      }
+    }
 
     // The anti-joins compare full rows but both sides are partitioned
     // on the pivot SUBSET; Spark only accepts subset co-partitioning
@@ -818,7 +873,8 @@ final class Evaluator(
                   if (next.forall(x => x.claimed && !x.isLocal))
                     org.apache.spark.sql.GraftColumnBridge
                       .unionClaimed(next.map(_.df), nParts)
-                      .map(df => Vector(Slice(df, isLocal = false, claimed = true)))
+                      .map(df => Vector(Slice(df, isLocal = false,
+                        claimed = true, rows = next.map(_.rows).sum)))
                       .getOrElse(next)
                   else {
                     val (c, _) = sliceOf(
