@@ -98,7 +98,28 @@ final case class DatalogConf(
       * engages. ~1M rows ≈ the point where re-hashing the fact set
       * every iteration outweighs evaluating the candidate subtree
       * twice. */
-    diffFlipMinRows: Long = 1L << 20)
+    diffFlipMinRows: Long = 1L << 20,
+    /** `spark.datalog.recursion.localiterate` (default false): for
+      * DECOMPOSABLE programs — single-predicate cliques whose every
+      * recursive rule is a linear two-atom join (recursive ⨝ static,
+      * plain variables, no negation/comparisons/aggregates) with a
+      * stable pivot and broadcastable statics — run the whole fixpoint
+      * INSIDE one `mapPartitions` task wave: each pivot-hash partition
+      * iterates a local semi-naive loop over a broadcast static
+      * multimap until its frontier dries up. Derived rows keep their
+      * parent's pivot values, so every derivation stays in its own
+      * partition and the global fixpoint is the disjoint union of the
+      * local ones — the Spark-native analog of the reference's
+      * within-task iteration (FixedPointResultTask.scala:56-103 +
+      * BlockManager.replaceLocalBlock). Job count collapses from
+      * O(iterations) to O(1); ineligible programs fall back to the
+      * driver-looped paths silently. */
+    localIterate: Boolean = false,
+    /** `spark.datalog.recursion.localiterate.maxstaticrows` (default
+      * 4M): row cap for collecting a static side into the broadcast
+      * multimap; a bigger static side bails back to the looped path
+      * (the probe is a limit(cap+1) job, never an unbounded collect). */
+    localIterateMaxStaticRows: Long = 1L << 22)
 
 object DatalogConf {
 
@@ -212,5 +233,10 @@ object DatalogConf {
     },
     diffFlipMinRows =
       spark.conf.get("spark.datalog.recursion.diffflip.minrows",
-        (1L << 20).toString).toLong)
+        (1L << 20).toString).toLong,
+    localIterate =
+      spark.conf.get("spark.datalog.recursion.localiterate", "false").toBoolean,
+    localIterateMaxStaticRows =
+      spark.conf.get("spark.datalog.recursion.localiterate.maxstaticrows",
+        (1L << 22).toString).toLong)
 }

@@ -247,6 +247,9 @@ final class DatalogContext(val spark: SparkSession) {
     * for the localDeltaRows/localDeltaBytes caps). */
   def localizedSlices: Int = evaluator.map(_.localizedSlices).getOrElse(0)
 
+  /** Within-task localiterate fixpoints run so far (spec hook). */
+  def localIterateRuns: Int = evaluator.map(_.localIterateRuns).getOrElse(0)
+
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */
   def queryStrings(queryText: String): Seq[String] =

@@ -437,6 +437,27 @@ final class Evaluator(
     }
   }
 
+  /** Driver/task-side dedup relies on Scala value equality of collected
+    * Row fields — sound for scalar types, not for nested/binary
+    * columns. Fractional types are excluded too: the cluster path
+    * normalizes -0.0 == 0.0 (NormalizeFloatingNumbers) and compares
+    * decimals scale-insensitively, while boxed Double.equals /
+    * BigDecimal.equals distinguish them — the two paths could converge
+    * on different fact sets for a recursive predicate with fractional
+    * columns. Shared by the driver-resident frontier mode and the
+    * within-task localiterate fixpoint. */
+  private def valueComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DecimalType => false
+      case _ => true
+    }
+
   /** True when every leaf of the plan is driver-side (LocalRelation /
     * empty) — collecting it schedules no cluster work at all. */
   private def driverLocalPlan(df: DataFrame): Boolean =
@@ -457,6 +478,172 @@ final class Evaluator(
         * auto decision: flip when the accumulated slice rows are big
         * enough that hash-building them dominates the iteration */
       rows: Long = 0L)
+
+  /** Counts of within-task localiterate fixpoints run (spec hook). */
+  var localIterateRuns: Int = 0
+
+  import Evaluator.TaskRule
+
+  /** Within-task local fixpoint for DECOMPOSABLE programs (the
+    * Spark-native analog of the reference's within-task iteration,
+    * FixedPointResultTask.scala:56-103 + BlockManager.replaceLocalBlock
+    * — here a single `mapPartitions` wave instead of a scheduler fork):
+    * eligible when every recursive rule of a single-pred clique is a
+    * linear two-atom join (recursive ⨝ static) of plain variables whose
+    * head keeps the pivot positions from the recursive atom. Each
+    * pivot-hash partition then iterates semi-naive LOCALLY against a
+    * broadcast multimap of the static side: a derived row inherits its
+    * parent's pivot values, so it lands in the partition that derived
+    * it — the global fixpoint is the disjoint union of the local ones,
+    * one job wave for the whole recursion instead of one per iteration.
+    * Returns None (caller falls back to the looped paths) on any
+    * ineligible shape, non-value-comparable or mismatched column types,
+    * or a static side past the collect cap. */
+  private def localIterate(
+      clique: Analysis#Clique,
+      p: String,
+      pivot: Seq[Int],
+      exitFilter: Map[String, DataFrame => DataFrame],
+      nParts: Int): Option[DataFrame] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val recRules = clique.recursiveRules(p)
+    val exits = clique.exitRules(p)
+    if (recRules.isEmpty || exits.isEmpty) return None
+
+    // ---- shape parse (conservative: any deviation → ineligible)
+    final case class Shape(staticPred: String, keyRec: Seq[Int],
+        keyStat: Seq[Int], statEq: Seq[(Int, Int)],
+        proj: IndexedSeq[Either[Int, Int]])
+    // plain variables only; each anonymous `_` becomes a fresh name
+    // (never shared, never equal to another anon), tagged per atom so
+    // two atoms' anons don't alias
+    def vars(args: Seq[Term], tag: String): Option[Seq[String]] =
+      if (args.forall(a => a.isInstanceOf[Variable] || a == Anon))
+        Some(args.zipWithIndex.map {
+          case (Variable(n), _) => n
+          case (_, i) => s"__anon_${tag}_$i"
+        })
+      else None
+    def parse(r: Rule): Option[Shape] = {
+      val atoms = r.body.collect { case a: BodyAtom => a }
+      if (r.body.length != 2 || atoms.length != 2 || atoms.exists(_.negated))
+        return None
+      val (recs, stats) = atoms.partition(a => clique.preds(a.pred))
+      if (recs.length != 1 || stats.length != 1) return None
+      (vars(recs.head.args, "r"), vars(stats.head.args, "s")) match {
+        case (Some(rv), Some(sv)) if rv.distinct.length == rv.length =>
+          val hv = r.head.args.map {
+            case PlainArg(TermExpr(Variable(n))) => n
+            case _ => return None
+          }
+          if (hv.length != rv.length) return None
+          // first occurrence of each static var + within-atom equalities
+          val statFirst = mutable.LinkedHashMap[String, Int]()
+          val statEq = mutable.Buffer[(Int, Int)]()
+          sv.zipWithIndex.foreach { case (n, i) =>
+            statFirst.get(n) match {
+              case Some(f) => statEq += ((f, i))
+              case None => statFirst(n) = i
+            }
+          }
+          val shared = rv.filter(statFirst.contains)
+          val proj = hv.map { n =>
+            val ri = rv.indexOf(n)
+            if (ri >= 0) Left(ri)
+            else statFirst.get(n) match {
+              case Some(si) => Right(si)
+              case None => return None // head var unbound in body
+            }
+          }.toIndexedSeq
+          // partition closure: pivot positions must come from the
+          // recursive atom at the SAME position
+          if (!pivot.forall(i => proj.lift(i).contains(Left(i)))) return None
+          Some(Shape(stats.head.pred, shared.map(rv.indexOf),
+            shared.map(statFirst), statEq.toSeq, proj))
+        case _ => None
+      }
+    }
+    val shapes = recRules.map(parse)
+    if (shapes.exists(_.isEmpty)) return None
+
+    // ---- seed + type checks
+    val seedRaw = exits.map(r => RuleCompiler.compile(r, baseResolver))
+      .reduce(_ union _)
+    val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
+    val schema = seeded.schema
+    if (!schema.forall(f => valueComparable(f.dataType))) return None
+
+    val taskRules = shapes.flatten.map { sh =>
+      val staticDf = cachedStatic(sh.staticPred)
+      val sSchema = staticDf.schema
+      val typesOk =
+        sSchema.forall(f => valueComparable(f.dataType)) &&
+          sh.keyRec.zip(sh.keyStat).forall { case (ri, si) =>
+            schema(ri).dataType == sSchema(si).dataType } &&
+          sh.proj.zipWithIndex.forall {
+            case (Left(ri), hi) => schema(ri).dataType == schema(hi).dataType
+            case (Right(si), hi) => sSchema(si).dataType == schema(hi).dataType
+          }
+      if (!typesOk) return None
+      val filtered = sh.statEq.foldLeft(staticDf) { case (d, (a, b)) =>
+        d.filter(d(d.columns(a)) === d(d.columns(b)))
+      }
+      val rows = collectCapped(filtered,
+        conf.localIterateMaxStaticRows.min(1L << 24).toInt) match {
+        case Some(rs) => rs
+        case None => return None // static too big for a task-local map
+      }
+      val table = rows.iterator
+        .map(r => r.toSeq.toIndexedSeq)
+        .toIndexedSeq
+        .groupBy(row => sh.keyStat.map(row): Seq[Any])
+      TaskRule(sh.keyRec, sh.proj, table)
+    }
+
+    // ---- one task wave: pivot-partitioned seed, local fixpoints
+    localIterateRuns += 1
+    val pvCols = pivot.filter(_ < schema.length).map(i => schema(i).name)
+    val seedPart =
+      if (pvCols.isEmpty) seeded
+      else seeded.repartition(nParts, pvCols.map(seeded.col): _*)
+    val bc = spark.sparkContext.broadcast(taskRules)
+    val out = seedPart.mapPartitions { it =>
+      val rules = bc.value
+      val all = new java.util.HashSet[IndexedSeq[Any]]()
+      var frontier = mutable.ArrayBuffer[IndexedSeq[Any]]()
+      it.foreach { row =>
+        val v = row.toSeq.toIndexedSeq
+        if (all.add(v)) frontier += v
+      }
+      while (frontier.nonEmpty) {
+        val next = mutable.ArrayBuffer[IndexedSeq[Any]]()
+        var i = 0
+        while (i < frontier.length) {
+          val row = frontier(i)
+          rules.foreach { tr =>
+            tr.table.get(tr.keyRec.map(row)).foreach(_.foreach { srow =>
+              val derived: IndexedSeq[Any] = tr.proj.map {
+                case Left(ri) => row(ri)
+                case Right(si) => srow(si)
+              }
+              if (all.add(derived)) next += derived
+            })
+          }
+          i += 1
+        }
+        frontier = next
+      }
+      val iter = all.iterator()
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = iter.hasNext
+        def next(): org.apache.spark.sql.Row =
+          org.apache.spark.sql.Row.fromSeq(iter.next())
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+
+    val (res, _) = materialize(out.toDF())
+    Some(res)
+  }
 
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
     * predicate's exit rules (bound-argument pushdown).
@@ -505,23 +692,6 @@ final class Evaluator(
     // slice and the predicate rejoins the scalable path permanently.
     val seen = mutable.Map[String, mutable.Set[Seq[Any]]]()
     val seenSchema = mutable.Map[String, org.apache.spark.sql.types.StructType]()
-    // driver-side dedup relies on Scala value equality of collected Row
-    // fields — sound for scalar types, not for nested/binary columns.
-    // Fractional types are excluded too: the cluster path normalizes
-    // -0.0 == 0.0 (NormalizeFloatingNumbers) and compares decimals
-    // scale-insensitively, while boxed Double.equals / BigDecimal.equals
-    // distinguish them — the two paths could converge on different fact
-    // sets for a recursive predicate with fractional columns.
-    def valueComparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           _: org.apache.spark.sql.types.StructType |
-           org.apache.spark.sql.types.BinaryType => false
-      case org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType |
-           _: org.apache.spark.sql.types.DecimalType => false
-      case _ => true
-    }
     def initSeen(p: String, dfs: Seq[DataFrame]): Unit = {
       val schema = dfs.head.schema
       if (schema.forall(f => valueComparable(f.dataType)) &&
@@ -767,6 +937,20 @@ final class Evaluator(
     val prevCoPart = spark.conf.getOption(coPartConf)
     if (copart) spark.conf.set(coPartConf, "false")
     try {
+
+    // Within-task local fixpoint (opt-in): a decomposable program runs
+    // its whole recursion in one mapPartitions wave — see localIterate.
+    // Requires the broadcastStatic conditions (stable pivot, statics
+    // under the broadcast threshold); any ineligibility falls through
+    // to the looped paths below.
+    if (conf.localIterate && broadcastStatic && !clique.monotonic &&
+        preds.size == 1) {
+      localIterate(clique, preds.head, pivots(preds.head), exitFilter,
+          nParts) match {
+        case Some(df) => return Map(preds.head -> df)
+        case None => ()
+      }
+    }
 
     // iteration 0: exit rules
     for (p <- preds) {
@@ -1763,4 +1947,16 @@ final class Evaluator(
       }
     }
   }
+}
+
+object Evaluator {
+  /** One recursive rule lowered for task-local evaluation (localiterate
+    * path): probe the static multimap with the recursive row's join
+    * key, emit the head projection (Left = recursive-atom position,
+    * Right = static-atom position). Top-level so task closures carry no
+    * reference to the (non-serializable) Evaluator. */
+  private[datalog] final case class TaskRule(
+      keyRec: Seq[Int],
+      proj: IndexedSeq[Either[Int, Int]],
+      table: Map[Seq[Any], IndexedSeq[IndexedSeq[Any]]])
 }

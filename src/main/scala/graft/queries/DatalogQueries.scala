@@ -96,6 +96,27 @@ object DatalogQueries extends QueryPack {
       c.query("tc(A,B).")
     }),
 
+    // Linear TC under the within-task local fixpoint
+    // (spark.datalog.recursion.localiterate): the whole recursion runs
+    // in ONE mapPartitions wave — each pivot-hash partition iterates
+    // locally against the broadcast arc multimap (the reference's
+    // FixedPointResultTask analog; LocalIterateSpec asserts the O(1)
+    // job count). Distinct predicate name so the context memo does not
+    // collide with dl_tc's looped evaluation.
+    "dl_tc_localiter" -> ((s, dir) => {
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "tcl(A,B) <- arc(A,B,_). tcl(A,B) <- tcl(A,C), arc(C,B,_).")
+        c.query("tcl(A,B).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Non-linear TC (program 13): delta⋈all + all⋈delta semi-naive variants.
     "dl_tc_nl" -> ((s, dir) => {
       val c = ctx(s, dir,
@@ -309,6 +330,7 @@ object DatalogQueries extends QueryPack {
           CAST(c_custkey - (c_custkey % $B) AS BIGINT) AS b FROM customer"""
     Map(
       "dl_tc" -> tcSql,
+      "dl_tc_localiter" -> tcSql,
       "dl_tc_nl" -> tcSql,
       "dl_tc_bound" ->
         s"""WITH RECURSIVE $arcSql,
