@@ -164,10 +164,10 @@ object DatalogConf {
     spark.conf.getOption(
         "spark.datalog.recursion.iterateinfixedpointresulttask").foreach { v =>
       notes += "spark.datalog.recursion.iterateinfixedpointresulttask=" +
-        s"$v accepted (value-insensitive): the within-task-iteration " +
-        "analog here is the always-available localDelta LocalRelation path — " +
-        "tune it via spark.datalog.recursion.localDeltaRows/Bytes " +
-        "(0 disables it)"
+        s"$v accepted: mapped to spark.datalog.recursion.localiterate " +
+        "(mapPartitions local fixpoint for decomposable programs); the " +
+        "driver-side analog for tiny frontiers is " +
+        "spark.datalog.recursion.localDeltaRows/Bytes"
     }
     spark.conf.getOption("spark.datalog.aggregaterecursion.version").foreach { v =>
       notes += s"spark.datalog.aggregaterecursion.version=$v accepted: the " +
@@ -235,7 +235,12 @@ object DatalogConf {
       spark.conf.get("spark.datalog.recursion.diffflip.minrows",
         (1L << 20).toString).toLong,
     localIterate =
-      spark.conf.get("spark.datalog.recursion.localiterate", "false").toBoolean,
+      // native key wins; the reference's boolean key maps through
+      spark.conf.getOption("spark.datalog.recursion.localiterate")
+        .orElse(spark.conf
+          .getOption("spark.datalog.recursion.iterateinfixedpointresulttask")
+          .filter(v => Set("true", "false")(v.trim.toLowerCase)))
+        .getOrElse("false").trim.toBoolean,
     localIterateMaxStaticRows =
       spark.conf.get("spark.datalog.recursion.localiterate.maxstaticrows",
         (1L << 22).toString).toLong)
