@@ -24,6 +24,8 @@ object PlanAudit {
     names.foreach {
       case "fixpoint" => fixpointAudit(spark, sfDir)
       case "supportfixpoint" => supportFixpointAudit(spark, sfDir)
+      case "diffflip" => diffFlipAudit(spark, sfDir)
+      case "localiterate" => localIterateAudit(spark, sfDir)
       case n =>
         println(s"\n========== $n ==========")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
@@ -88,5 +90,72 @@ object PlanAudit {
       println(s"\n---- $pred iteration $iter: $shuffles shuffle exchange(s) ----")
       if (iter <= 2) println(plan)
     }
+  }
+
+  /** Audit the diffflip semi-join flip: the per-iteration set
+    * difference plans as `matched = all ⋉ cand` (ShuffledHashJoin
+    * LeftSemi, BuildRight on the CANDIDATE set) + an anti that builds
+    * the matched rows — never a hash of the accumulated fact set — and
+    * iterations stay exchange-free on the claimed pivot layout. */
+  private def diffFlipAudit(spark: SparkSession, sfDir: String): Unit = {
+    import graft.datalog.DatalogContext
+    import org.apache.spark.sql.functions.{col, max, broadcast}
+    spark.conf.set("spark.datalog.recursion.copartition.enabled", "true")
+    spark.conf.set("spark.datalog.recursion.diffflip", "true")
+    spark.conf.set("spark.datalog.recursion.logplans", "true")
+    spark.conf.set("spark.datalog.recursion.localDeltaRows", "0")
+    val c = new DatalogContext(spark)
+    c.loadProgram("database({arc(X:long, Y:long, C:long)}). " +
+      "tc(A,B) <- arc(A,B,_). tc(A,B) <- tc(A,C), arc(C,B,_).")
+    val keys = Tables.load(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val mx = keys.agg(max("k").as("m"))
+    val withMax = keys.crossJoin(broadcast(mx))
+    val step = withMax.filter(col("k") % 16 =!= 15 && col("k") + 1 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 1).as("y"),
+        org.apache.spark.sql.functions.lit(2L).as("c"))
+    c.registerTable("arc", step)
+    println(s"\n========== dl_tc fixpoint under diffflip (semi-join flip) ==========")
+    println(s"rows: ${c.query("tc(A,B).").count()}")
+    c.iterationPlanLog.foreach { case (pred, iter, shuffles, plan) =>
+      println(s"\n---- $pred iteration $iter: $shuffles shuffle exchange(s) ----")
+      if (iter == 2) println(plan)
+    }
+    spark.conf.unset("spark.datalog.recursion.diffflip")
+  }
+
+  /** Audit the localiterate within-task fixpoint: the whole recursion
+    * is ONE mapPartitions wave over the pivot-partitioned seed (plan
+    * shows MapPartitions over the seed exchange — no per-iteration
+    * joins at all), with the scheduler job count to match. */
+  private def localIterateAudit(spark: SparkSession, sfDir: String): Unit = {
+    import graft.datalog.DatalogContext
+    import org.apache.spark.sql.functions.{col, max, broadcast}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.conf.set("spark.datalog.recursion.localiterate", "true")
+    spark.conf.set("spark.datalog.recursion.localDeltaRows", "0")
+    val c = new DatalogContext(spark)
+    c.loadProgram("database({arc(X:long, Y:long, C:long)}). " +
+      "tcl(A,B) <- arc(A,B,_). tcl(A,B) <- tcl(A,C), arc(C,B,_).")
+    val keys = Tables.load(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    val mx = keys.agg(max("k").as("m"))
+    val withMax = keys.crossJoin(broadcast(mx))
+    val step = withMax.filter(col("k") % 16 =!= 15 && col("k") + 1 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 1).as("y"),
+        org.apache.spark.sql.functions.lit(2L).as("c"))
+    c.registerTable("arc", step)
+    spark.sparkContext.addSparkListener(listener)
+    val df = c.query("tcl(A,B).")
+    println(s"\n========== dl_tc under localiterate (one task wave) ==========")
+    println(s"rows: ${df.count()}")
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    println(s"scheduler jobs for the whole fixpoint (15-hop closure): ${jobs.get}")
+    df.explain("formatted")
+    spark.conf.unset("spark.datalog.recursion.localiterate")
   }
 }
