@@ -44,6 +44,33 @@ class PropertySpec extends AnyFunSuite {
     tc
   }
 
+  test("localiterate TC agrees with Warshall closure on random cyclic digraphs") {
+    // the within-task wave must terminate and agree on CYCLIC inputs:
+    // each partition's local set is exactly the semi-naive fact set,
+    // so cycles dry the frontier the same way the looped path does
+    forAllGraphs(4242L) { edges =>
+      val prev = Seq("spark.datalog.recursion.localiterate",
+        "spark.datalog.recursion.localDeltaRows")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.datalog.recursion.localiterate", "true")
+      spark.conf.set("spark.datalog.recursion.localDeltaRows", "0")
+      try {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(
+          "database({arc(X:integer, Y:integer)})." +
+            "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B).")
+        ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+        val got = ctx.query("tc(A,B).").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+        assert(ctx.localIterateRuns == 1, "wave did not engage")
+        assert(got == warshall(edges))
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("TC (left-linear and non-linear) agrees with Warshall closure on random digraphs") {
     forAllGraphs(42L) { edges =>
       for (rec <- Seq("tc(A,B) <- tc(A,C), arc(C,B).",
