@@ -19,7 +19,8 @@ object Bench {
     "mm_features", "stream_hourly", "evt_sessions",
     "dl_tc_bound", "stream_dedup_count", "stream_user_state",
     "graph_pagerank_conv", "q31_salted_join",
-    "txt_decontam", "graph_kcore", "emb_pq_codes")
+    "txt_decontam", "graph_kcore", "emb_pq_codes",
+    "dl_tc_localiter", "emb_lsh_recall_mp")
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
