@@ -482,15 +482,17 @@ final class Evaluator(
   /** Counts of within-task localiterate fixpoints run (spec hook). */
   var localIterateRuns: Int = 0
 
-  import Evaluator.TaskRule
+  import Evaluator.{TaskRule, TaskStep}
 
   /** Within-task local fixpoint for DECOMPOSABLE programs (the
     * Spark-native analog of the reference's within-task iteration,
     * FixedPointResultTask.scala:56-103 + BlockManager.replaceLocalBlock
     * — here a single `mapPartitions` wave instead of a scheduler fork):
     * eligible when every recursive rule of a single-pred clique is a
-    * linear two-atom join (recursive ⨝ static) of plain variables whose
-    * head keeps the pivot positions from the recursive atom. Each
+    * linear join of ONE recursive atom with any number of static atoms
+    * (plain variables, probed left-to-right like the rule compiler's
+    * SIPS) whose head keeps the pivot positions from the recursive
+    * atom. Each
     * pivot-hash partition then iterates semi-naive LOCALLY against a
     * broadcast multimap of the static side: a derived row inherits its
     * parent's pivot values, so it lands in the partition that derived
@@ -510,10 +512,13 @@ final class Evaluator(
     val exits = clique.exitRules(p)
     if (recRules.isEmpty || exits.isEmpty) return None
 
-    // ---- shape parse (conservative: any deviation → ineligible)
-    final case class Shape(staticPred: String, keyRec: Seq[Int],
-        keyStat: Seq[Int], statEq: Seq[(Int, Int)],
-        proj: IndexedSeq[Either[Int, Int]])
+    // ---- seed + base type check
+    val seedRaw = exits.map(r => RuleCompiler.compile(r, baseResolver))
+      .reduce(_ union _)
+    val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
+    val schema = seeded.schema
+    if (!schema.forall(f => valueComparable(f.dataType))) return None
+
     // plain variables only; each anonymous `_` becomes a fresh name
     // (never shared, never equal to another anon), tagged per atom so
     // two atoms' anons don't alias
@@ -524,81 +529,88 @@ final class Evaluator(
           case (_, i) => s"__anon_${tag}_$i"
         })
       else None
-    def parse(r: Rule): Option[Shape] = {
+
+    // memo static collects: the same (pred, within-atom equalities) is
+    // collected once even when several rules/atoms reference it
+    val staticMemo =
+      mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
+    def staticRows(pred: String, eqs: Seq[(Int, Int)])
+        : Option[IndexedSeq[IndexedSeq[Any]]] =
+      staticMemo.getOrElseUpdate((pred, eqs), {
+        val df0 = cachedStatic(pred)
+        val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
+          d.filter(d(d.columns(a)) === d(d.columns(b)))
+        }
+        collectCapped(df, conf.localIterateMaxStaticRows.min(1L << 24).toInt)
+          .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
+      })
+
+    /** Lower one rule: the recursive atom binds env slots 0..arity-1;
+      * each static atom (body order, left-to-right SIPS like the rule
+      * compiler) probes a multimap keyed on its already-bound
+      * positions and binds its new variables. Any deviation from the
+      * decomposable shape → None. */
+    def parse(r: Rule): Option[TaskRule] = {
       val atoms = r.body.collect { case a: BodyAtom => a }
-      if (r.body.length != 2 || atoms.length != 2 || atoms.exists(_.negated))
+      if (atoms.length != r.body.length || atoms.exists(_.negated)) return None
+      val recs = atoms.filter(a => clique.preds(a.pred))
+      val stats = atoms.filterNot(a => clique.preds(a.pred))
+      if (recs.length != 1 || stats.isEmpty) return None
+      val rv = vars(recs.head.args, "r").getOrElse(return None)
+      if (rv.distinct.length != rv.length || rv.length != schema.length)
         return None
-      val (recs, stats) = atoms.partition(a => clique.preds(a.pred))
-      if (recs.length != 1 || stats.length != 1) return None
-      (vars(recs.head.args, "r"), vars(stats.head.args, "s")) match {
-        case (Some(rv), Some(sv)) if rv.distinct.length == rv.length =>
-          val hv = r.head.args.map {
-            case PlainArg(TermExpr(Variable(n))) => n
-            case _ => return None
-          }
-          if (hv.length != rv.length) return None
-          // first occurrence of each static var + within-atom equalities
-          val statFirst = mutable.LinkedHashMap[String, Int]()
-          val statEq = mutable.Buffer[(Int, Int)]()
-          sv.zipWithIndex.foreach { case (n, i) =>
-            statFirst.get(n) match {
-              case Some(f) => statEq += ((f, i))
-              case None => statFirst(n) = i
-            }
-          }
-          val shared = rv.filter(statFirst.contains)
-          val proj = hv.map { n =>
-            val ri = rv.indexOf(n)
-            if (ri >= 0) Left(ri)
-            else statFirst.get(n) match {
-              case Some(si) => Right(si)
-              case None => return None // head var unbound in body
-            }
-          }.toIndexedSeq
-          // partition closure: pivot positions must come from the
-          // recursive atom at the SAME position
-          if (!pivot.forall(i => proj.lift(i).contains(Left(i)))) return None
-          Some(Shape(stats.head.pred, shared.map(rv.indexOf),
-            shared.map(statFirst), statEq.toSeq, proj))
-        case _ => None
+      // env: slot per variable, rec vars first; parallel type vector
+      val slot = mutable.LinkedHashMap[String, Int]()
+      val envType = mutable.ArrayBuffer[org.apache.spark.sql.types.DataType]()
+      rv.zipWithIndex.foreach { case (n, i) =>
+        slot(n) = i; envType += schema(i).dataType
       }
+      val steps = stats.zipWithIndex.map { case (atom, ai) =>
+        val sv = vars(atom.args, s"s$ai").getOrElse(return None)
+        val sSchema = predDF(atom.pred).schema
+        if (sv.length != sSchema.length) return None
+        if (!sSchema.forall(f => valueComparable(f.dataType))) return None
+        val keyPos = mutable.Buffer[Int]()
+        val keyEnv = mutable.Buffer[Int]()
+        val binds = mutable.Buffer[(Int, Int)]()
+        val eqs = mutable.Buffer[(Int, Int)]()
+        val newInAtom = mutable.Map[String, Int]()
+        sv.zipWithIndex.foreach { case (n, i) =>
+          slot.get(n) match {
+            case Some(s) if !newInAtom.contains(n) =>
+              // bound before this atom: every occurrence keys the probe
+              if (envType(s) != sSchema(i).dataType) return None
+              keyPos += i; keyEnv += s
+            case _ =>
+              newInAtom.get(n) match {
+                case Some(first) => eqs += ((first, i)) // repeated new var
+                case None =>
+                  newInAtom(n) = i
+                  slot(n) = envType.length
+                  envType += sSchema(i).dataType
+                  binds += ((i, slot(n)))
+              }
+          }
+        }
+        val rows = staticRows(atom.pred, eqs.toSeq).getOrElse(return None)
+        val table = rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
+        TaskStep(keyEnv.toSeq, binds.toSeq, table)
+      }.toIndexedSeq
+      val head = r.head.args.map {
+        case PlainArg(TermExpr(Variable(n))) => slot.getOrElse(n, return None)
+        case _ => return None
+      }.toIndexedSeq
+      if (head.length != schema.length) return None
+      if (!head.indices.forall(h => envType(head(h)) == schema(h).dataType))
+        return None
+      // partition closure: pivot positions must carry the recursive
+      // atom's value at the SAME position (env slot i = rec position i)
+      if (!pivot.forall(i => head.lift(i).contains(i))) return None
+      Some(TaskRule(envType.length, steps, head))
     }
-    val shapes = recRules.map(parse)
-    if (shapes.exists(_.isEmpty)) return None
-
-    // ---- seed + type checks
-    val seedRaw = exits.map(r => RuleCompiler.compile(r, baseResolver))
-      .reduce(_ union _)
-    val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
-    val schema = seeded.schema
-    if (!schema.forall(f => valueComparable(f.dataType))) return None
-
-    val taskRules = shapes.flatten.map { sh =>
-      val staticDf = cachedStatic(sh.staticPred)
-      val sSchema = staticDf.schema
-      val typesOk =
-        sSchema.forall(f => valueComparable(f.dataType)) &&
-          sh.keyRec.zip(sh.keyStat).forall { case (ri, si) =>
-            schema(ri).dataType == sSchema(si).dataType } &&
-          sh.proj.zipWithIndex.forall {
-            case (Left(ri), hi) => schema(ri).dataType == schema(hi).dataType
-            case (Right(si), hi) => sSchema(si).dataType == schema(hi).dataType
-          }
-      if (!typesOk) return None
-      val filtered = sh.statEq.foldLeft(staticDf) { case (d, (a, b)) =>
-        d.filter(d(d.columns(a)) === d(d.columns(b)))
-      }
-      val rows = collectCapped(filtered,
-        conf.localIterateMaxStaticRows.min(1L << 24).toInt) match {
-        case Some(rs) => rs
-        case None => return None // static too big for a task-local map
-      }
-      val table = rows.iterator
-        .map(r => r.toSeq.toIndexedSeq)
-        .toIndexedSeq
-        .groupBy(row => sh.keyStat.map(row): Seq[Any])
-      TaskRule(sh.keyRec, sh.proj, table)
-    }
+    val taskRulesOpt = recRules.map(parse)
+    if (taskRulesOpt.exists(_.isEmpty)) return None
+    val taskRules = taskRulesOpt.flatten
 
     // ---- one task wave: pivot-partitioned seed, local fixpoints
     localIterateRuns += 1
@@ -621,13 +633,22 @@ final class Evaluator(
         while (i < frontier.length) {
           val row = frontier(i)
           rules.foreach { tr =>
-            tr.table.get(tr.keyRec.map(row)).foreach(_.foreach { srow =>
-              val derived: IndexedSeq[Any] = tr.proj.map {
-                case Left(ri) => row(ri)
-                case Right(si) => srow(si)
+            val env = new Array[Any](tr.envSize)
+            var k = 0
+            while (k < row.length) { env(k) = row(k); k += 1 }
+            def go(j: Int): Unit =
+              if (j == tr.steps.length) {
+                val derived: IndexedSeq[Any] = tr.head.map(env)
+                if (all.add(derived)) next += derived
+              } else {
+                val st = tr.steps(j)
+                st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
+                  .foreach(_.foreach { srow =>
+                    st.binds.foreach { case (pos, s) => env(s) = srow(pos) }
+                    go(j + 1)
+                  })
               }
-              if (all.add(derived)) next += derived
-            })
+            go(0)
           }
           i += 1
         }
@@ -1950,13 +1971,20 @@ final class Evaluator(
 }
 
 object Evaluator {
-  /** One recursive rule lowered for task-local evaluation (localiterate
-    * path): probe the static multimap with the recursive row's join
-    * key, emit the head projection (Left = recursive-atom position,
-    * Right = static-atom position). Top-level so task closures carry no
-    * reference to the (non-serializable) Evaluator. */
-  private[datalog] final case class TaskRule(
-      keyRec: Seq[Int],
-      proj: IndexedSeq[Either[Int, Int]],
+  /** One static atom lowered for task-local evaluation (localiterate
+    * path): probe `table` keyed on the env slots bound so far, then
+    * bind the atom's new variables into the env. Top-level so task
+    * closures carry no reference to the (non-serializable) Evaluator. */
+  private[datalog] final case class TaskStep(
+      keyEnv: Seq[Int],
+      binds: Seq[(Int, Int)],
       table: Map[Seq[Any], IndexedSeq[IndexedSeq[Any]]])
+
+  /** One recursive rule lowered for task-local evaluation: the
+    * recursive atom fills env slots 0..arity-1, each step probes and
+    * binds left-to-right, `head` projects env slots. */
+  private[datalog] final case class TaskRule(
+      envSize: Int,
+      steps: IndexedSeq[TaskStep],
+      head: IndexedSeq[Int])
 }

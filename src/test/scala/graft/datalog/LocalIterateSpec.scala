@@ -111,6 +111,47 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(rows.size == 13 * 12 / 2)
   }
 
+  test("multi-static linear rules (2-hop TC) run in the wave and match the looped path") {
+    // p extends by TWO arc hops per recursive application: one rec atom
+    // + two static atoms chained through D — the generalized
+    // decomposable shape (still partition-closed on A)
+    val prog = "p(A,B) <- arc(A,B). " +
+      "p(A,B) <- p(A,C), arc(C,D), arc(D,B)."
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter,
+      "spark.datalog.recursion.localDeltaRows" -> "0") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + prog)
+      ctx.registerData("arc", arcs)
+      (ctx.queryStrings("p(A,B).").toSet, ctx.localIterateRuns)
+    }
+    val (looped, loopedRuns) = run("false")
+    val (wave, waveRuns) = run("true")
+    assert(loopedRuns == 0 && waveRuns == 1, "2-hop shape did not engage")
+    assert(wave == looped && wave.nonEmpty)
+  }
+
+  test("repeated variable across static atoms constrains the wave correctly") {
+    // self-loop detector: step to C, then require an arc C->C… via the
+    // shared var C appearing in both static atoms' key positions
+    val prog = "q(A,B) <- arc(A,B). " +
+      "q(A,B) <- q(A,C), arc(C,B), arc(B,C)."
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter,
+      "spark.datalog.recursion.localDeltaRows" -> "0") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + prog)
+      // a chain plus one 2-cycle 50<->51 that the second atom requires
+      ctx.registerData("arc",
+        (0 until 6).map(i => s"$i,${i + 1}") ++ Seq("6,50", "50,51", "51,50"))
+      (ctx.queryStrings("q(A,B).").toSet, ctx.localIterateRuns)
+    }
+    val (looped, _) = run("false")
+    val (wave, waveRuns) = run("true")
+    assert(waveRuns == 1)
+    assert(wave == looped && wave.nonEmpty)
+  }
+
   test("ineligible shapes fall back: non-linear, comparisons, negation") {
     def run(program: String, query: String) = withConf(
       "spark.datalog.recursion.localiterate" -> "true",
