@@ -143,6 +143,14 @@ final class Evaluator(
       sb ++= s": $q  pivot=${pivot.mkString("[", ",", "]")}" +
         s"${if (stable(q).nonEmpty) s" (stable positions ${stable(q).mkString("[", ",", "]")})" else " (default col 0)"}\n"
     }
+    if (conf.localIterate && !clique.monotonic && preds.size == 1)
+      sb ++= ": localiterate requested — a decomposable shape (linear " +
+        "recursive ⨝ statics, stable pivot, broadcastable statics) runs " +
+        "as ONE mapPartitions wave; otherwise the looped path below\n"
+    if (conf.diffFlip != "false")
+      sb ++= s": diffflip=${conf.diffFlip} — the per-iteration set " +
+        "difference hash-builds candidate-sized sets (semi-join flip)" +
+        s"${if (conf.diffFlip == "auto") s" past ${conf.diffFlipMinRows} accumulated slice rows" else ""}\n"
     for (q <- preds) {
       sb ++= s"\n=== exit rules: $q ===\n"
       exitPlans.get(q) match {
