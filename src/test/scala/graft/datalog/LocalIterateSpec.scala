@@ -111,6 +111,18 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(rows.size == 13 * 12 / 2)
   }
 
+  test("empty seed (bound query with no matching facts) yields an empty wave") {
+    val rows = withConf(
+      "spark.datalog.recursion.localiterate" -> "true",
+      "spark.datalog.recursion.localDeltaRows" -> "0") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(db + llTc)
+      ctx.registerData("arc", arcs)
+      ctx.queryStrings("tc(99999,B).")
+    }
+    assert(rows.isEmpty)
+  }
+
   test("multi-static linear rules (2-hop TC) run in the wave and match the looped path") {
     // p extends by TWO arc hops per recursive application: one rec atom
     // + two static atoms chained through D — the generalized
