@@ -42,6 +42,19 @@ object TextQueries extends QueryPack {
   private[queries] def packShards(s: SparkSession): Int =
     s.conf.get("spark.graft.pack.shards", DefaultPackShards.toString).toInt
 
+  /** Corpus size below which the packing prefix sum takes the window
+    * plan instead of the two-level pass — see prioSharded. 4M docs at
+    * the default 16 shards is ≤250k rows per window partition, well
+    * under any executor's comfort. */
+  private[queries] val DefaultTwoLevelMinRows = 4000000L
+
+  /** Doc count per fixture dir (metadata-only parquet count), memoized
+    * — the testdata dirs are immutable, and the packing queries need
+    * only a size-class decision from it. */
+  private val countMemo = scala.collection.concurrent.TrieMap[String, Long]()
+  private def docCount(s: SparkSession, dir: String): Long =
+    countMemo.getOrElseUpdate(dir, docs(s, dir).count())
+
   /** Deterministic LCG priority + `spark.graft.pack.shards`-way
     * priority shard + exclusive per-group prefix sum of token counts —
     * the shared scaffolding of the mixing sampler and the sequence
@@ -57,7 +70,17 @@ object TextQueries extends QueryPack {
     * are collected and turned into exclusive per-partition offsets on
     * the driver, and a second linear pass adds the local running sum.
     * Each task scans corpus/numPartitions rows regardless of the shard
-    * count; the driver state is O(partitions + groups). */
+    * count; the driver state is O(partitions + groups).
+    *
+    * ADAPTIVE: below `spark.graft.pack.twolevel.minrows` docs the
+    * two-level machinery costs more than it saves (a range-boundary
+    * sampling job, an RDD round-trip out of codegen, a persist, and two
+    * passes — measured 6× the window plan at sf0.1's 50k docs), and a
+    * per-group window partition of < minrows/shards rows is no funnel
+    * on any cluster — so small corpora take the plain codegen'd window
+    * prefix sum. Both paths compute the identical cum_before (the spec
+    * A/Bs them against one in-JVM oracle; the DuckDB gates ride
+    * whichever the corpus size selects). */
   private def prioSharded(s: SparkSession, dir: String,
                           extra: Seq[String], partCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
@@ -67,6 +90,16 @@ object TextQueries extends QueryPack {
       s"size($toks) as n_tokens",
       "(doc_id * 1103515245 + 12345) % 1000000 as prio") ++ extra: _*)
       .withColumn("shard", pmod(col("prio"), lit(shards.toLong)))
+    val minRows = s.conf.get("spark.graft.pack.twolevel.minrows",
+      DefaultTwoLevelMinRows.toString).toLong
+    if (docCount(s, dir) < minRows) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col("prio").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return base.withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+    }
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val orderCols = partCols.map(col) ++ Seq(col("prio").asc, col("doc_id").asc)
     val sorted = base.repartitionByRange(nPart, orderCols: _*)

@@ -33,9 +33,10 @@ class PackShardsSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("txt_pack_sequences matches the in-JVM oracle at shards=64") {
+  test("txt_pack_sequences matches the in-JVM oracle at shards=64 (two-level path)") {
     val s = spark.newSession()
     s.conf.set("spark.graft.pack.shards", "64")
+    s.conf.set("spark.graft.pack.twolevel.minrows", "0")
     val rows = graft.queries.TextQueries.defs("txt_pack_sequences")(s, dir).collect()
     val oracle = packOracle(64)
     assert(rows.length == oracle.size)
@@ -49,9 +50,28 @@ class PackShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("window path (small corpus) computes the identical packing") {
+    // default minrows: sf0.001's 500 docs select the window prefix sum
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pack.shards", "64")
+    val df = graft.queries.TextQueries.defs("txt_pack_sequences")(s, dir)
+    val plan = GraftColumnBridge.executedPlanString(df)
+    assert(plan.contains("Window"), "expected the small-corpus window path")
+    val oracle = packOracle(64)
+    val rows = df.collect()
+    assert(rows.length == oracle.size)
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_off"))
+      assert(oracle(r.getAs[Long]("doc_id")) == got,
+        s"doc ${r.getAs[Long]("doc_id")}: $got")
+    }
+  }
+
   test("txt_mix_budget fill respects the per-shard budget at shards=64") {
     val s = spark.newSession()
     s.conf.set("spark.graft.pack.shards", "64")
+    s.conf.set("spark.graft.pack.twolevel.minrows", "0")
     val rows = graft.queries.TextQueries.defs("txt_mix_budget")(s, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -66,7 +86,9 @@ class PackShardsSpec extends AnyFunSuite {
   }
 
   test("prefix sum is two-level: no Window node, no single-partition funnel") {
-    val df = graft.queries.TextQueries.defs("txt_pack_sequences")(spark, dir)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.pack.twolevel.minrows", "0")
+    val df = graft.queries.TextQueries.defs("txt_pack_sequences")(s, dir)
     val plan = GraftColumnBridge.executedPlanString(df)
     assert(!plan.contains("Window"),
       "packing fell back to a window prefix sum (one task per shard at scale)")
