@@ -99,6 +99,80 @@ object EmbeddingQueries extends QueryPack {
 
   import org.apache.spark.sql.expressions.Window
 
+  /** IVF coarse-quantizer table (one row per label: summed vector +
+    * count), memoized — every IVF query broadcasts it. */
+  private def ivfCents(s: SparkSession, dir: String): DataFrame =
+    PackResources.checkpoint(s, dir, "emb_ivf_cents")(emb(s, dir)
+      .selectExpr("label", "posexplode(q) as (i, v)")
+      .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+        max("n").as("n"))
+      .selectExpr("cast(label as bigint) as clabel",
+        "transform(cs, x -> x.sv) as cvec", "n"))
+
+  /** IVF assignment rows (vec_id → nearest coarse cell): broadcast
+    * centroid cross + per-vector argmax — the corpus side never
+    * shuffles. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
+    emb(s, dir).crossJoin(broadcast(ivfCents(s, dir)))
+      .withColumn("dotv", dotI64(col("q"), col("cvec")))
+      .selectExpr("vec_id", "q", "clabel", "dotv * 1000000 div n as score")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("clabel").as("alabel"))
+  }
+
+  /** IVF probe rows for the query set (vec_id < 5): each query's
+    * nProbe=2 best coarse cells, carrying the query vector. */
+  private def ivfProbes(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 5)
+      .crossJoin(broadcast(ivfCents(s, dir)))
+      .withColumn("dotv", dotI64(col("q"), col("cvec")))
+      .selectExpr("vec_id as qid", "q as qv", "clabel as plabel",
+        "dotv * 1000000 div n as score")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("plabel"))))
+      .filter(col("rk") <= 2)
+      .select(col("qid"), col("qv"), col("plabel"))
+
+  /** PQ subspace rows (vec_id, m, qm, cell): M=4 16-dim subvectors and
+    * their 4-bit hyperplane cells. */
+  private def pqCells(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).selectExpr("vec_id",
+      """explode(transform(sequence(0,3), m ->
+           struct(m as m, slice(q, m*16+1, 16) as qm))) as e""")
+      .select(col("vec_id"), col("e.m").as("m"), col("e.qm").as("qm"))
+      .selectExpr("vec_id", "m", "qm",
+        s"${bucket("qm", bits = 4, dims = 16)} as cell")
+
+  /** PQ codebook (m, ccell, cmean): ≤64 per-cell integer-mean subspace
+    * centroids — one partial-agg shuffle, broadcast everywhere used. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCells(s, dir)
+      .selectExpr("m", "cell", "posexplode(qm) as (i, v)")
+      .groupBy("m", "cell", "i")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("m", "cell")
+      .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+        max("n").as("n"))
+      .selectExpr("m", "cell as ccell",
+        "transform(cs, x -> x.sv div n) as cmean")
+
+  /** Per-vector PQ code rows (vec_id, m, code): nearest codebook cell
+    * per subspace, maximizing 2·v·c − c·c (integer nearest-by-L2). */
+  private def pqCodeRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(desc("score"), asc("ccell"))
+    pqCells(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
+      .select(col("vec_id"), col("m"), col("ccell"),
+        (lit(2L) * dotI64(col("qm"), col("cmean"))
+          - dotI64(col("cmean"), col("cmean"))).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("ccell").as("code"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force inner-product top-10 for query vectors vec_id < 5.
     "emb_knn" -> ((s, dir) => {
@@ -253,36 +327,14 @@ object EmbeddingQueries extends QueryPack {
     // Plan: one partial-agg shuffle builds codebooks (≤64 rows),
     // broadcast back, assignment scans the corpus shuffle-free — ADC
     // search then composes exactly like emb_ivf_search's probe join.
-    "emb_pq_codes" -> ((s, dir) => {
-      val sv = emb(s, dir).selectExpr("vec_id",
-        """explode(transform(sequence(0,3), m ->
-             struct(m as m, slice(q, m*16+1, 16) as qm))) as e""")
-        .select(col("vec_id"), col("e.m").as("m"), col("e.qm").as("qm"))
-      val cells = sv.selectExpr("vec_id", "m", "qm",
-        s"${bucket("qm", bits = 4, dims = 16)} as cell")
-      val cb = cells
-        .selectExpr("m", "cell", "posexplode(qm) as (i, v)")
-        .groupBy("m", "cell", "i")
-        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .groupBy("m", "cell")
-        .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
-          max("n").as("n"))
-        .selectExpr("m", "cell as ccell",
-          "transform(cs, x -> x.sv div n) as cmean")
-      val w = Window.partitionBy("vec_id", "m").orderBy(desc("score"), asc("ccell"))
-      cells.join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("ccell"),
-          (lit(2L) * dotI64(col("qm"), col("cmean"))
-            - dotI64(col("cmean"), col("cmean"))).as("score"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+    "emb_pq_codes" -> ((s, dir) =>
+      pqCodeRows(s, dir)
         .groupBy("vec_id")
         .agg(
-          max(when(col("m") === 0, col("ccell"))).as("c0"),
-          max(when(col("m") === 1, col("ccell"))).as("c1"),
-          max(when(col("m") === 2, col("ccell"))).as("c2"),
-          max(when(col("m") === 3, col("ccell"))).as("c3"))
-    }),
+          max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"))),
 
     // Scalar quantization to int8 (SQ8 — the other standard index
     // compression next to PQ): each vector stores a per-vector scale
@@ -312,38 +364,57 @@ object EmbeddingQueries extends QueryPack {
     // traded for touching nProbe/nCells of the corpus, which is the IVF
     // contract.
     "emb_ivf_search" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val cents = PackResources.checkpoint(s, dir, "emb_ivf_cents")(e
-        .selectExpr("label", "posexplode(q) as (i, v)")
-        .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
-          max("n").as("n"))
-        .selectExpr("cast(label as bigint) as clabel",
-          "transform(cs, x -> x.sv) as cvec", "n"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("dotv", dotI64(col("q"), col("cvec")))
-        .selectExpr("vec_id", "q", "clabel", "dotv * 1000000 div n as score")
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("q"), col("clabel").as("alabel"))
-      val probes = e.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
-        .withColumn("dotv", dotI64(col("q"), col("cvec")))
-        .selectExpr("vec_id as qid", "q as qv", "clabel as plabel",
-          "dotv * 1000000 div n as score")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(desc("score"), asc("plabel"))))
-        .filter(col("rk") <= 2)
-        .select(col("qid"), col("qv"), col("plabel"))
       val wTop = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
-      assigned.join(broadcast(probes), col("alabel") === col("plabel"))
+      ivfAssigned(s, dir)
+        .join(broadcast(ivfProbes(s, dir)), col("alabel") === col("plabel"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),
           dotI64(col("qv"), col("q")).as("dot"))
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 5)
         .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
+    }),
+
+    // IVF + PQ search — the production ANN query path at 100 TB: IVF's
+    // coarse cells prune the corpus to nProbe/nCells, and candidates
+    // are scored from their 4 PQ codes instead of 64-wide vectors (ADC
+    // — asymmetric distance computation). Per query, dot(q_m, cmean) is
+    // precomputed for all ≤64 codebook cells and folded into ONE map
+    // keyed m·16+cell that rides the broadcast probe side, so candidate
+    // scoring is four map lookups + adds inside the scan: the corpus
+    // never re-reads full vectors and the only corpus shuffle is the
+    // assignment⋈codes join on vec_id (a real index build stores those
+    // co-located — bucketed by vec_id — making even that one free).
+    // Exact integer arithmetic end-to-end; the oracle reproduces every
+    // ADC score bit-for-bit.
+    "emb_ivfpq_search" -> ((s, dir) => {
+      val codes = pqCodeRows(s, dir)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"))
+      val cand = ivfAssigned(s, dir).drop("q").join(codes, "vec_id")
+      val probes = ivfProbes(s, dir)
+      val lut = probes.select("qid", "qv").distinct()
+        .crossJoin(broadcast(pqCodebook(s, dir)))
+        .select(col("qid"),
+          (col("m") * 16 + col("ccell")).as("k"),
+          dotI64(expr("slice(qv, m*16+1, 16)"), col("cmean")).as("pdot"))
+        .groupBy("qid")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("k"), col("pdot"))))).as("lut"))
+      val wTop = Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))
+      cand.join(broadcast(probes.join(lut, "qid")),
+          col("alabel") === col("plabel"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          expr("element_at(lut, 0*16+c0) + element_at(lut, 16+c1) + " +
+            "element_at(lut, 32+c2) + element_at(lut, 48+c3)").as("adc"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .selectExpr("qid", "cid", "adc", "cast(rk as bigint) as rk")
     })
   )
 
@@ -533,6 +604,64 @@ object EmbeddingQueries extends QueryPack {
                                  ORDER BY dot DESC, cid ASC) AS rk
             FROM scored)
           SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk
+          FROM ranked WHERE rk <= 5""",
+    "emb_ivfpq_search" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
+          c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
+                  CAST(sum(v[i+1]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+                FROM e, range(64) r(i) GROUP BY label, i),
+          cv AS (SELECT clabel, list(sv ORDER BY i) AS cvec, min(n) AS n
+                 FROM c GROUP BY clabel),
+          scoredc AS (SELECT e.vec_id, e.v, cv.clabel,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> e.v[i]*cv.cvec[i])) * 1000000 // cv.n AS BIGINT) AS score
+            FROM e, cv),
+          assigned AS (SELECT vec_id, clabel AS alabel FROM (
+              SELECT vec_id, clabel, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, clabel ASC) AS rk FROM scoredc)
+            WHERE rk = 1),
+          probes AS (SELECT vec_id AS qid, v AS qv, clabel AS plabel FROM (
+              SELECT vec_id, v, clabel, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, clabel ASC) AS rk
+              FROM scoredc WHERE vec_id < 5)
+            WHERE rk <= 2),
+          sv2 AS (SELECT vec_id, m, list_slice(v, m*16+1, m*16+16) AS qm
+                  FROM e, range(4) r(m)),
+          cells AS (SELECT vec_id, m, qm,
+            CAST(list_sum(list_transform(range(4), j ->
+              CASE WHEN list_sum(list_transform(range(16), i ->
+                     qm[i+1] * (((i*31 + j*17) % 7) - 3))) > 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS cell FROM sv2),
+          comp AS (SELECT m, cell, i, CAST(sum(qm[i+1]) AS BIGINT) AS sv_,
+              CAST(count(*) AS BIGINT) AS n
+            FROM cells, range(16) r(i) GROUP BY m, cell, i),
+          cb AS (SELECT m, cell AS ccell, list(sv_ // n ORDER BY i) AS cmean
+                 FROM comp GROUP BY m, cell),
+          pqscored AS (SELECT c2.vec_id, c2.m, cb.ccell,
+              CAST(2 * list_sum(list_transform(range(1,17), i -> c2.qm[i]*cb.cmean[i]))
+                 - list_sum(list_transform(range(1,17), i -> cb.cmean[i]*cb.cmean[i]))
+                AS BIGINT) AS score
+            FROM cells c2 JOIN cb ON cb.m = c2.m),
+          codes AS (SELECT vec_id, m, ccell AS code FROM (
+              SELECT vec_id, m, ccell, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                ORDER BY score DESC, ccell ASC) AS rk FROM pqscored)
+            WHERE rk = 1),
+          lut AS (SELECT q.qid, cb.m, cb.ccell,
+              CAST(list_sum(list_transform(range(1,17), i ->
+                list_slice(q.qv, cb.m*16+1, cb.m*16+16)[i]*cb.cmean[i]))
+                AS BIGINT) AS pdot
+            FROM (SELECT DISTINCT qid, qv FROM probes) q, cb),
+          sc AS (SELECT p.qid, a.vec_id AS cid, CAST(sum(l.pdot) AS BIGINT) AS adc
+            FROM probes p JOIN assigned a ON a.alabel = p.plabel
+            JOIN codes k ON k.vec_id = a.vec_id
+            JOIN lut l ON l.qid = p.qid AND l.m = k.m AND l.ccell = k.code
+            WHERE a.vec_id != p.qid GROUP BY p.qid, a.vec_id),
+          ranked AS (SELECT qid, cid, adc,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY adc DESC, cid ASC) AS rk
+            FROM sc)
+          SELECT qid, cid, adc, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= 5"""
   )
 }
