@@ -406,7 +406,7 @@ object EmbeddingQueries extends QueryPack {
         .agg(map_from_entries(sort_array(
           collect_list(struct(col("k"), col("pdot"))))).as("lut"))
       val wTop = Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))
-      cand.join(broadcast(probes.join(lut, "qid")),
+      cand.join(broadcast(probes.join(broadcast(lut), "qid")),
           col("alabel") === col("plabel"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("cid"),

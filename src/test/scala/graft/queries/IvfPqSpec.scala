@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.GraftColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.TestSpark
+
+/** emb_ivfpq_search — the IVF+PQ (ADC) query path. The DuckDB gate pins
+  * exact scores at three scales; this spec pins the two things the gate
+  * can't see: the plan shape the 100 TB story claims, and the ANN
+  * quality contract (ADC top-k must actually rank near the exact
+  * answer on this data, or the operator is a correct implementation of
+  * a useless index). */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("plan: one corpus join pair, broadcast probe side, partial top-k") {
+    val df = graft.queries.EmbeddingQueries.defs("emb_ivfpq_search")(spark, dir)
+    val plan = GraftColumnBridge.executedPlanString(df)
+    // candidate scoring rides a broadcast of probes+LUTs, never a
+    // corpus-sized shuffle join against the query side
+    assert(plan.contains("BroadcastExchange"), "probe/LUT side must broadcast")
+    // the ONE corpus-shuffle join is assignment ⨝ codes on vec_id
+    val smj = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"expected at most one corpus shuffle join, saw $smj:\n" +
+      plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        .mkString("\n"))
+    // every argmax/top-k runs as WindowGroupLimit (partial top-k below
+    // the exchange — the ×nCells candidate rows never shuffle)
+    assert(plan.contains("WindowGroupLimit"),
+      "argmax/top-k must compile to WindowGroupLimit")
+  }
+
+  test("ADC ranking overlaps the exact top-10 (index quality floor)") {
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    val adc = graft.queries.EmbeddingQueries.defs("emb_ivfpq_search")(s, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val exact = graft.queries.EmbeddingQueries.defs("emb_knn")(s, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    // 5 queries × top-5 ADC vs top-10 exact: IVF(nProbe=2) + 4-bit PQ is
+    // lossy by design (measured 7/25 on this fixture), but chance
+    // overlap on 500 docs is ~0.25/25 — a formula/LUT regression
+    // (wrong slot indexing, swapped subspace, sign error) craters the
+    // overlap to ~0, so a 20% floor separates broken from lossy
+    val hits = adc.count(exact.contains)
+    assert(adc.size == 25, s"expected 25 ADC results, got ${adc.size}")
+    assert(hits >= adc.size / 5,
+      s"ADC top-5 shares only $hits/${adc.size} with the exact top-10")
+  }
+}
