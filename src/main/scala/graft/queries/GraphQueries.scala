@@ -118,6 +118,38 @@ object GraphQueries extends QueryPack {
         val nodes = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("x"))
         GraphQueries.kcoreShells(s, nodes, arc, 3)
+      }),
+
+    // Synchronous label propagation (community detection): labels seed
+    // as node ids; each round every node adopts the most frequent label
+    // among its neighbors (ties → smallest label), all nodes updating
+    // from the SAME previous round — fully deterministic, so the fixed
+    // 4-round unroll hash-matches the oracle. Per-round plan: one
+    // neighbor-keyed join + (node, label) count + per-node argmax via
+    // max(struct(count, -label)) — a partial-aggregated shuffle (map
+    // side collapses each node's candidate labels before the exchange),
+    // never a window over the full count set. Isolated nodes keep their
+    // label through the left join. ~3 label-sized shuffles per round at
+    // any scale; the edge list materializes once and is rescanned.
+    "graph_lpa" -> ((s, dir) =>
+      PackResources.checkpoint(s, dir, "graph_lpa") {
+        val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
+        val und = PackResources.checkpoint(s, dir, "graph_lpa_edges")(
+          arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct())
+        val nodes = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("x"))
+        var lab = nodes.select(col("x"), col("x").as("lbl"))
+        for (_ <- 1 to 4) {
+          val cnt = und
+            .join(lab.select(col("x").as("y"), col("lbl")), "y")
+            .groupBy("x", "lbl").agg(count(lit(1)).as("c"))
+          val best = cnt.groupBy("x")
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+            .select(col("x"), (-col("b.nl")).as("blbl"))
+          lab = lab.join(best, Seq("x"), "left")
+            .select(col("x"), coalesce(col("blbl"), col("lbl")).as("lbl"))
+        }
+        lab
       }))
 
   /** Open-ended integer PageRank to the exact fixed point over
@@ -369,6 +401,23 @@ object GraphQueries extends QueryPack {
           SELECT CAST(v AS BIGINT) AS x, CAST(shell AS BIGINT) AS shell FROM (
             $shells
             UNION ALL SELECT v, 0 AS shell FROM a$n) t"""
+    },
+    "graph_lpa" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e.s AS x, l.lbl, count(*) AS c
+              FROM e JOIN l${i - 1} l ON l.x = e.t GROUP BY e.s, l.lbl),
+            b$i AS MATERIALIZED (SELECT x, lbl FROM (
+              SELECT x, lbl, ROW_NUMBER() OVER (PARTITION BY x
+                ORDER BY c DESC, lbl ASC) AS rk FROM c$i) WHERE rk = 1),
+            l$i AS MATERIALIZED (SELECT p.x, COALESCE(b.lbl, p.lbl) AS lbl
+              FROM l${i - 1} p LEFT JOIN b$i b ON b.x = p.x)"""
+      }.mkString(",\n")
+      s"""WITH ${DatalogQueries.arcSql},
+          e AS MATERIALIZED (SELECT src AS s, dst AS t FROM arc
+                             UNION SELECT dst, src FROM arc),
+          l0 AS (SELECT c_custkey AS x, c_custkey AS lbl FROM customer),
+          $rounds
+          SELECT CAST(x AS BIGINT) AS x, CAST(lbl AS BIGINT) AS lbl FROM l4"""
     }
   )
 }
