@@ -127,8 +127,15 @@ object EmbeddingQueries extends QueryPack {
         .select(col("vec_id"), col("q"), col("clabel").as("alabel"))
     }
 
+  /** Probe count (`spark.graft.ivf.nprobe`, default 2 — the DuckDB
+    * gates pin the default): how many coarse cells each query scans.
+    * The IVF recall/cost contract — candidates ≈ corpus·nProbe/nCells;
+    * nProbe = nCells degenerates to exact search (spec'd). */
+  private def ivfNProbe(s: SparkSession): Int =
+    math.max(1, s.conf.get("spark.graft.ivf.nprobe", "2").toInt)
+
   /** IVF probe rows for the query set (vec_id < 5): each query's
-    * nProbe=2 best coarse cells, carrying the query vector. */
+    * nProbe best coarse cells, carrying the query vector. */
   private def ivfProbes(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id") < 5)
       .crossJoin(broadcast(ivfCents(s, dir)))
@@ -137,7 +144,7 @@ object EmbeddingQueries extends QueryPack {
         "dotv * 1000000 div n as score")
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("score"), asc("plabel"))))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= ivfNProbe(s))
       .select(col("qid"), col("qv"), col("plabel"))
 
   /** PQ subspace rows (vec_id, m, qm, cell): M=4 16-dim subvectors and

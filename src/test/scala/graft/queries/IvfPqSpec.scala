@@ -50,4 +50,23 @@ class IvfPqSpec extends AnyFunSuite {
     assert(hits >= adc.size / 5,
       s"ADC top-5 shares only $hits/${adc.size} with the exact top-10")
   }
+
+  test("nprobe = nCells degenerates IVF search to the exact top-5") {
+    // with every coarse cell probed the candidate set is the whole
+    // corpus, so full-precision IVF search must EQUAL brute force —
+    // the invariant that pins the probe plumbing (a dropped cell, an
+    // off-by-one rank bound, or a probe/assignment key mismatch all
+    // break exactness here while staying plausible at nprobe=2)
+    val s = spark.newSession()
+    s.conf.set("spark.graft.ivf.nprobe", "10")
+    val ivf = graft.queries.EmbeddingQueries.defs("emb_ivf_search")(s, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("dot"))).toMap
+    val exact = graft.queries.EmbeddingQueries.defs("emb_knn")(s, dir)
+      .collect().filter(_.getAs[Long]("rk") <= 5)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("dot"))).toMap
+    assert(ivf.size == 25 && ivf == exact,
+      s"full-probe IVF diverged from brute force: ${ivf.toSeq.diff(exact.toSeq).take(3)}")
+  }
 }
