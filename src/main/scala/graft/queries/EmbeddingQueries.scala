@@ -147,6 +147,20 @@ object EmbeddingQueries extends QueryPack {
       .filter(col("rk") <= ivfNProbe(s))
       .select(col("qid"), col("qv"), col("plabel"))
 
+  /** Verified embedding near-dup pairs (v1 < v2, quantized dot ≥
+    * 300000): hyperplane-bucket blocked, per-bucket capped — never
+    * all-pairs. Shared by the pair gate and the clustering gate. */
+  private def embNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = capBuckets(s,
+      emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt"))
+    val a = e.select(col("bkt"), col("vec_id").as("v1"), col("q").as("q1"))
+    val b = e.select(col("bkt"), col("vec_id").as("v2"), col("q").as("q2"))
+    a.join(b, Seq("bkt"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), dotI64(col("q1"), col("q2")).as("dot"))
+      .filter(col("dot") >= 300000)
+  }
+
   /** PQ subspace rows (vec_id, m, qm, cell): M=4 16-dim subvectors and
     * their 4-bit hyperplane cells. */
   private def pqCells(s: SparkSession, dir: String): DataFrame =
@@ -280,16 +294,32 @@ object EmbeddingQueries extends QueryPack {
     // near-dup dedup operator): hyperplane-bucket blocking, exact
     // quantized inner product ≥ threshold — candidate generation joins
     // on the bucket key, never all-pairs.
-    "emb_neardup" -> ((s, dir) => {
-      val e = capBuckets(s,
-        emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt"))
-      val a = e.select(col("bkt"), col("vec_id").as("v1"), col("q").as("q1"))
-      val b = e.select(col("bkt"), col("vec_id").as("v2"), col("q").as("q2"))
-      a.join(b, Seq("bkt"))
-        .filter(col("v1") < col("v2"))
-        .select(col("v1"), col("v2"), dotI64(col("q1"), col("q2")).as("dot"))
-        .filter(col("dot") >= 300000)
-    }),
+    "emb_neardup" -> ((s, dir) => embNeardupPairs(s, dir)),
+
+    // Embedding-level near-dup CLUSTERING (the SemDeDup shape: prune
+    // whole groups of semantically-identical documents, keep one
+    // representative): connected components over the verified pair
+    // graph, computed by the engine's own mmin fixpoint — labels
+    // propagate min-reachable-id, so the group id IS the canonical
+    // representative (smallest vec_id). Same composition as
+    // txt_neardup_groups; the pair pass is shared with emb_neardup via
+    // the checkpoint memo.
+    "emb_neardup_groups" -> ((s, dir) =>
+      PackResources.context(s, dir, "emb_neardup_groups")({
+        val pairs = PackResources.checkpoint(s, dir, "emb_neardup_pairs")(
+          embNeardupPairs(s, dir).select(col("v1"), col("v2")))
+        val c = new graft.datalog.DatalogContext(s)
+        c.loadProgram(
+          "database({nd_e(X:long, Y:long), nd_n(X:long)}). " +
+            "lbl(X, mmin<X>) <- nd_n(X). " +
+            "lbl(Y, mmin<L>) <- lbl(X, L), nd_e(X, Y). " +
+            "grp(X, min<L>) <- lbl(X, L).")
+        c.registerTable("nd_e",
+          pairs.union(pairs.select(col("v2"), col("v1"))))
+        c.registerTable("nd_n",
+          pairs.select(col("v1")).union(pairs.select(col("v2"))).distinct())
+        c
+      }).query("grp(V, G).")),
 
     // Per-label centroids (IVF coarse quantizer building block), kept as
     // exact integer sums per dimension.
@@ -519,6 +549,21 @@ object EmbeddingQueries extends QueryPack {
           FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
           WHERE list_sum(list_transform(range(1, len(a.v)+1),
               i -> a.v[i]*b.v[i])) >= 300000""",
+    "emb_neardup_groups" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          eb AS (SELECT vec_id, v, $bucketD AS bkt FROM e),
+          pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+            FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, len(a.v)+1),
+                i -> a.v[i]*b.v[i])) >= 300000),
+          ed AS (SELECT v1 AS s, v2 AS t FROM pr UNION SELECT v2, v1 FROM pr),
+          nd AS (SELECT DISTINCT s FROM ed),
+          l(x, lbl) AS (
+            SELECT s, s FROM nd
+            UNION
+            SELECT ed.t, l.lbl FROM l JOIN ed ON ed.s = l.x)
+          SELECT CAST(x AS BIGINT) AS v, CAST(min(lbl) AS BIGINT) AS g
+          FROM l GROUP BY x""",
     "emb_centroids" ->
       s"""WITH e AS (SELECT label, $quantD AS v FROM embeddings)
           SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
