@@ -82,6 +82,42 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed ANN index artifacts (assignment + codes) join exchange-free") {
+    // the PLANS.md claim behind emb_ivfpq_search's one corpus shuffle:
+    // a real index build persists assignment and PQ codes CO-LOCATED
+    // (bucketed by vec_id), so the candidate-side join moves zero bytes
+    synchronized {
+      Seq("bkt_ivf_assign", "bkt_pq_codes").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val warehouse = new java.net.URI(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val d = new java.io.File(warehouse, t)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+      }
+      graft.queries.EmbeddingQueries.defs("emb_ivf_assign")(spark, dir)
+        .write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable("bkt_ivf_assign")
+      graft.queries.EmbeddingQueries.defs("emb_pq_codes")(spark, dir)
+        .write.bucketBy(8, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable("bkt_pq_codes")
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val j = spark.table("bkt_ivf_assign")
+        .join(spark.table("bkt_pq_codes"), "vec_id")
+      assert(j.count() == 500)
+      assert(GraftColumnBridge.countShuffleExchanges(j) == 0,
+        GraftColumnBridge.executedPlanString(j))
+    }
+  }
+
   test("aggregation on the bucket key reuses the layout (no exchange)") {
     ensureTables()
     withConf(
