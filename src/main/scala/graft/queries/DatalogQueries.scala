@@ -117,6 +117,29 @@ object DatalogQueries extends QueryPack {
       }
     }),
 
+    // Linear TC under the forced diffflip set difference
+    // (spark.datalog.recursion.copartition + diffflip=true): the
+    // per-iteration dedup hash-builds only candidate-sized sets — the
+    // semi-join flip streams the claimed slice union through ONE hash
+    // of the candidates (the SetRDD incremental-dedup compute
+    // economics; DiffFlipSpec asserts LeftSemi + zero exchanges).
+    // Distinct predicate name to keep its context memo separate.
+    "dl_tc_diffflip" -> ((s, dir) => {
+      val keys = Seq(
+        "spark.datalog.recursion.copartition.enabled" -> "true",
+        "spark.datalog.recursion.diffflip" -> "true")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val c = ctx(s, dir,
+          "tcf(A,B) <- arc(A,B,_). tcf(A,B) <- tcf(A,C), arc(C,B,_).")
+        c.query("tcf(A,B).")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Non-linear TC (program 13): delta⋈all + all⋈delta semi-naive variants.
     "dl_tc_nl" -> ((s, dir) => {
       val c = ctx(s, dir,
@@ -331,6 +354,7 @@ object DatalogQueries extends QueryPack {
     Map(
       "dl_tc" -> tcSql,
       "dl_tc_localiter" -> tcSql,
+      "dl_tc_diffflip" -> tcSql,
       "dl_tc_nl" -> tcSql,
       "dl_tc_bound" ->
         s"""WITH RECURSIVE $arcSql,
