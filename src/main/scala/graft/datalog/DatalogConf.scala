@@ -99,6 +99,28 @@ final case class DatalogConf(
       * every iteration outweighs evaluating the candidate subtree
       * twice. */
     diffFlipMinRows: Long = 1L << 20,
+    /** `spark.datalog.recursion.bloomprefilter` (default false): keep a
+      * driver-merged bloom filter per recursive predicate over its
+      * accumulated fact set — populated by an accumulator riding the
+      * per-iteration checkpoint job (zero extra jobs; see
+      * `BloomAccumulator`) — and, when the diffflip semi-join engages,
+      * hash-build only the bloom-POSITIVE candidates: a bloom-negative
+      * candidate is certainly new (no false negatives), so it skips the
+      * set-difference build entirely. The membership half of the
+      * reference's executor-resident hash sets (SetRDD.scala:29-167) as
+      * a sketch: per-iteration hashing drops from O(|candidates|) to
+      * O(|maybe-seen candidates|) on top of the flip's O(|all|)→
+      * O(|candidates|). Degrades gracefully — a saturated bloom routes
+      * everything through the join it would have taken anyway. */
+    bloomPrefilter: Boolean = false,
+    /** `spark.datalog.recursion.bloomprefilter.expecteditems` (default
+      * 1 << 20): sketch sizing — set to the expected accumulated FACT
+      * count at the target scale (bits are O(n); the per-iteration
+      * re-hash they avoid is O(n × iterations) rows). Overflow only
+      * raises the false-positive rate, never breaks results. */
+    bloomExpectedItems: Long = 1L << 20,
+    /** `spark.datalog.recursion.bloomprefilter.fpp` (default 0.03). */
+    bloomFpp: Double = 0.03,
     /** `spark.datalog.recursion.localiterate` (default false): for
       * DECOMPOSABLE programs — single-predicate cliques whose every
       * recursive rule is a linear two-atom join (recursive ⨝ static,
@@ -234,6 +256,19 @@ object DatalogConf {
     diffFlipMinRows =
       spark.conf.get("spark.datalog.recursion.diffflip.minrows",
         (1L << 20).toString).toLong,
+    bloomPrefilter =
+      spark.conf.get("spark.datalog.recursion.bloomprefilter", "false")
+        .toBoolean,
+    bloomExpectedItems =
+      spark.conf.get("spark.datalog.recursion.bloomprefilter.expecteditems",
+        (1L << 20).toString).toLong,
+    bloomFpp = {
+      val v = spark.conf
+        .get("spark.datalog.recursion.bloomprefilter.fpp", "0.03").toDouble
+      require(v > 0 && v < 1,
+        s"spark.datalog.recursion.bloomprefilter.fpp must be in (0,1), got $v")
+      v
+    },
     localIterate =
       // native key wins; the reference's boolean key maps through
       spark.conf.getOption("spark.datalog.recursion.localiterate")

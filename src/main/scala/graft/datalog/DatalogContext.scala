@@ -250,6 +250,10 @@ final class DatalogContext(val spark: SparkSession) {
   /** Within-task localiterate fixpoints run so far (spec hook). */
   def localIterateRuns: Int = evaluator.map(_.localIterateRuns).getOrElse(0)
 
+  /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
+  def bloomPrefilterSplits: Int =
+    evaluator.map(_.bloomPrefilterSplits).getOrElse(0)
+
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs. */
   def queryStrings(queryText: String): Seq[String] =

@@ -296,6 +296,10 @@ final class Evaluator(
     * row/byte caps). */
   var localizedSlices: Int = 0
 
+  /** Count of diffflip semi builds the bloom pre-filter narrowed to the
+    * bloom-positive candidate subset (spec hook). */
+  var bloomPrefilterSplits: Int = 0
+
   /** A delta localizes only when BOTH the row cap and the byte estimate
     * (rows × schema default size) allow — wide rows stay distributed. */
   private def localizable(n: Long, df: DataFrame): Boolean =
@@ -854,12 +858,32 @@ final class Evaluator(
     def repDedup(df: DataFrame, pivot: Seq[String]): DataFrame =
       df.repartition(nParts, pivot.map(df.col).toIndexedSeq: _*).dropDuplicates()
 
+    // Bloom pre-filter state (`spark.datalog.recursion.bloomprefilter`):
+    // one sketch per predicate over its accumulated fact set, fed by
+    // xxhash64(full row) folded into the existing checkpoint jobs.
+    // SOUNDNESS INVARIANT: every row of every slice in `chains(p)` must
+    // have been hashed into `blooms(p)` before diffChain consults it —
+    // sliceOf inserts at slice creation (checkpoint pass, or
+    // driver-side for collected local slices); compaction re-unions
+    // existing rows so it skips re-insertion; schema WIDENING recasts
+    // re-insert under the widened types (the stale narrow hashes remain
+    // as harmless false positives). Scoped to the copart path with the
+    // flip available — the only consumer.
+    val blooms = mutable.Map[String, BloomAccumulator]()
+    def bloomFor(p: String): Option[BloomAccumulator] =
+      if (!conf.bloomPrefilter || !copart || conf.diffFlip == "false") None
+      else Some(blooms.getOrElseUpdate(p, {
+        val a = new BloomAccumulator(conf.bloomExpectedItems, conf.bloomFpp)
+        spark.sparkContext.register(a, s"graft.bloom.$p")
+        a
+      }))
+
     /** claim-checkpoint (or localize when tiny) an iteration result
       * that is physically hash-partitioned on the pivot; the claim is
       * validated against the executed plan and dropped if the layout
       * does not hold (self-healing: the next iteration repartitions). */
     def sliceOf(df: DataFrame, pivot: Seq[String], pred: String, iter: Int,
-        preferLocal: Boolean = false): (Slice, Long) = {
+        preferLocal: Boolean = false, addToBloom: Boolean = true): (Slice, Long) = {
       // small-frontier fast path — see materialize(); a local slice
       // needs no partitioning claim (joins against it broadcast)
       if (preferLocal && !conf.logPlans) {
@@ -871,16 +895,30 @@ final class Evaluator(
           case Some(rows) =>
             val n = rows.length.toLong
             if (n > 0) localizedSlices += 1
-            return (Slice(spark.createDataFrame(rows.toSeq.asJava, df.schema),
-              isLocal = true, rows = n), n)
+            val local = spark.createDataFrame(rows.toSeq.asJava, df.schema)
+            // collected rows never passed a checkpoint job, so hash them
+            // here: the xxhash64 projection over a LocalRelation folds
+            // driver-side (ConvertToLocalRelation) — no job, and the
+            // hash is the same Catalyst expression the probe side uses
+            if (addToBloom && n > 0) bloomFor(pred).foreach { acc =>
+              local.select(org.apache.spark.sql.functions
+                  .xxhash64(local.columns.map(local(_)).toIndexedSeq: _*))
+                .collect().foreach(r => acc.add(r.getLong(0)))
+            }
+            return (Slice(local, isLocal = true, rows = n), n)
           case None =>
             return sliceOf(
               df.repartition(nParts, pivot.map(df.col).toIndexedSeq: _*),
-              pivot, pred, iter)
+              pivot, pred, iter, preferLocal = false, addToBloom = addToBloom)
         }
       }
-      val (ck, held, n) = org.apache.spark.sql.GraftColumnBridge
-        .checkpointWithPartitioning(df, pivot, nParts)
+      val bloomAcc = if (addToBloom) bloomFor(pred) else None
+      val (ck, held, n) = bloomAcc match {
+        case Some(acc) => org.apache.spark.sql.GraftColumnBridge
+          .checkpointWithPartitioningHashed(df, pivot, nParts, acc)
+        case None => org.apache.spark.sql.GraftColumnBridge
+          .checkpointWithPartitioning(df, pivot, nParts)
+      }
       track(ck)
       if (conf.logPlans)
         iterationPlanLog += ((pred, iter,
@@ -917,7 +955,7 @@ final class Evaluator(
       * (dl_tc sf0.1 A/B: 3.3s anti vs 5.5s forced flip), while at
       * 100 TB slice sizes the O(|all|)-per-iteration hash build is
       * the dominant term and the flip wins. */
-    def diffChain(cand: DataFrame, chain: Vector[Slice]): DataFrame = {
+    def diffChain(cand: DataFrame, chain: Vector[Slice], pred: String): DataFrame = {
       val (locals, clusters) = chain.partition(_.isLocal)
       val base = locals.foldLeft(cand) { (acc, s) =>
         val cond = acc.columns.zip(s.df.columns)
@@ -946,9 +984,25 @@ final class Evaluator(
           else org.apache.spark.sql.GraftColumnBridge
             .unionClaimed(clusters.map(_.df), nParts)
             .getOrElse(clusters.map(_.df).reduce(_ union _))
-        val semiCond = allDf.columns.zip(cand.columns)
-          .map { case (a, b) => allDf(a) === cand(b) }.reduce(_ && _)
-        val matched = allDf.join(cand.hint("shuffle_hash"), semiCond, "left_semi")
+        // bloom pre-filter: a bloom-NEGATIVE candidate is certainly not
+        // in any slice (no false negatives), so it can never contribute
+        // to `matched` — dropping it shrinks the semi's hash build from
+        // |cand| to |maybe-seen| at the cost of one codegen'd murmur
+        // probe per row. The final anti below still sees every base row,
+        // so certainly-new rows flow through untouched (single output
+        // plan; the claimed layout is preserved).
+        val semiBuild = bloomFor(pred) match {
+          case Some(acc) if !acc.isZero =>
+            bloomPrefilterSplits += 1
+            cand.filter(org.apache.spark.sql.GraftColumnBridge
+              .bloomMightContain(acc.serialized,
+                org.apache.spark.sql.functions.xxhash64(
+                  cand.columns.map(cand(_)).toIndexedSeq: _*)))
+          case _ => cand
+        }
+        val semiCond = allDf.columns.zip(semiBuild.columns)
+          .map { case (a, b) => allDf(a) === semiBuild(b) }.reduce(_ && _)
+        val matched = allDf.join(semiBuild.hint("shuffle_hash"), semiCond, "left_semi")
         val antiCond = base.columns.zip(matched.columns)
           .map { case (a, b) => base(a) === matched(b) }.reduce(_ && _)
         base.join(matched.hint("shuffle_hash"), antiCond, "left_anti")
@@ -1068,7 +1122,7 @@ final class Evaluator(
               delta.get(p).exists(s => s.claimed && !s.isLocal)
             val candidate =
               if (skipRepart) u.dropDuplicates() else repDedup(u, pv)
-            val (s, n) = sliceOf(diffChain(candidate, chain), pv, p, iter,
+            val (s, n) = sliceOf(diffChain(candidate, chain, p), pv, p, iter,
               preferLocal = delta.get(p).exists(_.isLocal))
             recordStat(p, iter, n, statT0)
             if (n > 0) {
@@ -1090,8 +1144,10 @@ final class Evaluator(
                         claimed = true, rows = next.map(_.rows).sum)))
                       .getOrElse(next)
                   else {
+                    // compaction re-unions rows the bloom already holds
                     val (c, _) = sliceOf(
-                      repDedup(next.map(_.df).reduce(_ union _), pv), pv, p, iter)
+                      repDedup(next.map(_.df).reduce(_ union _), pv), pv, p,
+                      iter, addToBloom = false)
                     if (clique.preds.size == 1)
                       next.dropRight(1).foreach(old => retire(old.df))
                     Vector(c)

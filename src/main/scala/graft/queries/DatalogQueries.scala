@@ -140,6 +140,30 @@ object DatalogQueries extends QueryPack {
       }
     }),
 
+    // Linear TC under diffflip + the bloom pre-filter
+    // (spark.datalog.recursion.bloomprefilter=true): a per-predicate
+    // sketch over the accumulated facts — fed by the checkpoint jobs
+    // themselves — lets certainly-new candidates skip the semi build
+    // (the membership half of the reference's SetRDD layer,
+    // SetRDD.scala:29-167; BloomPrefilterSpec asserts engagement +
+    // zero exchanges). Distinct predicate name for a separate memo.
+    "dl_tc_bloom" -> ((s, dir) => {
+      val keys = Seq(
+        "spark.datalog.recursion.copartition.enabled" -> "true",
+        "spark.datalog.recursion.diffflip" -> "true",
+        "spark.datalog.recursion.bloomprefilter" -> "true")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val c = ctx(s, dir,
+          "tcb(A,B) <- arc(A,B,_). tcb(A,B) <- tcb(A,C), arc(C,B,_).")
+        c.query("tcb(A,B).")
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // Non-linear TC (program 13): delta⋈all + all⋈delta semi-naive variants.
     "dl_tc_nl" -> ((s, dir) => {
       val c = ctx(s, dir,
@@ -355,6 +379,7 @@ object DatalogQueries extends QueryPack {
       "dl_tc" -> tcSql,
       "dl_tc_localiter" -> tcSql,
       "dl_tc_diffflip" -> tcSql,
+      "dl_tc_bloom" -> tcSql,
       "dl_tc_nl" -> tcSql,
       "dl_tc_bound" ->
         s"""WITH RECURSIVE $arcSql,

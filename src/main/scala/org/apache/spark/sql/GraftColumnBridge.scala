@@ -33,7 +33,25 @@ object GraftColumnBridge {
   def checkpointWithPartitioning(
       df: DataFrame, keyCols: Seq[String], numParts: Int): (DataFrame, Boolean, Long) = {
     val (ds, held, n, _) =
-      checkpointWithPartitioningFlagged(df, keyCols, numParts, null)
+      checkpointImpl(df, keyCols, numParts, null, null)
+    (ds, held, n)
+  }
+
+  /** `checkpointWithPartitioning` + `xxhash64(full row)` of every
+    * materialized row folded into `hashAcc` during the SAME
+    * materialization pass — fixpoint callers maintain a bloom filter
+    * over the accumulated fact set at zero extra jobs. The hash is the
+    * Catalyst `XxHash64` over ALL output columns in output order (seed
+    * 42), byte-identical to `functions.xxhash64(cols…)` on the probe
+    * side. Accumulator updates merge only from successful tasks and
+    * re-inserting a value is idempotent, so retries/speculation cannot
+    * corrupt the sketch. */
+  def checkpointWithPartitioningHashed(
+      df: DataFrame, keyCols: Seq[String], numParts: Int,
+      hashAcc: org.apache.spark.util.AccumulatorV2[java.lang.Long, _])
+      : (DataFrame, Boolean, Long) = {
+    val (ds, held, n, _) =
+      checkpointImpl(df, keyCols, numParts, null, hashAcc)
     (ds, held, n)
   }
 
@@ -49,6 +67,12 @@ object GraftColumnBridge {
     * Pass `flagCol = null` to skip flag counting. */
   def checkpointWithPartitioningFlagged(
       df: DataFrame, keyCols: Seq[String], numParts: Int, flagCol: String)
+      : (DataFrame, Boolean, Long, Long) =
+    checkpointImpl(df, keyCols, numParts, flagCol, null)
+
+  private def checkpointImpl(
+      df: DataFrame, keyCols: Seq[String], numParts: Int, flagCol: String,
+      hashAcc: org.apache.spark.util.AccumulatorV2[java.lang.Long, _])
       : (DataFrame, Boolean, Long, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
@@ -65,10 +89,23 @@ object GraftColumnBridge {
     val acc =
       if (flagIdx < 0) None
       else Some(spark.sparkContext.longAccumulator("graft.flaggedRows"))
-    val rdd = acc match {
-      case None => qe.toRdd.map(_.copy())
-      case Some(a) => qe.toRdd.map { r =>
-        if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) a.add(1L)
+    // interpreted XxHash64 bound to the physical output — one extra hash
+    // per row inside a pass that already copies every row
+    val hasher: Option[catalyst.expressions.Expression] =
+      Option(hashAcc).map { _ =>
+        catalyst.expressions.BindReferences.bindReference(
+          new catalyst.expressions.XxHash64(
+            qe.analyzed.output: Seq[catalyst.expressions.Expression]),
+          qe.analyzed.output)
+      }
+    val rdd = (acc, hasher) match {
+      case (None, None) => qe.toRdd.map(_.copy())
+      case _ => qe.toRdd.map { r =>
+        acc.foreach { a =>
+          if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) a.add(1L)
+        }
+        hasher.foreach(h =>
+          hashAcc.add(Long.box(h.eval(r).asInstanceOf[Long])))
         r.copy()
       }
     }
@@ -251,6 +288,18 @@ object GraftColumnBridge {
         split: org.apache.spark.Partition): Seq[String] =
       parents.flatMap(p => p.preferredLocations(p.partitions(split.index))).distinct
   }
+
+  /** `might_contain(bloom, hash)` over a driver-held sketch: the
+    * serialized `util.sketch.BloomFilter` rides the plan as a binary
+    * literal (task-binary broadcast — size it via the sketch's
+    * `expectedItems`) and the probe is Catalyst's codegen'd
+    * `BloomFilterMightContain`. `hashCol` must be
+    * `functions.xxhash64(<all columns in build order>)` so probe hashes
+    * match the build side's (`checkpointWithPartitioningHashed`). */
+  def bloomMightContain(bloomBytes: Array[Byte], hashCol: Column): Column =
+    column(catalyst.expressions.BloomFilterMightContain(
+      catalyst.expressions.Literal(bloomBytes, types.BinaryType),
+      expression(hashCol)))
 
   /** Register a function builder in an existing session's registry (for
     * sessions not built with `spark.sql.extensions=GraftExtensions`). */
