@@ -99,25 +99,34 @@ final case class DatalogConf(
       * every iteration outweighs evaluating the candidate subtree
       * twice. */
     diffFlipMinRows: Long = 1L << 20,
-    /** `spark.datalog.recursion.bloomprefilter` (default false): keep a
-      * driver-merged bloom filter per recursive predicate over its
-      * accumulated fact set — populated by an accumulator riding the
-      * per-iteration checkpoint job (zero extra jobs; see
-      * `BloomAccumulator`) — and, when the diffflip semi-join engages,
-      * hash-build only the bloom-POSITIVE candidates: a bloom-negative
-      * candidate is certainly new (no false negatives), so it skips the
-      * set-difference build entirely. The membership half of the
-      * reference's executor-resident hash sets (SetRDD.scala:29-167) as
-      * a sketch: per-iteration hashing drops from O(|candidates|) to
-      * O(|maybe-seen candidates|) on top of the flip's O(|all|)→
-      * O(|candidates|). Degrades gracefully — a saturated bloom routes
-      * everything through the join it would have taken anyway. */
-    bloomPrefilter: Boolean = false,
+    /** `spark.datalog.recursion.bloomprefilter` (auto|true|false,
+      * default false): keep a driver-merged exact-hash set per
+      * recursive predicate over its accumulated facts — populated by
+      * an accumulator riding the per-iteration checkpoint job, each
+      * task update delta-sized (zero extra jobs; see
+      * `FactHashAccumulator`) — and, when the diffflip semi-join
+      * engages, hash-build only the sketch-POSITIVE candidates: a
+      * negative candidate is certainly new (no false negatives), so it
+      * skips the set-difference build entirely. The membership half of
+      * the reference's executor-resident hash sets
+      * (SetRDD.scala:29-167): per-iteration hashing drops from
+      * O(|candidates|) to O(|maybe-seen candidates|) on top of the
+      * flip's O(|all|)→O(|candidates|). Degrades gracefully — a
+      * saturated sketch routes everything through the join it would
+      * have taken anyway. `auto` probes only past `minrows`
+      * accumulated facts (below that the semi build is already cheap
+      * and the probe is pure overhead); `true` probes from the first
+      * iteration. */
+    bloomPrefilter: String = "false",
+    /** `spark.datalog.recursion.bloomprefilter.minrows` (default
+      * 1 << 18): accumulated-fact threshold past which `auto` engages
+      * the probe. */
+    bloomMinRows: Long = 1L << 18,
     /** `spark.datalog.recursion.bloomprefilter.expecteditems` (default
-      * 1 << 20): sketch sizing — set to the expected accumulated FACT
-      * count at the target scale (bits are O(n); the per-iteration
-      * re-hash they avoid is O(n × iterations) rows). Overflow only
-      * raises the false-positive rate, never breaks results. */
+      * 1 << 20): MAX sketch capacity — the sketch is sized from the
+      * observed fact count (2× headroom) and doubles up to this cap,
+      * past which driver memory stays bounded and the false-positive
+      * rate climbs toward a no-op filter, never a wrong answer. */
     bloomExpectedItems: Long = 1L << 20,
     /** `spark.datalog.recursion.bloomprefilter.fpp` (default 0.03). */
     bloomFpp: Double = 0.03,
@@ -256,9 +265,16 @@ object DatalogConf {
     diffFlipMinRows =
       spark.conf.get("spark.datalog.recursion.diffflip.minrows",
         (1L << 20).toString).toLong,
-    bloomPrefilter =
-      spark.conf.get("spark.datalog.recursion.bloomprefilter", "false")
-        .toBoolean,
+    bloomPrefilter = {
+      val v = spark.conf.get("spark.datalog.recursion.bloomprefilter", "false")
+        .trim.toLowerCase
+      require(Set("auto", "true", "false")(v),
+        s"spark.datalog.recursion.bloomprefilter must be auto|true|false, got '$v'")
+      v
+    },
+    bloomMinRows =
+      spark.conf.get("spark.datalog.recursion.bloomprefilter.minrows",
+        (1L << 18).toString).toLong,
     bloomExpectedItems =
       spark.conf.get("spark.datalog.recursion.bloomprefilter.expecteditems",
         (1L << 20).toString).toLong,

@@ -869,14 +869,21 @@ final class Evaluator(
     // re-insert under the widened types (the stale narrow hashes remain
     // as harmless false positives). Scoped to the copart path with the
     // flip available — the only consumer.
-    val blooms = mutable.Map[String, BloomAccumulator]()
-    def bloomFor(p: String): Option[BloomAccumulator] =
-      if (!conf.bloomPrefilter || !copart || conf.diffFlip == "false") None
+    val blooms = mutable.Map[String, FactHashAccumulator]()
+    def bloomFor(p: String): Option[FactHashAccumulator] =
+      if (conf.bloomPrefilter == "false" || !copart || conf.diffFlip == "false")
+        None
       else Some(blooms.getOrElseUpdate(p, {
-        val a = new BloomAccumulator(conf.bloomExpectedItems, conf.bloomFpp)
+        val a = new FactHashAccumulator(conf.bloomExpectedItems, conf.bloomFpp)
         spark.sparkContext.register(a, s"graft.bloom.$p")
         a
       }))
+    // `auto` keeps accumulating hashes from iteration 0 (soundness: the
+    // sketch must cover EVERY slice) but pays for the probe — the plan
+    // literal and the per-candidate-row hash — only once the fact set
+    // is large enough that the semi build it narrows dominates
+    val bloomProbeMinRows =
+      if (conf.bloomPrefilter == "true") 1L else conf.bloomMinRows
 
     /** claim-checkpoint (or localize when tiny) an iteration result
       * that is physically hash-partitioned on the pivot; the claim is
@@ -991,15 +998,16 @@ final class Evaluator(
         // probe per row. The final anti below still sees every base row,
         // so certainly-new rows flow through untouched (single output
         // plan; the claimed layout is preserved).
-        val semiBuild = bloomFor(pred) match {
-          case Some(acc) if !acc.isZero =>
-            bloomPrefilterSplits += 1
-            cand.filter(org.apache.spark.sql.GraftColumnBridge
-              .bloomMightContain(acc.serialized,
-                org.apache.spark.sql.functions.xxhash64(
-                  cand.columns.map(cand(_)).toIndexedSeq: _*)))
-          case _ => cand
-        }
+        val semiBuild =
+          bloomFor(pred).flatMap(_.serializedBloom(bloomProbeMinRows)) match {
+            case Some(bytes) =>
+              bloomPrefilterSplits += 1
+              cand.filter(org.apache.spark.sql.GraftColumnBridge
+                .bloomMightContain(bytes,
+                  org.apache.spark.sql.functions.xxhash64(
+                    cand.columns.map(cand(_)).toIndexedSeq: _*)))
+            case _ => cand
+          }
         val semiCond = allDf.columns.zip(semiBuild.columns)
           .map { case (a, b) => allDf(a) === semiBuild(b) }.reduce(_ && _)
         val matched = allDf.join(semiBuild.hint("shuffle_hash"), semiCond, "left_semi")

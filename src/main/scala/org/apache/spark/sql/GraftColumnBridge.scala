@@ -89,14 +89,24 @@ object GraftColumnBridge {
     val acc =
       if (flagIdx < 0) None
       else Some(spark.sparkContext.longAccumulator("graft.flaggedRows"))
-    // interpreted XxHash64 bound to the physical output — one extra hash
-    // per row inside a pass that already copies every row
+    // interpreted XxHash64 bound to the PHYSICAL output (the schema the
+    // rows from toRdd actually carry) — one extra hash per row inside a
+    // pass that already copies every row. Hash order is the ANALYZED
+    // column order (what the probe side's `functions.xxhash64(columns…)`
+    // hashes), resolved into the physical layout by exprId with a
+    // positional fallback — the same discipline as the partitioning
+    // claim below, so a physical reordering can't silently desync the
+    // build and probe hashes into bloom false negatives.
     val hasher: Option[catalyst.expressions.Expression] =
       Option(hashAcc).map { _ =>
+        val phys = qe.executedPlan.output
+        val hashOrder = qe.analyzed.output.zipWithIndex.map { case (a, i) =>
+          phys.find(_.exprId == a.exprId).getOrElse(phys(i))
+        }
         catalyst.expressions.BindReferences.bindReference(
           new catalyst.expressions.XxHash64(
-            qe.analyzed.output: Seq[catalyst.expressions.Expression]),
-          qe.analyzed.output)
+            hashOrder: Seq[catalyst.expressions.Expression]),
+          phys)
       }
     val rdd = (acc, hasher) match {
       case (None, None) => qe.toRdd.map(_.copy())
@@ -195,9 +205,13 @@ object GraftColumnBridge {
   }
 
   /** Render the executed (AQE-final) physical plan as text — for plan
-    * audits (PLANS.md) and specs. */
+    * audits (PLANS.md) and specs. Binary literals (a bloom sketch rides
+    * the plan as one) would render as multi-KB hex blobs and bloat every
+    * captured iteration plan — truncate them past 128 hex chars. */
   def executedPlanString(df: DataFrame): String =
-    finalPlan(df.queryExecution.executedPlan).toString
+    "0[xX][0-9A-Fa-f]{128,}".r.replaceAllIn(
+      finalPlan(df.queryExecution.executedPlan).toString,
+      m => m.matched.take(34) + "...[" + ((m.matched.length - 2) / 2) + "B]")
 
   /** Partition-preserving union of claimed-checkpoint DataFrames: when
     * every input is a LogicalRDD claiming the SAME HashPartitioning

@@ -34,11 +34,15 @@ class BloomPrefilterSpec extends AnyFunSuite {
     (1 until 32).map(i => s"${i / 2 + 100},${i + 100}") ++
     Seq("20,100")
 
-  private def runTc(bloom: Boolean, extra: (String, String)*) =
+  private def runTc(bloom: String, extra: (String, String)*) =
     withConf(Seq(
       "spark.datalog.recursion.copartition.enabled" -> "true",
       "spark.datalog.recursion.diffflip" -> "true",
-      "spark.datalog.recursion.bloomprefilter" -> bloom.toString,
+      "spark.datalog.recursion.bloomprefilter" -> bloom,
+      // cap the sketch small: logplans captures every iteration's plan
+      // string and an over-sized sketch would ride it as a hex literal
+      // (also truncated since the r10 executedPlanString guard)
+      "spark.datalog.recursion.bloomprefilter.expecteditems" -> "1024",
       "spark.datalog.recursion.logplans" -> "true",
       "spark.datalog.recursion.localDeltaRows" -> "0") ++ extra: _*) {
       val ctx = new DatalogContext(spark)
@@ -51,8 +55,8 @@ class BloomPrefilterSpec extends AnyFunSuite {
     }
 
   test("bloom on == bloom off (hash-identical TC); split engages; zero exchanges") {
-    val (off, offSplits, _) = runTc(bloom = false)
-    val (on, splits, log) = runTc(bloom = true)
+    val (off, offSplits, _) = runTc("false")
+    val (on, splits, log) = runTc("true")
     assert(on == off)
     assert(on.nonEmpty)
     assert(offSplits == 0)
@@ -68,12 +72,27 @@ class BloomPrefilterSpec extends AnyFunSuite {
   }
 
   test("saturated sketch (expecteditems=8, fpp->1) still yields exact results") {
-    val (off, _, _) = runTc(bloom = false)
-    val (on, splits, _) = runTc(bloom = true,
+    val (off, _, _) = runTc("false")
+    val (on, splits, _) = runTc("true",
       "spark.datalog.recursion.bloomprefilter.expecteditems" -> "8",
       "spark.datalog.recursion.bloomprefilter.fpp" -> "0.5")
     assert(splits > 0)
     assert(on == off)
+  }
+
+  test("auto mode gates the probe on accumulated facts (minrows)") {
+    val (off, _, _) = runTc("false")
+    // threshold far above the fact count: hashes accumulate but the
+    // probe never engages — auto must cost nothing on tiny fixpoints
+    val (aboveRows, aboveSplits, _) = runTc("auto",
+      "spark.datalog.recursion.bloomprefilter.minrows" -> "1000000")
+    assert(aboveSplits == 0, "auto engaged below its minrows threshold")
+    assert(aboveRows == off)
+    // threshold below the seed size: engages like forced mode
+    val (belowRows, belowSplits, _) = runTc("auto",
+      "spark.datalog.recursion.bloomprefilter.minrows" -> "4")
+    assert(belowSplits > 0, "auto never engaged past its minrows threshold")
+    assert(belowRows == off)
   }
 
   test("schema widening re-inserts widened hashes: values past 2^31 stay exact") {
