@@ -112,20 +112,29 @@ object EmbeddingQueries extends QueryPack {
         "transform(cs, x -> x.sv) as cvec", "n"))
 
   /** IVF assignment rows (vec_id → nearest coarse cell): broadcast
-    * centroid cross + per-vector argmax (WindowGroupLimit collapses the
-    * ×nCells rows below the exchange). Memoized — this is an INDEX
-    * BUILD artifact: built once, shared by every IVF query on the
+    * centroid cross + per-vector argmax as a `max(struct(...))` partial
+    * aggregation (the LPA pattern, GraphQueries) — the ×nCells rows
+    * collapse MAP-SIDE to one per vector before the exchange and no
+    * window sort runs at all; ties break to the smallest cell label
+    * via the negated field. Memoized — this is an INDEX BUILD
+    * artifact: built once, shared by every IVF query on the
     * (session, dir), released with the pack's other state. */
+  private[queries] def ivfAssignedBuild(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).crossJoin(broadcast(ivfCents(s, dir)))
+      .withColumn("dotv", dotI64(col("q"), col("cvec")))
+      .selectExpr("vec_id", "q", "clabel", "dotv * 1000000 div n as score")
+      // max(struct) compiles to a SortAggregate (struct buffer), but the
+      // PARTIAL pass still collapses ×nCells rows to one per vector
+      // map-side, before the exchange — the property that matters at
+      // corpus scale; the local sort keys on the bare vec_id long
+      .groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("clabel")).as("nl"), col("q")))
+        .as("b"))
+      .select(col("vec_id"), col("b.q").as("q"), (-col("b.nl")).as("alabel"))
+
   private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
-    PackResources.checkpoint(s, dir, "emb_ivf_assigned") {
-      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
-      emb(s, dir).crossJoin(broadcast(ivfCents(s, dir)))
-        .withColumn("dotv", dotI64(col("q"), col("cvec")))
-        .selectExpr("vec_id", "q", "clabel", "dotv * 1000000 div n as score")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("q"), col("clabel").as("alabel"))
-    }
+    PackResources.checkpoint(s, dir, "emb_ivf_assigned")(
+      ivfAssignedBuild(s, dir))
 
   /** Probe count (`spark.graft.ivf.nprobe`, default 2 — the DuckDB
     * gates pin the default): how many coarse cells each query scans.
@@ -185,19 +194,22 @@ object EmbeddingQueries extends QueryPack {
         "transform(cs, x -> x.sv div n) as cmean")
 
   /** Per-vector PQ code rows (vec_id, m, code): nearest codebook cell
-    * per subspace, maximizing 2·v·c − c·c (integer nearest-by-L2).
+    * per subspace, maximizing 2·v·c − c·c (integer nearest-by-L2) via
+    * the same `max(struct(...))` map-side argmax as ivfAssigned — no
+    * window sort, ×64 candidate rows collapse before the exchange.
     * Memoized like ivfAssigned — the compressed-index build artifact. */
+  private[queries] def pqCodeRowsBuild(s: SparkSession, dir: String): DataFrame =
+    pqCells(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
+      .select(col("vec_id"), col("m"), col("ccell"),
+        (lit(2L) * dotI64(col("qm"), col("cmean"))
+          - dotI64(col("cmean"), col("cmean"))).as("score"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("score"), (-col("ccell")).as("nc"))).as("b"))
+      .select(col("vec_id"), col("m"), (-col("b.nc")).as("code"))
+
   private def pqCodeRows(s: SparkSession, dir: String): DataFrame =
-    PackResources.checkpoint(s, dir, "emb_pq_coderows") {
-      val w = Window.partitionBy("vec_id", "m").orderBy(desc("score"), asc("ccell"))
-      pqCells(s, dir).join(broadcast(pqCodebook(s, dir)), "m")
-        .select(col("vec_id"), col("m"), col("ccell"),
-          (lit(2L) * dotI64(col("qm"), col("cmean"))
-            - dotI64(col("cmean"), col("cmean"))).as("score"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("ccell").as("code"))
-    }
+    PackResources.checkpoint(s, dir, "emb_pq_coderows")(
+      pqCodeRowsBuild(s, dir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force inner-product top-10 for query vectors vec_id < 5.
@@ -346,13 +358,13 @@ object EmbeddingQueries extends QueryPack {
           max("n").as("n"))
         .selectExpr("cast(label as bigint) as clabel",
           "transform(cs, x -> x.sv) as cvec", "n")
-      val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("clabel"))
       e.crossJoin(broadcast(cents))
         .withColumn("dotv", dotI64(col("q"), col("cvec")))
         .selectExpr("vec_id", "clabel", "dotv * 1000000 div n as score")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("clabel").as("assigned_label"), col("score"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("score"), (-col("clabel")).as("nl"))).as("b"))
+        .select(col("vec_id"), (-col("b.nl")).as("assigned_label"),
+          col("b.score").as("score"))
     }),
 
     // Product-quantization codes (the memory-compression half of a

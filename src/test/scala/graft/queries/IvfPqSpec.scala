@@ -33,6 +33,26 @@ class IvfPqSpec extends AnyFunSuite {
       "argmax/top-k must compile to WindowGroupLimit")
   }
 
+  test("index-build argmaxes are map-side partial aggs, not window sorts") {
+    // IVF assignment and PQ coding pick ONE winner per key — a
+    // max(struct(...)) aggregation (the LPA argmax pattern) collapses
+    // the ×nCells candidate rows map-side via its PARTIAL pass before
+    // the exchange; a row_number window would shuffle and sort every
+    // candidate row. Assert no Window node of any kind (row_number
+    // compiles to Window / WindowGroupLimit) survives in either
+    // index-build plan, and the partial pass is present.
+    for ((tag, df) <- Seq(
+        "ivfAssigned" -> EmbeddingQueries.ivfAssignedBuild(spark, dir),
+        "pqCodeRows" -> EmbeddingQueries.pqCodeRowsBuild(spark, dir))) {
+      val plan = GraftColumnBridge.executedPlanString(df)
+      assert(!plan.contains("Window"),
+        s"$tag plan still contains a window operator:\n" +
+          plan.linesIterator.filter(_.contains("Window")).mkString("\n"))
+      assert(plan.contains("partial_max"),
+        s"$tag plan lost its map-side partial argmax:\n$plan")
+    }
+  }
+
   test("ADC ranking overlaps the exact top-10 (index quality floor)") {
     import scala.jdk.CollectionConverters._
     val s = spark
