@@ -211,6 +211,87 @@ object EmbeddingQueries extends QueryPack {
     PackResources.checkpoint(s, dir, "emb_pq_coderows")(
       pqCodeRowsBuild(s, dir))
 
+  /** PQ code rows pivoted to one row per vector (vec_id, c0..c3) — the
+    * stored form of the compressed index. */
+  private def pqCodesPivot(s: SparkSession, dir: String): DataFrame =
+    pqCodeRows(s, dir)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("code"))).as("c0"),
+        max(when(col("m") === 1, col("code"))).as("c1"),
+        max(when(col("m") === 2, col("code"))).as("c2"),
+        max(when(col("m") === 3, col("code"))).as("c3"))
+
+  /** IVF+PQ index artifacts persisted as bucketed parquet TABLES — the
+    * production storage layout: assignment and pivoted codes both
+    * `bucketBy(vec_id)`, so the search path's candidate join reads
+    * co-located buckets and moves ZERO bytes over the network
+    * (BucketingSpec pins the exchange-free shape; at 100 TB this join
+    * is the only corpus-sized operation in ADC search). Build is
+    * memoized per (session, dir) through the pack memo — one write per
+    * pack run, and a bench retry's memo rollback rebuilds honestly.
+    * Returns the two table names. */
+  private def bucketedIndex(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+    val (ta, tc) = (s"graft_ivfa_$tag", s"graft_pqc_$tag")
+    PackResources.checkpoint(s, dir, "emb_bucketed_index") {
+      val nb = math.max(1,
+        s.conf.get("spark.graft.ann.index.buckets", "8").toInt)
+      // the in-memory catalog forgets tables across JVMs but their
+      // warehouse directories persist — clear both or saveAsTable fails
+      Seq(ta, tc).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val d = new java.io.File(wh, t)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+      }
+      ivfAssigned(s, dir).drop("q")
+        .write.bucketBy(nb, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(ta)
+      pqCodesPivot(s, dir)
+        .write.bucketBy(nb, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(tc)
+      // sentinel for the memo: the artifact is the pair of tables
+      s.range(0).toDF("sentinel")
+    }
+    (ta, tc)
+  }
+
+  /** ADC scoring + per-query top-5 over a candidate set carrying
+    * (vec_id, alabel, c0..c3) — shared by the memoized-artifact and
+    * bucketed-table search paths. Per query, dot(q_m, cmean) for all
+    * ≤64 codebook cells folds into ONE map keyed m·16+cell riding the
+    * broadcast probe side; candidate scoring is four map lookups +
+    * adds inside the scan. */
+  private def adcSearch(s: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val probes = ivfProbes(s, dir)
+    val lut = probes.select("qid", "qv").distinct()
+      .crossJoin(broadcast(pqCodebook(s, dir)))
+      .select(col("qid"),
+        (col("m") * 16 + col("ccell")).as("k"),
+        dotI64(expr("slice(qv, m*16+1, 16)"), col("cmean")).as("pdot"))
+      .groupBy("qid")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("k"), col("pdot"))))).as("lut"))
+    val wTop = Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))
+    cand.join(broadcast(probes.join(broadcast(lut), "qid")),
+        col("alabel") === col("plabel"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        expr("element_at(lut, 0*16+c0) + element_at(lut, 16+c1) + " +
+          "element_at(lut, 32+c2) + element_at(lut, 48+c3)").as("adc"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .selectExpr("qid", "cid", "adc", "cast(rk as bigint) as rk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force inner-product top-10 for query vectors vec_id < 5.
     "emb_knn" -> ((s, dir) => {
@@ -381,14 +462,7 @@ object EmbeddingQueries extends QueryPack {
     // Plan: one partial-agg shuffle builds codebooks (≤64 rows),
     // broadcast back, assignment scans the corpus shuffle-free — ADC
     // search then composes exactly like emb_ivf_search's probe join.
-    "emb_pq_codes" -> ((s, dir) =>
-      pqCodeRows(s, dir)
-        .groupBy("vec_id")
-        .agg(
-          max(when(col("m") === 0, col("code"))).as("c0"),
-          max(when(col("m") === 1, col("code"))).as("c1"),
-          max(when(col("m") === 2, col("code"))).as("c2"),
-          max(when(col("m") === 3, col("code"))).as("c3"))),
+    "emb_pq_codes" -> ((s, dir) => pqCodesPivot(s, dir)),
 
     // Scalar quantization to int8 (SQ8 — the other standard index
     // compression next to PQ): each vector stores a per-vector scale
@@ -441,34 +515,21 @@ object EmbeddingQueries extends QueryPack {
     // co-located — bucketed by vec_id — making even that one free).
     // Exact integer arithmetic end-to-end; the oracle reproduces every
     // ADC score bit-for-bit.
-    "emb_ivfpq_search" -> ((s, dir) => {
-      val codes = pqCodeRows(s, dir)
-        .groupBy("vec_id")
-        .agg(
-          max(when(col("m") === 0, col("code"))).as("c0"),
-          max(when(col("m") === 1, col("code"))).as("c1"),
-          max(when(col("m") === 2, col("code"))).as("c2"),
-          max(when(col("m") === 3, col("code"))).as("c3"))
-      val cand = ivfAssigned(s, dir).drop("q").join(codes, "vec_id")
-      val probes = ivfProbes(s, dir)
-      val lut = probes.select("qid", "qv").distinct()
-        .crossJoin(broadcast(pqCodebook(s, dir)))
-        .select(col("qid"),
-          (col("m") * 16 + col("ccell")).as("k"),
-          dotI64(expr("slice(qv, m*16+1, 16)"), col("cmean")).as("pdot"))
-        .groupBy("qid")
-        .agg(map_from_entries(sort_array(
-          collect_list(struct(col("k"), col("pdot"))))).as("lut"))
-      val wTop = Window.partitionBy("qid").orderBy(desc("adc"), asc("cid"))
-      cand.join(broadcast(probes.join(broadcast(lut), "qid")),
-          col("alabel") === col("plabel"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"),
-          expr("element_at(lut, 0*16+c0) + element_at(lut, 16+c1) + " +
-            "element_at(lut, 32+c2) + element_at(lut, 48+c3)").as("adc"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 5)
-        .selectExpr("qid", "cid", "adc", "cast(rk as bigint) as rk")
+    "emb_ivfpq_search" -> ((s, dir) =>
+      adcSearch(s, dir,
+        ivfAssigned(s, dir).drop("q").join(pqCodesPivot(s, dir), "vec_id"))),
+
+    // IVF+PQ search reading the PERSISTED bucketed index tables — the
+    // full production loop: build artifacts, write them bucketBy
+    // (vec_id), and run ADC search against the stored form. The
+    // candidate join (assignment ⋈ codes) reads two co-located bucketed
+    // scans and needs no exchange at any corpus size — what
+    // emb_ivfpq_search's memoized variant only claims, this gate's
+    // storage layout delivers (BucketingSpec asserts the zero-exchange
+    // join on these very tables). Same answers as emb_ivfpq_search.
+    "emb_ivfpq_bucketed" -> ((s, dir) => {
+      val (ta, tc) = bucketedIndex(s, dir)
+      adcSearch(s, dir, s.table(ta).join(s.table(tc), "vec_id"))
     })
   )
 
@@ -674,7 +735,13 @@ object EmbeddingQueries extends QueryPack {
             FROM scored)
           SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= 5""",
-    "emb_ivfpq_search" ->
+    "emb_ivfpq_search" -> ivfpqSearchSql,
+    // same answers by construction — the bucketed gate differs only in
+    // the storage layout of the index artifacts
+    "emb_ivfpq_bucketed" -> ivfpqSearchSql
+  )
+
+  private lazy val ivfpqSearchSql =
       s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
           c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
                   CAST(sum(v[i+1]) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
@@ -732,5 +799,4 @@ object EmbeddingQueries extends QueryPack {
             FROM sc)
           SELECT qid, cid, adc, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= 5"""
-  )
 }

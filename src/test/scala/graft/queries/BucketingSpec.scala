@@ -118,6 +118,35 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_ivfpq_bucketed: gate-written index tables join exchange-free, " +
+      "same answers as the memoized path") {
+    // the production loop end-to-end: the gate builds the IVF+PQ
+    // artifacts, persists them bucketBy(vec_id), and searches the
+    // stored form — answers must be identical to emb_ivfpq_search, and
+    // the candidate join over the gate's OWN tables must plan with
+    // zero shuffle exchanges (storage layout, not luck)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Long]("adc"), r.getAs[Long]("rk"))
+    val viaTables = graft.queries.EmbeddingQueries
+      .defs("emb_ivfpq_bucketed")(spark, dir).collect().map(key).toSet
+    val viaMemo = graft.queries.EmbeddingQueries
+      .defs("emb_ivfpq_search")(spark, dir).collect().map(key).toSet
+    assert(viaTables == viaMemo && viaTables.size == 25,
+      s"bucketed search diverged: ${viaTables.diff(viaMemo).take(3)}")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val j = spark.table(s"graft_ivfa_$tag")
+        .join(spark.table(s"graft_pqc_$tag"), "vec_id")
+      assert(j.count() == 500)
+      assert(GraftColumnBridge.countShuffleExchanges(j) == 0,
+        GraftColumnBridge.executedPlanString(j))
+    }
+  }
+
   test("aggregation on the bucket key reuses the layout (no exchange)") {
     ensureTables()
     withConf(
