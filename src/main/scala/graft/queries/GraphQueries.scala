@@ -150,6 +150,24 @@ object GraphQueries extends QueryPack {
             .select(col("x"), coalesce(col("blbl"), col("lbl")).as("lbl"))
         }
         lab
+      }),
+
+    // Label propagation to the FIXED POINT: same per-round plan as
+    // graph_lpa, iterated until no node changes label — the change
+    // count rides the round checkpoint's materialization (flagged
+    // accumulator, no probe job; the pagerankConverged pattern), each
+    // superseded round's blocks released eagerly. The DuckDB oracle
+    // replays the identical update rule in a recursive CTE and picks
+    // the first self-equal round, so a divergence in round count or in
+    // any label hash-mismatches.
+    "graph_lpa_conv" -> ((s, dir) =>
+      PackResources.checkpoint(s, dir, "graph_lpa_conv") {
+        val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
+        val und = PackResources.checkpoint(s, dir, "graph_lpa_edges")(
+          arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct())
+        val nodes = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("x"))
+        GraphQueries.lpaConverged(s, nodes, und)
       }))
 
   /** Open-ended integer PageRank to the exact fixed point over
@@ -230,6 +248,74 @@ object GraphQueries extends QueryPack {
     // the result re-roots onto the caller's session (the clone only
     // hosted the loop's planning conf; the data is a materialized RDD)
     GraftColumnBridge.onSession(s, pr.select("x", "p"))
+  }
+
+  /** Synchronous label propagation iterated to the fixed point over
+    * `nodes(x)` and symmetrized `und(x, y)` — the SELF-VOTE variant:
+    * each round every node adopts the most frequent label among its
+    * neighbors AND itself (ties → smallest), all nodes reading the
+    * SAME previous round; stops when a round changes no label. The
+    * self-vote is what makes a synchronous fixed point exist: plain
+    * neighbor-only LPA 2-cycles on symmetric structures (two adjacent
+    * nodes swap labels forever — observed on this dataset, the
+    * gate-breaking case), while the self-vote breaks the swap (each
+    * node then sees a tie and both take the smaller label). The change
+    * count rides the round checkpoint's materialization (flagged
+    * accumulator — no probe job), superseded rounds unpersist eagerly,
+    * and the local/cluster path split is `pagerankConverged`'s: local
+    * rounds broadcast the static edge set and the node-sized argmax on
+    * an AQE-off session clone; the copart path claims hash layouts
+    * instead (edges on the neighbor key, so the label join is
+    * exchange-free against the hash(x) state). */
+  private[queries] def lpaConverged(
+      s: SparkSession, nodes0: DataFrame, und0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val copart = copartConf(s)
+    val maxRounds = 64
+    val loop = if (copart) s else localLoopSession(s)
+    val nodes = if (copart) nodes0 else GraftColumnBridge.onSession(loop, nodes0)
+    val und = if (copart) und0 else GraftColumnBridge.onSession(loop, und0)
+    def ck(df: DataFrame, keys: Seq[String], flag: String): (DataFrame, Long) = {
+      val (out, _, _, flagged) = GraftColumnBridge
+        .checkpointWithPartitioningFlagged(df, keys, parts, flag)
+      GraftColumnBridge.checkpointedRDD(out).foreach(PackResources.trackRDD)
+      (out, flagged)
+    }
+    val ed =
+      if (copart) ck(und.repartition(parts, col("y")), Seq("y"), null)._1
+      else und
+    var lab = ck({
+      val seed = nodes.select(col("x"), col("x").as("lbl"))
+      if (copart) seed.repartition(parts, col("x")) else seed
+    }, Seq("x"), null)._1
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val nbr = lab.select(col("x").as("y"), col("lbl"))
+      // candidate votes = every neighbor's label + the node's own (the
+      // self-vote); own label always present, so no fallback join
+      val votes = (if (copart) ed else broadcast(ed)).join(nbr, "y")
+        .select(col("x"), col("lbl"))
+        .union(lab.select(col("x"), col("lbl")))
+      val cnt = votes.groupBy("x", "lbl").agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("x")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+        .select(col("x"), (-col("b.nl")).as("blbl"))
+      val nextPlan = lab.select(col("x"), col("lbl").as("lo"))
+        .join(if (copart) best else broadcast(best), Seq("x"))
+        .select(col("x"), col("blbl").as("lbl"),
+          (col("blbl") =!= col("lo")).as("chg"))
+      val (next, changed) = ck(nextPlan, Seq("x"), "chg")
+      converged = changed == 0L
+      GraftColumnBridge.checkpointedRDD(lab)
+        .foreach(_.unpersist(blocking = false))
+      lab = next
+    }
+    require(converged,
+      s"label propagation did not reach a fixed point within $maxRounds rounds")
+    GraftColumnBridge.onSession(s, lab.select("x", "lbl"))
   }
 
   /** Onion shells of k-core peeling over `nodes(x)` and directed
@@ -418,6 +504,39 @@ object GraphQueries extends QueryPack {
           l0 AS (SELECT c_custkey AS x, c_custkey AS lbl FROM customer),
           $rounds
           SELECT CAST(x AS BIGINT) AS x, CAST(lbl AS BIGINT) AS lbl FROM l4"""
-    }
+    },
+    // Iterate-to-convergence oracle, the graph_pagerank_conv pattern:
+    // the recursive CTE carries (it, x, lbl) full states through the
+    // single recursive reference — `aug` adds a self-loop per node, so
+    // every node survives each round AND casts the self-vote (one
+    // count for its own current label, merged into that label's
+    // neighbor count). The per-node argmax (count DESC, label ASC) is
+    // arg_max over the injective encoding c·2^40 − lbl. The outer
+    // query picks the FIRST round whose state equals the previous one.
+    "graph_lpa_conv" ->
+      s"""WITH RECURSIVE ${DatalogQueries.arcSql},
+          e AS (SELECT src AS s, dst AS t FROM arc
+                UNION SELECT dst, src FROM arc),
+          nodes AS (SELECT c_custkey AS v FROM customer),
+          aug AS (SELECT s, t FROM e
+                  UNION ALL SELECT v, v FROM nodes),
+          lp(it, x, lbl) AS (
+            SELECT 0, v, CAST(v AS BIGINT) FROM nodes
+            UNION ALL
+            SELECT z.it + 1, z.x,
+              arg_max(z.lbl, z.c * 1099511627776 - z.lbl)
+            FROM (
+              SELECT lp.it, aug.s AS x, lp.lbl, count(*) AS c
+              FROM lp JOIN aug ON aug.t = lp.x
+              WHERE lp.it < 64
+              GROUP BY lp.it, aug.s, lp.lbl) z
+            GROUP BY z.it, z.x),
+          diffs AS (
+            SELECT a.it, max(CASE WHEN a.lbl != b.lbl THEN 1 ELSE 0 END) AS md
+            FROM lp a JOIN lp b ON b.x = a.x AND b.it = a.it - 1
+            GROUP BY a.it),
+          conv AS (SELECT min(it) AS k FROM diffs WHERE md = 0)
+          SELECT CAST(lp.x AS BIGINT) AS x, CAST(lp.lbl AS BIGINT) AS lbl
+          FROM lp, conv WHERE lp.it = conv.k"""
   )
 }

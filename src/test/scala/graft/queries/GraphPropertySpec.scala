@@ -73,6 +73,51 @@ class GraphPropertySpec extends AnyFunSuite {
     shell.toMap
   }
 
+  /** Self-vote synchronous LPA in-JVM: each node adopts the most
+    * frequent label among neighbors + itself (ties → smallest). */
+  private def lpaOracle(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.Set[Long]]()
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+    }
+    var lab = (0 until n).map(v => v.toLong -> v.toLong).toMap
+    var it = 0
+    while (it < 64) {
+      it += 1
+      val next = (0 until n).map { v0 =>
+        val v = v0.toLong
+        val votes = new scala.collection.mutable.HashMap[Long, Long]()
+        votes(lab(v)) = 1L
+        for (u <- adj.getOrElse(v, scala.collection.mutable.Set.empty))
+          votes(lab(u)) = votes.getOrElse(lab(u), 0L) + 1L
+        v -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+      if (next == lab) return lab
+      lab = next
+    }
+    sys.error("oracle did not converge")
+  }
+
+  test("lpaConverged matches the in-JVM self-vote oracle on random graphs") {
+    val rng = new Random(11)
+    for (trial <- 1 to 3) {
+      val n = 30 + rng.nextInt(40)
+      val edges = randomGraph(rng, n, 2 * n)
+      val s = spark.newSession()
+      import s.implicits._
+      val nodes = (0 until n).map(_.toLong).toDF("x")
+      val arc = edges.toDF("x", "y")
+      val und = arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct()
+      val got = GraphQueries.lpaConverged(s, nodes, und)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = lpaOracle(n, edges)
+      assert(got == want,
+        s"trial $trial (n=$n): ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    }
+    PackResources.releaseAll()
+  }
+
   test("pagerankConverged matches the in-JVM integer oracle on random DAGs") {
     val rng = new Random(42)
     for (trial <- 1 to 3) {
