@@ -250,6 +250,9 @@ final class DatalogContext(val spark: SparkSession) {
   /** Within-task localiterate fixpoints run so far (spec hook). */
   def localIterateRuns: Int = evaluator.map(_.localIterateRuns).getOrElse(0)
 
+  def localIterateMonoRuns: Int =
+    evaluator.map(_.localIterateMonoRuns).getOrElse(0)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)

@@ -678,6 +678,268 @@ final class Evaluator(
     Some(res)
   }
 
+  /** Counts of monotonic within-task fixpoints run (spec hook). */
+  var localIterateMonoRuns: Int = 0
+
+  /** Within-task local fixpoint for MONOTONIC (mmin/mmax) cliques — the
+    * aggregate half of the reference's within-task iteration
+    * (FixedPointResultTask.scala:56-103, iterating AggregateSetRDD
+    * state in-task): eligible when every recursive rule joins ONE
+    * recursive atom (plain distinct vars, one per predicate column)
+    * with broadcastable static atoms plus int/long `+ - *` assignments
+    * and comparison filters, and the head groups plain bound vars
+    * around a single mmin/mmax of a bound var.
+    *
+    * Unlike the non-aggregate localiterate this needs NO pivot
+    * closure: min/max distribute over unions of derivation sets, and
+    * every derivation chain is rooted at exactly one seed fact — so
+    * each partition runs a complete local value-improving fixpoint
+    * from ITS seed facts (a multi-source Bellman-Ford over the
+    * broadcast statics, pruned by a local best-value map; pruning
+    * dominated values is sound for exactly the reason the looped
+    * monotonic path's improved-only delta is: mmin/mmax recursion
+    * presumes rules monotone in the recursive value), and ONE global
+    * min/max re-aggregation merges the per-partition maps. One task
+    * wave + one agg shuffle replaces O(iterations) scheduled jobs.
+    * Memory: a task's best map covers the groups reachable from its
+    * seeds, bounded by the broadcast static size the collect cap
+    * already limits. Returns None on any ineligible shape — the
+    * caller falls back to the looped monotonic paths. */
+  private def localIterateMonotonic(
+      clique: Analysis#Clique,
+      p: String,
+      isMin: Boolean,
+      aggIdx: Int,
+      reAgg: DataFrame => DataFrame): Option[DataFrame] = {
+    import Evaluator._
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val recRules = clique.recursiveRules(p)
+    val exits = clique.exitRules(p)
+    if (recRules.isEmpty || exits.isEmpty) return None
+    val seed0 = exits.map(r => RuleCompiler.compile(r, baseResolver))
+      .reduce(_ union _)
+
+    // Widen the seed to the fixpoint schema: an int-typed constant seed
+    // meets long-typed EDB columns on iteration 1, and the looped path
+    // absorbs that through union coercion across iterations. Here each
+    // recursive rule compiles once against the current seed; integral
+    // column types widen until stable (non-integral mixes bail).
+    def intRank(dt: DataType): Option[Int] = dt match {
+      case org.apache.spark.sql.types.ByteType => Some(1)
+      case org.apache.spark.sql.types.ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    var seedW = seed0
+    var stableTypes = false
+    var guard = 0
+    while (!stableTypes && guard < 4) {
+      guard += 1
+      stableTypes = true
+      for (r <- recRules) {
+        val cur = seedW
+        val step =
+          try RuleCompiler.compile(r,
+            (pred, _) => if (clique.preds(pred)) cur else predDF(pred))
+          catch { case scala.util.control.NonFatal(_) => return None }
+        if (step.schema.length != cur.schema.length) return None
+        val targets = cur.schema.zip(step.schema).map { case (a, b) =>
+          if (a.dataType == b.dataType) a.dataType
+          else (intRank(a.dataType), intRank(b.dataType)) match {
+            case (Some(x), Some(y)) => if (x >= y) a.dataType else b.dataType
+            case _ => return None
+          }
+        }
+        if (targets != cur.schema.map(_.dataType)) {
+          seedW = cur.select(cur.schema.zip(targets).map { case (f, t) =>
+            cur(f.name).cast(t).as(f.name)
+          }.toIndexedSeq: _*)
+          stableTypes = false
+        }
+      }
+    }
+    if (!stableTypes) return None
+    val seed = seedW
+    val schema = seed.schema
+    if (!schema.forall(f => valueComparable(f.dataType))) return None
+    val aggType = schema(aggIdx).dataType
+    val aggLong = aggType == LongType
+    if (!aggLong && aggType != IntegerType) return None
+
+    def vars(args: Seq[Term], tag: String): Option[Seq[String]] =
+      if (args.forall(a => a.isInstanceOf[Variable] || a == Anon))
+        Some(args.zipWithIndex.map {
+          case (Variable(n), _) => n
+          case (_, i) => s"__anon_${tag}_$i"
+        })
+      else None
+
+    val staticMemo =
+      mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
+    def staticRows(pred: String, eqs: Seq[(Int, Int)])
+        : Option[IndexedSeq[IndexedSeq[Any]]] =
+      staticMemo.getOrElseUpdate((pred, eqs), {
+        val df0 = cachedStatic(pred)
+        val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
+          d.filter(d(d.columns(a)) === d(d.columns(b)))
+        }
+        collectCapped(df, conf.localIterateMaxStaticRows.min(1L << 24).toInt)
+          .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
+      })
+
+    def parse(r: Rule): Option[MonoRule] = {
+      val recAtoms = r.body.collect {
+        case a: BodyAtom if clique.preds(a.pred) => a
+      }
+      if (recAtoms.length != 1) return None
+      val rec = recAtoms.head
+      if (rec.negated) return None
+      val rv = vars(rec.args, "r").getOrElse(return None)
+      if (rv.distinct.length != rv.length || rv.length != schema.length)
+        return None
+      val slot = mutable.LinkedHashMap[String, Int]()
+      val envType = mutable.ArrayBuffer[DataType]()
+      rv.zipWithIndex.foreach { case (n, i) =>
+        slot(n) = i; envType += schema(i).dataType
+      }
+
+      // Int literals widen against a Long partner; everything else
+      // must match exactly
+      def promote(le: EnvExpr, lt: DataType, re: EnvExpr, rt: DataType)
+          : (EnvExpr, DataType, EnvExpr, DataType) = (le, lt, re, rt) match {
+        case (EnvLit(i: Int), IntegerType, _, LongType) =>
+          (EnvLit(i.toLong), LongType, re, rt)
+        case (_, LongType, EnvLit(i: Int), IntegerType) =>
+          (le, lt, EnvLit(i.toLong), LongType)
+        case _ => (le, lt, re, rt)
+      }
+      def lower(e: Expr): Option[(EnvExpr, DataType)] = e match {
+        case TermExpr(Variable(n)) =>
+          slot.get(n).map(s => (EnvRef(s), envType(s)))
+        case TermExpr(Constant(v)) => v match {
+          case i: Int => Some((EnvLit(i), IntegerType))
+          case l: Long => Some((EnvLit(l), LongType))
+          case s: String => Some((EnvLit(s), StringType))
+          case _ => None
+        }
+        case TermExpr(_) => None
+        case Arith(op, a, b) =>
+          if (op != "+" && op != "-" && op != "*") None
+          else (lower(a), lower(b)) match {
+            case (Some((le0, lt0)), Some((re0, rt0))) =>
+              val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
+              if (lt == rt && (lt == IntegerType || lt == LongType))
+                Some((EnvBin(op, lt == LongType, le, re), lt))
+              else None
+            case _ => None
+          }
+      }
+
+      val steps = mutable.ArrayBuffer[MonoStep]()
+      for (item <- r.body) item match {
+        case a: BodyAtom if a eq rec => () // pre-bound above
+        case a: BodyAtom =>
+          if (a.negated) return None
+          val sv = vars(a.args, s"s${steps.length}").getOrElse(return None)
+          val sSchema = predDF(a.pred).schema
+          if (sv.length != sSchema.length) return None
+          if (!sSchema.forall(f => valueComparable(f.dataType))) return None
+          val keyPos = mutable.Buffer[Int]()
+          val keyEnv = mutable.Buffer[Int]()
+          val binds = mutable.Buffer[(Int, Int)]()
+          val eqs = mutable.Buffer[(Int, Int)]()
+          val newInAtom = mutable.Map[String, Int]()
+          sv.zipWithIndex.foreach { case (n, i) =>
+            slot.get(n) match {
+              case Some(s) if !newInAtom.contains(n) =>
+                if (envType(s) != sSchema(i).dataType) return None
+                keyPos += i; keyEnv += s
+              case _ =>
+                newInAtom.get(n) match {
+                  case Some(first) => eqs += ((first, i))
+                  case None =>
+                    newInAtom(n) = i
+                    slot(n) = envType.length
+                    envType += sSchema(i).dataType
+                    binds += ((i, slot(n)))
+                }
+            }
+          }
+          val rows = staticRows(a.pred, eqs.toSeq).getOrElse(return None)
+          val table = rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
+          steps += MonoProbe(TaskStep(keyEnv.toSeq, binds.toSeq, table))
+        case Comparison("=", TermExpr(Variable(n)), rhs) if !slot.contains(n) =>
+          val (ex, dt) = lower(rhs).getOrElse(return None)
+          slot(n) = envType.length
+          envType += dt
+          steps += MonoAssign(slot(n), ex)
+        case Comparison(op, lhs, rhs) =>
+          val (le0, lt0) = lower(lhs).getOrElse(return None)
+          val (re0, rt0) = lower(rhs).getOrElse(return None)
+          val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
+          if (lt != rt) return None
+          val ordered = op == "<" || op == "<=" || op == ">" || op == ">="
+          if (ordered && lt != IntegerType && lt != LongType) return None
+          if (!ordered && op != "=" && op != "~=") return None
+          steps += MonoFilter(op, lt == LongType, le, re)
+        case _ => return None
+      }
+
+      val group = mutable.ArrayBuffer[Int]()
+      var aggSlot = -1
+      r.head.args.zipWithIndex.foreach {
+        case (PlainArg(TermExpr(Variable(n))), i) =>
+          val s = slot.getOrElse(n, return None)
+          if (envType(s) != schema(i).dataType) return None
+          group += s
+        case (a: AggArg, i) if i == aggIdx => a.e match {
+          case TermExpr(Variable(n)) =>
+            val s = slot.getOrElse(n, return None)
+            if (envType(s) != aggType) return None
+            aggSlot = s
+          case _ => return None
+        }
+        case _ => return None
+      }
+      if (aggSlot < 0 || group.length != schema.length - 1) return None
+      Some(MonoRule(envType.length, steps.toIndexedSeq,
+        group.toIndexedSeq, aggSlot))
+    }
+
+    val rulesOpt = recRules.map(parse)
+    if (rulesOpt.exists(_.isEmpty)) return None
+    val rules = rulesOpt.flatten.toIndexedSeq
+
+    // ---- one task wave of local value-improving fixpoints
+    localIterateMonoRuns += 1
+    val groupIdxs = schema.indices.filterNot(_ == aggIdx).toIndexedSeq
+    // seeds sharing the leading group column co-locate (same-group
+    // derivation trees never split across tasks, so no duplicated
+    // exploration for same-source seeds); the distribution across
+    // tasks is otherwise free — no closure requirement
+    val seedPart =
+      if (groupIdxs.nonEmpty)
+        seed.repartition(nParts, seed(schema(groupIdxs.head).name))
+      else seed.repartition(nParts)
+    val bc = spark.sparkContext.broadcast(rules)
+    val aggI = aggIdx
+    val gIdx = groupIdxs
+    val maxIter = maxIterations
+    val minSide = isMin
+    val longAgg = aggLong
+    val nCols = schema.length
+    val out = seedPart.mapPartitions(
+      Evaluator.monoPartitionFixpoint(bc, gIdx, aggI, nCols, longAgg,
+        minSide, maxIter))(org.apache.spark.sql.Encoders.row(schema))
+
+    // merge the per-partition maps: ONE min/max aggregation shuffle
+    val (res, _) = materialize(reAgg(out.toDF()))
+    Some(res)
+  }
+
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
     * predicate's exit rules (bound-argument pushdown).
     *
@@ -1526,6 +1788,18 @@ final class Evaluator(
     val exits = clique.exitRules(p)
     if (exits.isEmpty) throw new EvalException(s"$p has no exit rules")
 
+    // Within-task path (opt-in, spark.datalog.recursion.localiterate):
+    // the whole aggregate fixpoint in one mapPartitions wave + one
+    // merge aggregation; any ineligible shape falls through.
+    if (conf.localIterate) {
+      localIterateMonotonic(clique, p, isMin, aggIdx, reAgg) match {
+        case Some(df) =>
+          memo(p) = df
+          return
+        case None => ()
+      }
+    }
+
     // Cluster path: delta-sized merges against a group-key-claimed
     // state instead of re-shuffling the whole state each iteration.
     if (groupCols.nonEmpty && copartitionEnabled(stablePivot = false)) {
@@ -2042,7 +2316,9 @@ final class Evaluator(
   }
 }
 
-object Evaluator {
+// Serializable: task closures produced by monoPartitionFixpoint capture
+// the module (its eval helpers run on executors)
+object Evaluator extends Serializable {
   /** One static atom lowered for task-local evaluation (localiterate
     * path): probe `table` keyed on the env slots bound so far, then
     * bind the atom's new variables into the env. Top-level so task
@@ -2059,4 +2335,177 @@ object Evaluator {
       envSize: Int,
       steps: IndexedSeq[TaskStep],
       head: IndexedSeq[Int])
+
+  // ---- monotonic (mmin/mmax) task-local evaluation ----
+
+  /** Expression over env slots, restricted to what the task-local
+    * monotonic path supports: refs, literals, and exact int/long
+    * `+ - *` (Math.*Exact — overflow throws like the relational
+    * path's ANSI arithmetic). */
+  private[datalog] sealed trait EnvExpr
+  private[datalog] final case class EnvRef(slot: Int) extends EnvExpr
+  private[datalog] final case class EnvLit(v: Any) extends EnvExpr
+  private[datalog] final case class EnvBin(
+      op: String, long: Boolean, l: EnvExpr, r: EnvExpr) extends EnvExpr
+
+  private[datalog] def evalEnvExpr(e: EnvExpr, env: Array[Any]): Any = e match {
+    case EnvRef(s) => env(s)
+    case EnvLit(v) => v
+    case EnvBin(op, isLong, l, r) =>
+      val a = evalEnvExpr(l, env)
+      val b = evalEnvExpr(r, env)
+      if (isLong) {
+        val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+        op match {
+          case "+" => Math.addExact(x, y)
+          case "-" => Math.subtractExact(x, y)
+          case _ => Math.multiplyExact(x, y)
+        }
+      } else {
+        val x = a.asInstanceOf[Int]; val y = b.asInstanceOf[Int]
+        op match {
+          case "+" => Math.addExact(x, y)
+          case "-" => Math.subtractExact(x, y)
+          case _ => Math.multiplyExact(x, y)
+        }
+      }
+  }
+
+  /** One lowered body item of a monotonic rule: a static-atom probe, a
+    * new-variable assignment, or a comparison filter. */
+  private[datalog] sealed trait MonoStep
+  private[datalog] final case class MonoProbe(step: TaskStep) extends MonoStep
+  private[datalog] final case class MonoAssign(slot: Int, expr: EnvExpr)
+      extends MonoStep
+  private[datalog] final case class MonoFilter(
+      op: String, long: Boolean, l: EnvExpr, r: EnvExpr) extends MonoStep
+
+  private[datalog] def evalMonoFilter(
+      f: MonoFilter, env: Array[Any]): Boolean = {
+    val a = evalEnvExpr(f.l, env)
+    val b = evalEnvExpr(f.r, env)
+    f.op match {
+      case "=" => a == b
+      case "~=" => a != b
+      case op =>
+        val c =
+          if (f.long) java.lang.Long.compare(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])
+          else java.lang.Integer.compare(
+            a.asInstanceOf[Int], b.asInstanceOf[Int])
+        op match {
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case _ => c >= 0
+        }
+    }
+  }
+
+  /** One monotonic recursive rule lowered for task-local evaluation:
+    * the recursive atom fills env slots 0..arity-1 (predicate column
+    * order — group values and the aggregate value), steps run in body
+    * order, `group` projects the head's group slots and `aggSlot` its
+    * aggregate value. */
+  private[datalog] final case class MonoRule(
+      envSize: Int,
+      steps: IndexedSeq[MonoStep],
+      group: IndexedSeq[Int],
+      aggSlot: Int)
+
+  /** The per-partition monotonic local fixpoint (localIterateMonotonic
+    * body). A static factory on the companion so the task closure
+    * captures only the broadcast handle and primitives — never the
+    * (non-serializable) Evaluator instance. */
+  private[datalog] def monoPartitionFixpoint(
+      bc: org.apache.spark.broadcast.Broadcast[IndexedSeq[MonoRule]],
+      gIdx: IndexedSeq[Int],
+      aggI: Int,
+      nCols: Int,
+      longAgg: Boolean,
+      minSide: Boolean,
+      maxIter: Int)
+      : Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] =
+    (it: Iterator[org.apache.spark.sql.Row]) => {
+      val rs = bc.value
+      def better(a: Any, b: Any): Boolean = {
+        val c =
+          if (longAgg) java.lang.Long.compare(
+            a.asInstanceOf[Long], b.asInstanceOf[Long])
+          else java.lang.Integer.compare(
+            a.asInstanceOf[Int], b.asInstanceOf[Int])
+        if (minSide) c < 0 else c > 0
+      }
+      val best = new java.util.HashMap[IndexedSeq[Any], Any]()
+      def emitRow(g: IndexedSeq[Any], v: Any): IndexedSeq[Any] = {
+        val arr = new Array[Any](nCols)
+        var gi = 0
+        var ci = 0
+        while (ci < nCols) {
+          if (ci == aggI) arr(ci) = v
+          else { arr(ci) = g(gi); gi += 1 }
+          ci += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+      }
+      var frontier = mutable.ArrayBuffer[IndexedSeq[Any]]()
+      def offer(row: IndexedSeq[Any],
+          push: mutable.ArrayBuffer[IndexedSeq[Any]]): Unit = {
+        val g: IndexedSeq[Any] = gIdx.map(row)
+        val v = row(aggI)
+        val old = best.get(g)
+        if (old == null || better(v, old)) { best.put(g, v); push += row }
+      }
+      it.foreach(r => offer(r.toSeq.toIndexedSeq, frontier))
+      var rounds = 0
+      while (frontier.nonEmpty) {
+        rounds += 1
+        if (rounds > maxIter)
+          throw new IllegalStateException(
+            s"aggregate fixpoint exceeded $maxIter iterations (localiterate)")
+        val next = mutable.ArrayBuffer[IndexedSeq[Any]]()
+        var i = 0
+        while (i < frontier.length) {
+          val row = frontier(i)
+          // a queued value superseded by a later local improvement is
+          // dominated — skip it
+          if (best.get(gIdx.map(row): IndexedSeq[Any]) == row(aggI)) {
+            rs.foreach { mr =>
+              val env = new Array[Any](mr.envSize)
+              var k = 0
+              while (k < row.length) { env(k) = row(k); k += 1 }
+              def go(j: Int): Unit =
+                if (j == mr.steps.length)
+                  offer(emitRow(mr.group.map(env), env(mr.aggSlot)), next)
+                else mr.steps(j) match {
+                  case MonoProbe(st) =>
+                    st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
+                      .foreach(_.foreach { srow =>
+                        st.binds.foreach { case (pos, s2) =>
+                          env(s2) = srow(pos)
+                        }
+                        go(j + 1)
+                      })
+                  case MonoAssign(s2, ex) =>
+                    env(s2) = evalEnvExpr(ex, env)
+                    go(j + 1)
+                  case f: MonoFilter =>
+                    if (evalMonoFilter(f, env)) go(j + 1)
+                }
+              go(0)
+            }
+          }
+          i += 1
+        }
+        frontier = next
+      }
+      val eit = best.entrySet().iterator()
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = eit.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val e = eit.next()
+          org.apache.spark.sql.Row.fromSeq(emitRow(e.getKey, e.getValue))
+        }
+      }
+    }
 }

@@ -208,6 +208,32 @@ object DatalogQueries extends QueryPack {
       c.query("sssp(A,D).")
     }),
 
+    // SSSP under the MONOTONIC within-task local fixpoint
+    // (spark.datalog.recursion.localiterate on an mmin clique): each
+    // seed partition runs a complete local Bellman-Ford over the
+    // broadcast arc multimap — sound without pivot closure because min
+    // distributes over the seed-rooted derivation sets — and one
+    // global min aggregation merges the per-partition maps: one task
+    // wave + one shuffle instead of O(iterations) scheduled jobs
+    // (the aggregate half of the reference's FixedPointResultTask;
+    // LocalIterateSpec asserts engagement + the job-count drop).
+    // Distinct predicate names keep the context memo separate.
+    "dl_sssp_localiter" -> ((s, dir) => {
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "mminpathl(X,mmin<D>) <- X=0, D=0. " +
+            "mminpathl(Z,mmin<D>) <- mminpathl(X,D1), arc(X,Z,C), D=D1+C. " +
+            "ssspl(X,min<D>) <- mminpathl(X,D).")
+        c.query("ssspl(A,D).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Connected components via mmin label propagation (program 41) over
     // the symmetric edge relation; components = blocks of 16.
     "dl_cc" -> ((s, dir) =>
@@ -375,6 +401,14 @@ object DatalogQueries extends QueryPack {
     val ccSql =
       s"""SELECT CAST(c_custkey AS BIGINT) AS a,
           CAST(c_custkey - (c_custkey % $B) AS BIGINT) AS b FROM customer"""
+    val ssspSql =
+      s"""WITH RECURSIVE $arcSql,
+          p(n,d) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.n)
+          SELECT CAST(n AS BIGINT) AS a, CAST(min(d) AS BIGINT) AS d
+          FROM p GROUP BY n"""
     Map(
       "dl_tc" -> tcSql,
       "dl_tc_localiter" -> tcSql,
@@ -404,14 +438,9 @@ object DatalogQueries extends QueryPack {
               SELECT a1.dst, a2.dst
               FROM sg JOIN arc a1 ON a1.src = sg.x JOIN arc a2 ON a2.src = sg.y)
             SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b FROM sg""",
-      "dl_sssp" ->
-        s"""WITH RECURSIVE $arcSql,
-            p(n,d) AS (
-              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-              UNION
-              SELECT arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.n)
-            SELECT CAST(n AS BIGINT) AS a, CAST(min(d) AS BIGINT) AS d
-            FROM p GROUP BY n""",
+      "dl_sssp" -> ssspSql,
+      // same program, evaluated by the monotonic within-task fixpoint
+      "dl_sssp_localiter" -> ssspSql,
       "dl_unreachable" ->
         s"""WITH RECURSIVE $arcSql,
             r(x) AS (

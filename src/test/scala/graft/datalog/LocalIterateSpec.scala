@@ -188,6 +188,79 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(arRuns == 0 && ar.nonEmpty)
   }
 
+  test("monotonic (mmin) SSSP runs in one task wave: same rows, job-count drop") {
+    val wdb = "database({warc(X:long, Y:long, C:long)})."
+    val prog = "sp(X,mmin<D>) <- X=0, D=0. " +
+      "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D=D1+C. " +
+      "out(X,min<D>) <- sp(X,D)."
+    // 30-deep chain with a shortcut every 5 hops (improvements arrive
+    // late, so the looped path runs many iterations) + a costly branch
+    val wedges =
+      (0 until 30).map(i => s"$i,${i + 1},3") ++
+      (0 until 6).map(i => s"${5 * i},${5 * (i + 1)},10") ++
+      Seq("0,100,50", "100,30,1")
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter) {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb + prog)
+      ctx.registerData("warc", wedges)
+      val (rows, jobs) = countJobs(ctx.queryStrings("out(A,D).").toSet)
+      (rows, jobs, ctx.localIterateMonoRuns)
+    }
+    val (looped, loopedJobs, loopedRuns) = run("false")
+    val (wave, waveJobs, waveRuns) = run("true")
+    assert(loopedRuns == 0 && waveRuns == 1, "mmin shape did not engage")
+    assert(wave == looped && wave.nonEmpty)
+    assert(waveJobs < loopedJobs,
+      s"expected fewer jobs than the looped path ($waveJobs vs $loopedJobs)")
+    assert(waveJobs <= 10, s"expected a single task wave, saw $waveJobs jobs")
+  }
+
+  test("monotonic ineligible shapes fall back to the looped paths") {
+    val wdb = "database({warc(X:long, Y:long, C:long)})."
+    val wedges = (0 until 8).map(i => s"$i,${i + 1},2")
+    def run(prog: String, q: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> "true") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb + prog)
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings(q).toSet, ctx.localIterateMonoRuns)
+    }
+    // division is not exactly replayable task-locally -> fallback
+    val (dv, dvRuns) = run(
+      "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D=D1+C/C. " +
+        "o1(X,min<D>) <- sp(X,D).", "o1(A,D).")
+    assert(dvRuns == 0 && dv.nonEmpty)
+    // non-linear monotonic recursion (two recursive atoms) -> fallback
+    val (nl2, nl2Runs) = run(
+      "sp(X,Y,mmin<D>) <- warc(X,Y,D). " +
+        "sp(X,Z,mmin<D>) <- sp(X,Y,D1), sp(Y,Z,D2), D=D1+D2. " +
+        "o2(X,Y,min<D>) <- sp(X,Y,D).", "o2(A,B,D).")
+    assert(nl2Runs == 0 && nl2.nonEmpty)
+  }
+
+  test("monotonic mmax with filters engages and matches the looped path") {
+    val wdb = "database({warc(X:long, Y:long, C:long)})."
+    // longest path on a DAG with an edge filter C < 9 in the rule body
+    val prog = "lp(X,mmax<D>) <- X=0, D=0. " +
+      "lp(Z,mmax<D>) <- lp(X,D1), warc(X,Z,C), C < 9, D=D1+C. " +
+      "o(X,max<D>) <- lp(X,D)."
+    val wedges = (0 until 10).map(i => s"$i,${i + 1},${i % 3 + 1}") ++
+      Seq("0,5,9", "2,7,8") // the 9-cost shortcut is filtered out
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter) {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb + prog)
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings("o(A,D).").toSet, ctx.localIterateMonoRuns)
+    }
+    val (looped, loopedRuns) = run("false")
+    val (wave, waveRuns) = run("true")
+    assert(loopedRuns == 0 && waveRuns == 1)
+    assert(wave == looped && wave.nonEmpty)
+  }
+
   test("localiterate result feeds downstream strata like any relation") {
     val (rows, runs) = withConf(
       "spark.datalog.recursion.localiterate" -> "true",
