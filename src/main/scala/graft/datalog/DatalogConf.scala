@@ -150,7 +150,20 @@ final case class DatalogConf(
       * 4M): row cap for collecting a static side into the broadcast
       * multimap; a bigger static side bails back to the looped path
       * (the probe is a limit(cap+1) job, never an unbounded collect). */
-    localIterateMaxStaticRows: Long = 1L << 22)
+    localIterateMaxStaticRows: Long = 1L << 22,
+    /** `spark.datalog.recursion.supportlocal` (auto|false, default
+      * auto): evaluate an mcount/msum support fixpoint entirely on the
+      * DRIVER when its seed support and every static relation fit the
+      * local caps (statics ≤1M rows, support ≤2M entries — overflow
+      * bails to the relational loop): support maps and the aggregate
+      * view live in driver memory, rules fire as lowered local steps
+      * from changed groups' aggregate values, aggregates update
+      * incrementally — ZERO scheduled jobs per iteration, against the
+      * relational loop's full-support merge shuffle + job per
+      * iteration. The tiny-fixpoint latency amortization the
+      * non-aggregate paths already get from driver-resident frontiers,
+      * extended to support aggregates. */
+    supportLocal: String = "auto")
 
 object DatalogConf {
 
@@ -294,5 +307,12 @@ object DatalogConf {
         .getOrElse("false").trim.toBoolean,
     localIterateMaxStaticRows =
       spark.conf.get("spark.datalog.recursion.localiterate.maxstaticrows",
-        (1L << 22).toString).toLong)
+        (1L << 22).toString).toLong,
+    supportLocal = {
+      val v = spark.conf.get("spark.datalog.recursion.supportlocal", "auto")
+        .trim.toLowerCase
+      require(Set("auto", "false")(v),
+        s"spark.datalog.recursion.supportlocal must be auto|false, got '$v'")
+      v
+    })
 }

@@ -253,6 +253,9 @@ final class DatalogContext(val spark: SparkSession) {
   def localIterateMonoRuns: Int =
     evaluator.map(_.localIterateMonoRuns).getOrElse(0)
 
+  def supportLocalRuns: Int =
+    evaluator.map(_.supportLocalRuns).getOrElse(0)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)

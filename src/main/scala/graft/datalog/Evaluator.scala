@@ -681,6 +681,201 @@ final class Evaluator(
   /** Counts of monotonic within-task fixpoints run (spec hook). */
   var localIterateMonoRuns: Int = 0
 
+  /** Widen an integral seed to the fixpoint schema: an int-typed
+    * constant seed meets long-typed EDB columns on iteration 1, and
+    * the looped paths absorb that through union coercion across
+    * iterations — the task-/driver-local paths apply it up front by
+    * compiling each recursive rule once against the current seed
+    * (`compileStep`) and widening integral column types until stable.
+    * None for non-integral mixes or compile failures. */
+  private def widenSeedTypes(
+      recRules: Seq[Rule],
+      seed0: DataFrame,
+      compileStep: (Rule, DataFrame) => DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+    def intRank(dt: DataType): Option[Int] = dt match {
+      case org.apache.spark.sql.types.ByteType => Some(1)
+      case org.apache.spark.sql.types.ShortType => Some(2)
+      case IntegerType => Some(3)
+      case LongType => Some(4)
+      case _ => None
+    }
+    var seedW = seed0
+    var stableTypes = false
+    var guard = 0
+    while (!stableTypes && guard < 4) {
+      guard += 1
+      stableTypes = true
+      for (r <- recRules) {
+        val cur = seedW
+        val step =
+          try compileStep(r, cur)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        if (step.schema.length != cur.schema.length) return None
+        val targets = cur.schema.zip(step.schema).map { case (a, b) =>
+          if (a.dataType == b.dataType) a.dataType
+          else (intRank(a.dataType), intRank(b.dataType)) match {
+            case (Some(x), Some(y)) => if (x >= y) a.dataType else b.dataType
+            case _ => return None
+          }
+        }
+        if (targets != cur.schema.map(_.dataType)) {
+          seedW = cur.select(cur.schema.zip(targets).map { case (f, t) =>
+            cur(f.name).cast(t).as(f.name)
+          }.toIndexedSeq: _*)
+          stableTypes = false
+        }
+      }
+    }
+    if (!stableTypes) return None
+    Some(seedW)
+  }
+
+  /** Memoized capped static-relation collects for the local fixpoint
+    * paths: the same (pred, within-atom equalities) is collected once
+    * even when several rules/atoms reference it. */
+  private def staticRowsMemo(maxRows: Long)
+      : (String, Seq[(Int, Int)]) => Option[IndexedSeq[IndexedSeq[Any]]] = {
+    val memo =
+      mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
+    (pred, eqs) =>
+      memo.getOrElseUpdate((pred, eqs), {
+        val df0 = cachedStatic(pred)
+        val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
+          d.filter(d(d.columns(a)) === d(d.columns(b)))
+        }
+        collectCapped(df, maxRows.min(1L << 24).toInt)
+          .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
+      })
+  }
+
+  /** Lower one LINEAR rule body for local evaluation: the single
+    * recursive atom (plain distinct vars, one per column of
+    * `recSchema`) pre-binds env slots 0..arity-1; remaining body items
+    * lower in order — static atoms to multimap probes, `=` on a fresh
+    * variable to an int/long arithmetic assignment, other comparisons
+    * to filters. Returns (steps, variable slots, env slot types, the
+    * expression lowerer for head args), or None on any unsupported
+    * shape. */
+  private def lowerLinearBody(
+      clique: Analysis#Clique,
+      r: Rule,
+      recSchema: org.apache.spark.sql.types.StructType,
+      staticRows: (String, Seq[(Int, Int)]) => Option[IndexedSeq[IndexedSeq[Any]]])
+      : Option[(IndexedSeq[Evaluator.MonoStep],
+          mutable.LinkedHashMap[String, Int],
+          IndexedSeq[org.apache.spark.sql.types.DataType],
+          Expr => Option[(Evaluator.EnvExpr, org.apache.spark.sql.types.DataType)])] = {
+    import Evaluator._
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+
+    def vars(args: Seq[Term], tag: String): Option[Seq[String]] =
+      if (args.forall(a => a.isInstanceOf[Variable] || a == Anon))
+        Some(args.zipWithIndex.map {
+          case (Variable(n), _) => n
+          case (_, i) => s"__anon_${tag}_$i"
+        })
+      else None
+
+    val recAtoms = r.body.collect {
+      case a: BodyAtom if clique.preds(a.pred) => a
+    }
+    if (recAtoms.length != 1) return None
+    val rec = recAtoms.head
+    if (rec.negated) return None
+    val rv = vars(rec.args, "r").getOrElse(return None)
+    if (rv.distinct.length != rv.length || rv.length != recSchema.length)
+      return None
+    val slot = mutable.LinkedHashMap[String, Int]()
+    val envType = mutable.ArrayBuffer[DataType]()
+    rv.zipWithIndex.foreach { case (n, i) =>
+      slot(n) = i; envType += recSchema(i).dataType
+    }
+
+    // Int literals widen against a Long partner; everything else must
+    // match exactly
+    def promote(le: EnvExpr, lt: DataType, re: EnvExpr, rt: DataType)
+        : (EnvExpr, DataType, EnvExpr, DataType) = (le, lt, re, rt) match {
+      case (EnvLit(i: Int), IntegerType, _, LongType) =>
+        (EnvLit(i.toLong), LongType, re, rt)
+      case (_, LongType, EnvLit(i: Int), IntegerType) =>
+        (le, lt, EnvLit(i.toLong), LongType)
+      case _ => (le, lt, re, rt)
+    }
+    def lower(e: Expr): Option[(EnvExpr, DataType)] = e match {
+      case TermExpr(Variable(n)) =>
+        slot.get(n).map(s => (EnvRef(s), envType(s)))
+      case TermExpr(Constant(v)) => v match {
+        case i: Int => Some((EnvLit(i), IntegerType))
+        case l: Long => Some((EnvLit(l), LongType))
+        case s: String => Some((EnvLit(s), StringType))
+        case _ => None
+      }
+      case TermExpr(_) => None
+      case Arith(op, a, b) =>
+        if (op != "+" && op != "-" && op != "*") None
+        else (lower(a), lower(b)) match {
+          case (Some((le0, lt0)), Some((re0, rt0))) =>
+            val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
+            if (lt == rt && (lt == IntegerType || lt == LongType))
+              Some((EnvBin(op, lt == LongType, le, re), lt))
+            else None
+          case _ => None
+        }
+    }
+
+    val steps = mutable.ArrayBuffer[MonoStep]()
+    for (item <- r.body) item match {
+      case a: BodyAtom if a eq rec => () // pre-bound above
+      case a: BodyAtom =>
+        if (a.negated) return None
+        val sv = vars(a.args, s"s${steps.length}").getOrElse(return None)
+        val sSchema = predDF(a.pred).schema
+        if (sv.length != sSchema.length) return None
+        if (!sSchema.forall(f => valueComparable(f.dataType))) return None
+        val keyPos = mutable.Buffer[Int]()
+        val keyEnv = mutable.Buffer[Int]()
+        val binds = mutable.Buffer[(Int, Int)]()
+        val eqs = mutable.Buffer[(Int, Int)]()
+        val newInAtom = mutable.Map[String, Int]()
+        sv.zipWithIndex.foreach { case (n, i) =>
+          slot.get(n) match {
+            case Some(s) if !newInAtom.contains(n) =>
+              if (envType(s) != sSchema(i).dataType) return None
+              keyPos += i; keyEnv += s
+            case _ =>
+              newInAtom.get(n) match {
+                case Some(first) => eqs += ((first, i))
+                case None =>
+                  newInAtom(n) = i
+                  slot(n) = envType.length
+                  envType += sSchema(i).dataType
+                  binds += ((i, slot(n)))
+              }
+          }
+        }
+        val rows = staticRows(a.pred, eqs.toSeq).getOrElse(return None)
+        val table = rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
+        steps += MonoProbe(TaskStep(keyEnv.toSeq, binds.toSeq, table))
+      case Comparison("=", TermExpr(Variable(n)), rhs) if !slot.contains(n) =>
+        val (ex, dt) = lower(rhs).getOrElse(return None)
+        slot(n) = envType.length
+        envType += dt
+        steps += MonoAssign(slot(n), ex)
+      case Comparison(op, lhs, rhs) =>
+        val (le0, lt0) = lower(lhs).getOrElse(return None)
+        val (re0, rt0) = lower(rhs).getOrElse(return None)
+        val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
+        if (lt != rt) return None
+        val ordered = op == "<" || op == "<=" || op == ">" || op == ">="
+        if (ordered && lt != IntegerType && lt != LongType) return None
+        if (!ordered && op != "=" && op != "~=") return None
+        steps += MonoFilter(op, lt == LongType, le, re)
+      case _ => return None
+    }
+    Some((steps.toIndexedSeq, slot, envType.toIndexedSeq, lower))
+  }
+
   /** Within-task local fixpoint for MONOTONIC (mmin/mmax) cliques — the
     * aggregate half of the reference's within-task iteration
     * (FixedPointResultTask.scala:56-103, iterating AggregateSetRDD
@@ -721,172 +916,21 @@ final class Evaluator(
     val seed0 = exits.map(r => RuleCompiler.compile(r, baseResolver))
       .reduce(_ union _)
 
-    // Widen the seed to the fixpoint schema: an int-typed constant seed
-    // meets long-typed EDB columns on iteration 1, and the looped path
-    // absorbs that through union coercion across iterations. Here each
-    // recursive rule compiles once against the current seed; integral
-    // column types widen until stable (non-integral mixes bail).
-    def intRank(dt: DataType): Option[Int] = dt match {
-      case org.apache.spark.sql.types.ByteType => Some(1)
-      case org.apache.spark.sql.types.ShortType => Some(2)
-      case IntegerType => Some(3)
-      case LongType => Some(4)
-      case _ => None
-    }
-    var seedW = seed0
-    var stableTypes = false
-    var guard = 0
-    while (!stableTypes && guard < 4) {
-      guard += 1
-      stableTypes = true
-      for (r <- recRules) {
-        val cur = seedW
-        val step =
-          try RuleCompiler.compile(r,
-            (pred, _) => if (clique.preds(pred)) cur else predDF(pred))
-          catch { case scala.util.control.NonFatal(_) => return None }
-        if (step.schema.length != cur.schema.length) return None
-        val targets = cur.schema.zip(step.schema).map { case (a, b) =>
-          if (a.dataType == b.dataType) a.dataType
-          else (intRank(a.dataType), intRank(b.dataType)) match {
-            case (Some(x), Some(y)) => if (x >= y) a.dataType else b.dataType
-            case _ => return None
-          }
-        }
-        if (targets != cur.schema.map(_.dataType)) {
-          seedW = cur.select(cur.schema.zip(targets).map { case (f, t) =>
-            cur(f.name).cast(t).as(f.name)
-          }.toIndexedSeq: _*)
-          stableTypes = false
-        }
-      }
-    }
-    if (!stableTypes) return None
-    val seed = seedW
+    val seed = widenSeedTypes(recRules, seed0, (r, cur) =>
+      RuleCompiler.compile(r,
+        (pred, _) => if (clique.preds(pred)) cur else predDF(pred)))
+      .getOrElse(return None)
     val schema = seed.schema
     if (!schema.forall(f => valueComparable(f.dataType))) return None
     val aggType = schema(aggIdx).dataType
     val aggLong = aggType == LongType
     if (!aggLong && aggType != IntegerType) return None
 
-    def vars(args: Seq[Term], tag: String): Option[Seq[String]] =
-      if (args.forall(a => a.isInstanceOf[Variable] || a == Anon))
-        Some(args.zipWithIndex.map {
-          case (Variable(n), _) => n
-          case (_, i) => s"__anon_${tag}_$i"
-        })
-      else None
-
-    val staticMemo =
-      mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
-    def staticRows(pred: String, eqs: Seq[(Int, Int)])
-        : Option[IndexedSeq[IndexedSeq[Any]]] =
-      staticMemo.getOrElseUpdate((pred, eqs), {
-        val df0 = cachedStatic(pred)
-        val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
-          d.filter(d(d.columns(a)) === d(d.columns(b)))
-        }
-        collectCapped(df, conf.localIterateMaxStaticRows.min(1L << 24).toInt)
-          .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
-      })
+    val staticRows = staticRowsMemo(conf.localIterateMaxStaticRows)
 
     def parse(r: Rule): Option[MonoRule] = {
-      val recAtoms = r.body.collect {
-        case a: BodyAtom if clique.preds(a.pred) => a
-      }
-      if (recAtoms.length != 1) return None
-      val rec = recAtoms.head
-      if (rec.negated) return None
-      val rv = vars(rec.args, "r").getOrElse(return None)
-      if (rv.distinct.length != rv.length || rv.length != schema.length)
-        return None
-      val slot = mutable.LinkedHashMap[String, Int]()
-      val envType = mutable.ArrayBuffer[DataType]()
-      rv.zipWithIndex.foreach { case (n, i) =>
-        slot(n) = i; envType += schema(i).dataType
-      }
-
-      // Int literals widen against a Long partner; everything else
-      // must match exactly
-      def promote(le: EnvExpr, lt: DataType, re: EnvExpr, rt: DataType)
-          : (EnvExpr, DataType, EnvExpr, DataType) = (le, lt, re, rt) match {
-        case (EnvLit(i: Int), IntegerType, _, LongType) =>
-          (EnvLit(i.toLong), LongType, re, rt)
-        case (_, LongType, EnvLit(i: Int), IntegerType) =>
-          (le, lt, EnvLit(i.toLong), LongType)
-        case _ => (le, lt, re, rt)
-      }
-      def lower(e: Expr): Option[(EnvExpr, DataType)] = e match {
-        case TermExpr(Variable(n)) =>
-          slot.get(n).map(s => (EnvRef(s), envType(s)))
-        case TermExpr(Constant(v)) => v match {
-          case i: Int => Some((EnvLit(i), IntegerType))
-          case l: Long => Some((EnvLit(l), LongType))
-          case s: String => Some((EnvLit(s), StringType))
-          case _ => None
-        }
-        case TermExpr(_) => None
-        case Arith(op, a, b) =>
-          if (op != "+" && op != "-" && op != "*") None
-          else (lower(a), lower(b)) match {
-            case (Some((le0, lt0)), Some((re0, rt0))) =>
-              val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
-              if (lt == rt && (lt == IntegerType || lt == LongType))
-                Some((EnvBin(op, lt == LongType, le, re), lt))
-              else None
-            case _ => None
-          }
-      }
-
-      val steps = mutable.ArrayBuffer[MonoStep]()
-      for (item <- r.body) item match {
-        case a: BodyAtom if a eq rec => () // pre-bound above
-        case a: BodyAtom =>
-          if (a.negated) return None
-          val sv = vars(a.args, s"s${steps.length}").getOrElse(return None)
-          val sSchema = predDF(a.pred).schema
-          if (sv.length != sSchema.length) return None
-          if (!sSchema.forall(f => valueComparable(f.dataType))) return None
-          val keyPos = mutable.Buffer[Int]()
-          val keyEnv = mutable.Buffer[Int]()
-          val binds = mutable.Buffer[(Int, Int)]()
-          val eqs = mutable.Buffer[(Int, Int)]()
-          val newInAtom = mutable.Map[String, Int]()
-          sv.zipWithIndex.foreach { case (n, i) =>
-            slot.get(n) match {
-              case Some(s) if !newInAtom.contains(n) =>
-                if (envType(s) != sSchema(i).dataType) return None
-                keyPos += i; keyEnv += s
-              case _ =>
-                newInAtom.get(n) match {
-                  case Some(first) => eqs += ((first, i))
-                  case None =>
-                    newInAtom(n) = i
-                    slot(n) = envType.length
-                    envType += sSchema(i).dataType
-                    binds += ((i, slot(n)))
-                }
-            }
-          }
-          val rows = staticRows(a.pred, eqs.toSeq).getOrElse(return None)
-          val table = rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
-          steps += MonoProbe(TaskStep(keyEnv.toSeq, binds.toSeq, table))
-        case Comparison("=", TermExpr(Variable(n)), rhs) if !slot.contains(n) =>
-          val (ex, dt) = lower(rhs).getOrElse(return None)
-          slot(n) = envType.length
-          envType += dt
-          steps += MonoAssign(slot(n), ex)
-        case Comparison(op, lhs, rhs) =>
-          val (le0, lt0) = lower(lhs).getOrElse(return None)
-          val (re0, rt0) = lower(rhs).getOrElse(return None)
-          val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
-          if (lt != rt) return None
-          val ordered = op == "<" || op == "<=" || op == ">" || op == ">="
-          if (ordered && lt != IntegerType && lt != LongType) return None
-          if (!ordered && op != "=" && op != "~=") return None
-          steps += MonoFilter(op, lt == LongType, le, re)
-        case _ => return None
-      }
+      val (steps, slot, envType, _) =
+        lowerLinearBody(clique, r, schema, staticRows).getOrElse(return None)
 
       val group = mutable.ArrayBuffer[Int]()
       var aggSlot = -1
@@ -2005,6 +2049,169 @@ final class Evaluator(
     * recursive rules read the predicate as (group…, aggregate-value) —
     * so DAG path counting (`cp(Y, msum<(X,C)>) <- cp(X,C), arc(X,Y)`)
     * converges to the true counts in topological waves. */
+  /** Counts of driver-resident support fixpoints run (spec hook). */
+  var supportLocalRuns: Int = 0
+
+  /** Driver-resident support-set fixpoint for mcount/msum cliques
+    * (`spark.datalog.recursion.supportlocal`, default auto): when the
+    * seed support and every static relation fit driver caps, the
+    * support maps (group → key → max contribution) and the aggregate
+    * view live in driver memory, rules fire as lowered local steps
+    * from changed groups' aggregate values, and aggregates update
+    * INCREMENTALLY (O(1) per support improvement) — zero scheduled
+    * jobs per iteration, against the relational loop's full-support
+    * merge shuffle + job per iteration. The tiny-fixpoint latency
+    * amortization the non-aggregate paths get from driver-resident
+    * frontiers (r06), extended to support aggregates. Updated
+    * aggregate values become visible within the round (Gauss-Seidel);
+    * the inflationary max-merge fixpoint is schedule-independent, so
+    * this converges to the relational loop's exact state. Caps:
+    * statics ≤1M rows (memoized limit-probed collects), support ≤2M
+    * entries — a mid-loop overflow bails to the relational path (its
+    * work is redone there; driver memory stays bounded). Returns None
+    * on any ineligible shape or cap overflow. */
+  private def driverSupportFixpoint(
+      clique: Analysis#Clique,
+      p: String,
+      aggIdx: Int,
+      isCount: Boolean,
+      groupIdxs: Seq[Int],
+      supportRule: Rule => Rule,
+      aggView: DataFrame => DataFrame): Option[DataFrame] = {
+    import Evaluator._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val recRules = clique.recursiveRules(p)
+    val exits = clique.exitRules(p)
+    if (recRules.isEmpty || exits.isEmpty) return None
+
+    val supSeed0 = exits
+      .map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+      .reduce(_ union _)
+    // widen against one derivation step, with the recursive atom bound
+    // to the aggregate VIEW of the current seed (what the rules read)
+    val supSeed = widenSeedTypes(recRules, supSeed0, (r, cur) =>
+      RuleCompiler.compile(supportRule(r),
+        (pred, _) => if (clique.preds(pred)) aggView(cur) else predDF(pred)))
+      .getOrElse(return None)
+    val supSchema = supSeed.schema
+    if (!supSchema.forall(f => valueComparable(f.dataType))) return None
+    val nG = groupIdxs.length
+    val vType = supSchema(nG + 1).dataType
+    if (vType != IntegerType && vType != LongType) return None
+    val recSchema = aggView(supSeed).schema
+    if (!recSchema.forall(f => valueComparable(f.dataType))) return None
+    // count()/sum() emit LongType; anything else (decimal sums) bails
+    if (recSchema(aggIdx).dataType != LongType) return None
+
+    val staticRows = staticRowsMemo(1L << 20)
+    case class SupRule(envSize: Int, steps: IndexedSeq[MonoStep],
+        heads: IndexedSeq[EnvExpr])
+    def parse(r: Rule): Option[SupRule] = {
+      val sr = supportRule(r)
+      val (steps, _, envType, lower) =
+        lowerLinearBody(clique, sr, recSchema, staticRows).getOrElse(return None)
+      val heads = sr.head.args.zipWithIndex.map {
+        case (PlainArg(e), i) =>
+          val (ex0, dt0) = lower(e).getOrElse(return None)
+          val (ex, dt) = (ex0, dt0) match {
+            case (EnvLit(x: Int), IntegerType)
+                if supSchema(i).dataType == LongType =>
+              (EnvLit(x.toLong), LongType)
+            case other => other
+          }
+          if (dt != supSchema(i).dataType) return None
+          ex
+        case _ => return None
+      }.toIndexedSeq
+      Some(SupRule(envType.length, steps, heads))
+    }
+    val rulesOpt = recRules.map(parse)
+    if (rulesOpt.exists(_.isEmpty)) return None
+    val rules = rulesOpt.flatten
+
+    val seedRows = collectCapped(supSeed, 1 << 20).getOrElse(return None)
+
+    supportLocalRuns += 1
+    val supportCap = 1L << 21
+    val support =
+      mutable.HashMap[IndexedSeq[Any], java.util.HashMap[Any, Any]]()
+    val agg = mutable.HashMap[IndexedSeq[Any], Long]()
+    var entries = 0L
+    var dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
+    def lv(x: Any): Long = x.asInstanceOf[Number].longValue
+    def insert(g: IndexedSeq[Any], k: Any, v: Any): Unit = {
+      val m = support.getOrElseUpdate(g, new java.util.HashMap[Any, Any]())
+      val old = m.get(k)
+      if (old == null) {
+        m.put(k, v); entries += 1
+        agg(g) = Math.addExact(agg.getOrElse(g, 0L),
+          if (isCount) 1L else lv(v))
+        dirty += g
+      } else if (!isCount && lv(v) > lv(old)) {
+        m.put(k, v)
+        agg(g) = Math.addExact(agg(g), lv(v) - lv(old))
+        dirty += g
+      }
+    }
+    seedRows.foreach { r =>
+      val s = r.toSeq.toIndexedSeq
+      insert(s.take(nG), s(nG), s(nG + 1))
+    }
+
+    // head position → index into the group tuple (-1 at aggIdx)
+    val posToGroup = recSchema.indices.map(i => groupIdxs.indexOf(i))
+    var frontier = dirty
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > maxIterations)
+        throw new EvalException(
+          s"support fixpoint exceeded $maxIterations iterations")
+      if (entries > supportCap) return None
+      dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
+      val statT0 = System.nanoTime()
+      for (g <- frontier) {
+        val a = agg(g)
+        rules.foreach { sr =>
+          val env = new Array[Any](sr.envSize)
+          var i = 0
+          while (i < recSchema.length) {
+            env(i) = if (i == aggIdx) Long.box(a) else g(posToGroup(i))
+            i += 1
+          }
+          def go(j: Int): Unit =
+            if (j == sr.steps.length) {
+              val out = sr.heads.map(h => evalEnvExpr(h, env))
+              insert(out.take(nG), out(nG), out(nG + 1))
+            } else sr.steps(j) match {
+              case MonoProbe(st) =>
+                st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
+                  .foreach(_.foreach { srow =>
+                    st.binds.foreach { case (pos, s2) => env(s2) = srow(pos) }
+                    go(j + 1)
+                  })
+              case MonoAssign(s2, ex) =>
+                env(s2) = evalEnvExpr(ex, env)
+                go(j + 1)
+              case f: MonoFilter =>
+                if (evalMonoFilter(f, env)) go(j + 1)
+            }
+          go(0)
+        }
+      }
+      recordStat(p, rounds, entries, statT0)
+      frontier = dirty
+    }
+
+    import scala.jdk.CollectionConverters._
+    val outRows = agg.iterator.map { case (g, a) =>
+      org.apache.spark.sql.Row.fromSeq(recSchema.indices.map(i =>
+        if (i == aggIdx) Long.box(a) else g(posToGroup(i))))
+    }.toSeq
+    Some(spark.createDataFrame(outRows.asJava, recSchema))
+  }
+
   private def evalSupportClique(
       clique: Analysis#Clique, p: String, aggIdx: Int): Unit = {
     val rules = analysis.rulesFor(p)
@@ -2070,6 +2277,18 @@ final class Evaluator(
       evalSupportCopart(clique, p, gCols, kCol, vCol,
         groupIdxs.map(i => s"c$i"), supportRule, aggView)
       return
+    }
+    // Driver-resident path (auto): tiny support fixpoints run with no
+    // scheduled jobs at all; any ineligibility or cap overflow falls
+    // through to the relational loop below.
+    if (conf.supportLocal != "false") {
+      driverSupportFixpoint(clique, p, aggIdx, isCount, groupIdxs,
+          supportRule, aggView) match {
+        case Some(df) =>
+          memo(p) = df
+          return
+        case None => ()
+      }
     }
     var supportCkpt = materialize(
       mergeMax(exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))

@@ -17,7 +17,11 @@ object ScratchAB {
     import org.apache.spark.sql.functions.sum
     spark.range(2000000).selectExpr("id % 97 as k", "id as v")
       .groupBy("k").agg(sum("v")).count()
-    for (name <- args; rep <- 1 to 2) {
+    val (confs, names) = args.partition(_.contains("="))
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    }
+    for (name <- names; rep <- 1 to 2) {
       val snap = graft.queries.PackResources.snapshot()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -125,6 +125,34 @@ class SupportAggSpec extends DatalogSuite {
     }
   }
 
+  test("driver-resident support path (supportlocal=auto) engages and " +
+      "matches the relational loop") {
+    def run(local: String, prog: String, q: String): (Set[String], Int) =
+      withConf("spark.datalog.recursion.supportlocal" -> local) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + prog)
+        ctx.registerData("arc", Fixtures.graph1b)
+        val r = ctx.queryStrings(q).toSet
+        val runs = ctx.supportLocalRuns
+        ctx.close()
+        (r, runs)
+      }
+    val msum =
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+        "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y)."
+    val mcount =
+      "nb(X, mcount<S>) <- X=0, S= -1. " +
+        "nb(Y, mcount<X>) <- nb(X, _), arc(X, Y)."
+    for ((prog, q) <- Seq(msum -> "cp(N, C).", mcount -> "nb(N, C).")) {
+      val (relational, relRuns) = run("false", prog, q)
+      val (driver, drvRuns) = run("auto", prog, q)
+      assert(relRuns == 0 && drvRuns == 1,
+        s"driver support path engagement wrong for: $q ($relRuns, $drvRuns)")
+      assert(driver == relational && driver.nonEmpty,
+        s"driver support path diverged for: $q")
+    }
+  }
+
   test("support copart iterations shuffle only the delta-sized candidate agg") {
     withConf(
       "spark.datalog.recursion.copartition.enabled" -> "true",
