@@ -277,6 +277,28 @@ object DatalogQueries extends QueryPack {
       c.query("apsp(A,B,C).")
     }),
 
+    // APSP under the monotonic within-task fixpoint — the MULTI-SEED
+    // case where the seed-decomposed local Bellman-Ford actually
+    // parallelizes: every edge seeds, seeds partition on the source
+    // key, and each task closes ITS sources' distance maps over the
+    // broadcast arc multimap; one (src,dst)-keyed min merge finishes.
+    // Distinct predicate names keep the context memo separate.
+    "dl_apsp_localiter" -> ((s, dir) => {
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "mminpathal(X,Y,mmin<C>) <- arc(X,Y,C). " +
+            "mminpathal(X,Z,mmin<D>) <- mminpathal(X,Y,D1), arc(Y,Z,C), D=D1+C. " +
+            "apspl(X,Y,min<D>) <- mminpathal(X,Y,D).")
+        c.query("apspl(A,B,C).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Triangle counting (reference benchmark program 71): 3-way self-join
     // with inequality filters + count aggregate, on a dedicated
     // triple-group edge relation derived from customer keys.
@@ -401,6 +423,15 @@ object DatalogQueries extends QueryPack {
     val ccSql =
       s"""SELECT CAST(c_custkey AS BIGINT) AS a,
           CAST(c_custkey - (c_custkey % $B) AS BIGINT) AS b FROM customer"""
+    val apspSql =
+      s"""WITH RECURSIVE $arcSql,
+          p(x,y,d) AS (
+            SELECT src, dst, cost FROM arc
+            UNION
+            SELECT p.x, arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.y)
+          SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b,
+                 CAST(min(d) AS BIGINT) AS c
+          FROM p GROUP BY x, y"""
     val ssspSql =
       s"""WITH RECURSIVE $arcSql,
           p(n,d) AS (
@@ -456,15 +487,9 @@ object DatalogQueries extends QueryPack {
               UNION
               SELECT arc.dst, 1 - r.p FROM r JOIN arc ON arc.src = r.x)
             SELECT DISTINCT x AS a FROM r WHERE p = 0""",
-      "dl_apsp" ->
-        s"""WITH RECURSIVE $arcSql,
-            p(x,y,d) AS (
-              SELECT src, dst, cost FROM arc
-              UNION
-              SELECT p.x, arc.dst, p.d + arc.cost FROM p JOIN arc ON arc.src = p.y)
-            SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b,
-                   CAST(min(d) AS BIGINT) AS c
-            FROM p GROUP BY x, y""",
+      "dl_apsp" -> apspSql,
+      // same program, evaluated by the monotonic within-task fixpoint
+      "dl_apsp_localiter" -> apspSql,
       "dl_triangles" ->
         """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
            e AS (

@@ -216,6 +216,27 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(waveJobs <= 10, s"expected a single task wave, saw $waveJobs jobs")
   }
 
+  test("monotonic multi-seed APSP (every edge seeds) engages and matches") {
+    val wdb = "database({warc(X:long, Y:long, C:long)})."
+    val prog = "ap(X,Y,mmin<C>) <- warc(X,Y,C). " +
+      "ap(X,Z,mmin<D>) <- ap(X,Y,D1), warc(Y,Z,C), D=D1+C. " +
+      "o(X,Y,min<D>) <- ap(X,Y,D)."
+    // two chains + a costly shortcut; seeds land in many partitions
+    val wedges = (0 until 12).map(i => s"$i,${i + 1},2") ++
+      (0 until 10).map(i => s"${i + 50},${i + 51},5") ++ Seq("0,5,20")
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter) {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb + prog)
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings("o(A,B,D).").toSet, ctx.localIterateMonoRuns)
+    }
+    val (looped, loopedRuns) = run("false")
+    val (wave, waveRuns) = run("true")
+    assert(loopedRuns == 0 && waveRuns == 1)
+    assert(wave == looped && wave.nonEmpty)
+  }
+
   test("monotonic ineligible shapes fall back to the looped paths") {
     val wdb = "database({warc(X:long, Y:long, C:long)})."
     val wedges = (0 until 8).map(i => s"$i,${i + 1},2")
