@@ -397,22 +397,36 @@ object EmbeddingQueries extends QueryPack {
     // representative (smallest vec_id). Same composition as
     // txt_neardup_groups; the pair pass is shared with emb_neardup via
     // the checkpoint memo.
-    "emb_neardup_groups" -> ((s, dir) =>
-      PackResources.context(s, dir, "emb_neardup_groups")({
-        val pairs = PackResources.checkpoint(s, dir, "emb_neardup_pairs")(
-          embNeardupPairs(s, dir).select(col("v1"), col("v2")))
-        val c = new graft.datalog.DatalogContext(s)
-        c.loadProgram(
-          "database({nd_e(X:long, Y:long), nd_n(X:long)}). " +
-            "lbl(X, mmin<X>) <- nd_n(X). " +
-            "lbl(Y, mmin<L>) <- lbl(X, L), nd_e(X, Y). " +
-            "grp(X, min<L>) <- lbl(X, L).")
-        c.registerTable("nd_e",
-          pairs.union(pairs.select(col("v2"), col("v1"))))
-        c.registerTable("nd_n",
-          pairs.select(col("v1")).union(pairs.select(col("v2"))).distinct())
-        c
-      }).query("grp(V, G).")),
+    "emb_neardup_groups" -> ((s, dir) => {
+      // localiterate (r10): the mmin label-propagation clique is
+      // exactly the monotonic within-task shape — the component
+      // fixpoint runs as ONE wave over the broadcast (tiny, verified)
+      // pair graph instead of O(component diameter) scheduled jobs;
+      // ineligible/oversized graphs fall back to the looped path
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        PackResources.context(s, dir, "emb_neardup_groups")({
+          val pairs = PackResources.checkpoint(s, dir, "emb_neardup_pairs")(
+            embNeardupPairs(s, dir).select(col("v1"), col("v2")))
+          val c = new graft.datalog.DatalogContext(s)
+          c.loadProgram(
+            "database({nd_e(X:long, Y:long), nd_n(X:long)}). " +
+              "lbl(X, mmin<X>) <- nd_n(X). " +
+              "lbl(Y, mmin<L>) <- lbl(X, L), nd_e(X, Y). " +
+              "grp(X, min<L>) <- lbl(X, L).")
+          c.registerTable("nd_e",
+            pairs.union(pairs.select(col("v2"), col("v1"))))
+          c.registerTable("nd_n",
+            pairs.select(col("v1")).union(pairs.select(col("v2"))).distinct())
+          c
+        }).query("grp(V, G).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
 
     // Per-label centroids (IVF coarse quantizer building block), kept as
     // exact integer sums per dimension.

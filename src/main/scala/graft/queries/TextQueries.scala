@@ -294,22 +294,34 @@ object TextQueries extends QueryPack {
     // context is memoized per (session, dir) like the other packs —
     // repeated gate runs reuse one fixpoint instead of leaking
     // persisted blocks.
-    "txt_neardup_groups" -> ((s, dir) =>
-      PackResources.context(s, dir, "txt_neardup_groups")({
-        val pairs = PackResources.checkpoint(s, dir, "txt_neardup_pairs")(
-          lshPairs(s, dir).select(col("d1"), col("d2")))
-        val c = new graft.datalog.DatalogContext(s)
-        c.loadProgram(
-          "database({neardup_e(X:long, Y:long), neardup_n(X:long)}). " +
-            "lbl(X, mmin<X>) <- neardup_n(X). " +
-            "lbl(Y, mmin<L>) <- lbl(X, L), neardup_e(X, Y). " +
-            "grp(X, min<L>) <- lbl(X, L).")
-        c.registerTable("neardup_e",
-          pairs.union(pairs.select(col("d2"), col("d1"))))
-        c.registerTable("neardup_n",
-          pairs.select(col("d1")).union(pairs.select(col("d2"))).distinct())
-        c
-      }).query("grp(D, G).")),
+    "txt_neardup_groups" -> ((s, dir) => {
+      // localiterate (r10): see emb_neardup_groups — the component
+      // fixpoint is the monotonic within-task shape, one wave over the
+      // broadcast verified-pair graph instead of per-round jobs
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        PackResources.context(s, dir, "txt_neardup_groups")({
+          val pairs = PackResources.checkpoint(s, dir, "txt_neardup_pairs")(
+            lshPairs(s, dir).select(col("d1"), col("d2")))
+          val c = new graft.datalog.DatalogContext(s)
+          c.loadProgram(
+            "database({neardup_e(X:long, Y:long), neardup_n(X:long)}). " +
+              "lbl(X, mmin<X>) <- neardup_n(X). " +
+              "lbl(Y, mmin<L>) <- lbl(X, L), neardup_e(X, Y). " +
+              "grp(X, min<L>) <- lbl(X, L).")
+          c.registerTable("neardup_e",
+            pairs.union(pairs.select(col("d2"), col("d1"))))
+          c.registerTable("neardup_n",
+            pairs.select(col("d1")).union(pairs.select(col("d2"))).distinct())
+          c
+        }).query("grp(D, G).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
 
     // n-gram Jaccard near-dup with first-token blocking (cheap blocked
     // pairwise compare; blocks are vocabulary-sized, not corpus-sized).
