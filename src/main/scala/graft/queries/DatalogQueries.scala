@@ -234,6 +234,21 @@ object DatalogQueries extends QueryPack {
       }
     }),
 
+    // Longest path from node 0 over the UPWARD edge subgraph (X < Y
+    // keeps it a DAG, so the max-accumulating fixpoint terminates) —
+    // the mmax gate: the oracle-verified counterpart of the
+    // mmax-vs-mmin algebra the specs exercise. The derived static
+    // `arcup` also exercises a comparison-filtered non-recursive
+    // predicate feeding a monotonic clique.
+    "dl_longpath_mmax" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "arcup(X,Y,C) <- arc(X,Y,C), X < Y. " +
+          "wp(X,mmax<D>) <- X=0, D=0. " +
+          "wp(Y,mmax<D>) <- wp(X,D1), arcup(X,Y,C), D=D1+C. " +
+          "longest(X,max<D>) <- wp(X,D).")
+      c.query("longest(A,D).")
+    }),
+
     // Connected components via mmin label propagation (program 41) over
     // the symmetric edge relation; components = blocks of 16.
     "dl_cc" -> ((s, dir) =>
@@ -469,6 +484,15 @@ object DatalogQueries extends QueryPack {
               SELECT a1.dst, a2.dst
               FROM sg JOIN arc a1 ON a1.src = sg.x JOIN arc a2 ON a2.src = sg.y)
             SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b FROM sg""",
+      "dl_longpath_mmax" ->
+        s"""WITH RECURSIVE $arcSql,
+            up AS (SELECT src, dst, cost FROM arc WHERE src < dst),
+            p(n,d) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT up.dst, p.d + up.cost FROM p JOIN up ON up.src = p.n)
+            SELECT CAST(n AS BIGINT) AS a, CAST(max(d) AS BIGINT) AS d
+            FROM p GROUP BY n""",
       "dl_sssp" -> ssspSql,
       // same program, evaluated by the monotonic within-task fixpoint
       "dl_sssp_localiter" -> ssspSql,
