@@ -163,7 +163,12 @@ final case class DatalogConf(
       * iteration. The tiny-fixpoint latency amortization the
       * non-aggregate paths already get from driver-resident frontiers,
       * extended to support aggregates. */
-    supportLocal: String = "auto")
+    supportLocal: String = "auto",
+    /** `spark.datalog.recursion.supportlocal.maxentries` (default
+      * 2M): driver support-map entry ceiling — a mid-loop overflow
+      * bails to the relational path (work is redone there; driver
+      * memory stays bounded). */
+    supportLocalMaxEntries: Long = 1L << 21)
 
 object DatalogConf {
 
@@ -314,5 +319,8 @@ object DatalogConf {
       require(Set("auto", "false")(v),
         s"spark.datalog.recursion.supportlocal must be auto|false, got '$v'")
       v
-    })
+    },
+    supportLocalMaxEntries =
+      spark.conf.get("spark.datalog.recursion.supportlocal.maxentries",
+        (1L << 21).toString).toLong)
 }

@@ -2133,7 +2133,7 @@ final class Evaluator(
     val seedRows = collectCapped(supSeed, 1 << 20).getOrElse(return None)
 
     supportLocalRuns += 1
-    val supportCap = 1L << 21
+    val supportCap = conf.supportLocalMaxEntries
     val support =
       mutable.HashMap[IndexedSeq[Any], java.util.HashMap[Any, Any]]()
     val agg = mutable.HashMap[IndexedSeq[Any], Long]()

@@ -153,6 +153,32 @@ class SupportAggSpec extends DatalogSuite {
     }
   }
 
+  test("supportlocal overflow bails mid-loop to the relational path") {
+    val prog =
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+        "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y)."
+    def run(kvs: (String, String)*): (Set[String], Int) =
+      withConf(kvs: _*) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + prog)
+        ctx.registerData("arc", Fixtures.graph1b)
+        val r = ctx.queryStrings("cp(N, C).").toSet
+        val runs = ctx.supportLocalRuns
+        ctx.close()
+        (r, runs)
+      }
+    val (relational, _) =
+      run("spark.datalog.recursion.supportlocal" -> "false")
+    // a 4-entry ceiling: the driver path engages, overflows mid-loop,
+    // and the relational loop must still produce the exact fixpoint
+    val (bailed, bailedRuns) = run(
+      "spark.datalog.recursion.supportlocal" -> "auto",
+      "spark.datalog.recursion.supportlocal.maxentries" -> "4")
+    assert(bailedRuns == 1, "driver path never engaged before the bail")
+    assert(bailed == relational && bailed.nonEmpty,
+      "overflow bail diverged from the relational loop")
+  }
+
   test("support copart iterations shuffle only the delta-sized candidate agg") {
     withConf(
       "spark.datalog.recursion.copartition.enabled" -> "true",
