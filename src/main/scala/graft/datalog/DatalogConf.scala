@@ -168,7 +168,18 @@ final case class DatalogConf(
       * 2M): driver support-map entry ceiling — a mid-loop overflow
       * bails to the relational path (work is redone there; driver
       * memory stays bounded). */
-    supportLocalMaxEntries: Long = 1L << 21)
+    supportLocalMaxEntries: Long = 1L << 21,
+    /** `spark.datalog.recursion.monotoniclocal` (auto|false, default
+      * auto): evaluate an mmin/mmax fixpoint entirely on the DRIVER
+      * when its seed and every static relation fit the local caps —
+      * the `supportlocal` treatment for plain monotonic aggregates:
+      * state (group → best value) in driver memory, rules as lowered
+      * local steps, zero scheduled jobs per iteration. Overflow of
+      * `maxentries` bails to the looped paths. */
+    monotonicLocal: String = "auto",
+    /** `spark.datalog.recursion.monotoniclocal.maxentries` (default
+      * 2M): driver aggregate-state entry ceiling for the bail. */
+    monotonicLocalMaxEntries: Long = 1L << 21)
 
 object DatalogConf {
 
@@ -322,5 +333,15 @@ object DatalogConf {
     },
     supportLocalMaxEntries =
       spark.conf.get("spark.datalog.recursion.supportlocal.maxentries",
+        (1L << 21).toString).toLong,
+    monotonicLocal = {
+      val v = spark.conf.get("spark.datalog.recursion.monotoniclocal", "auto")
+        .trim.toLowerCase
+      require(Set("auto", "false")(v),
+        s"spark.datalog.recursion.monotoniclocal must be auto|false, got '$v'")
+      v
+    },
+    monotonicLocalMaxEntries =
+      spark.conf.get("spark.datalog.recursion.monotoniclocal.maxentries",
         (1L << 21).toString).toLong)
 }

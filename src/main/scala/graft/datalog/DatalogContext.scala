@@ -256,6 +256,9 @@ final class DatalogContext(val spark: SparkSession) {
   def supportLocalRuns: Int =
     evaluator.map(_.supportLocalRuns).getOrElse(0)
 
+  def monotonicLocalRuns: Int =
+    evaluator.map(_.monotonicLocalRuns).getOrElse(0)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)

@@ -900,16 +900,20 @@ final class Evaluator(
     * seeds, bounded by the broadcast static size the collect cap
     * already limits. Returns None on any ineligible shape — the
     * caller falls back to the looped monotonic paths. */
-  private def localIterateMonotonic(
+  /** Shared prologue of the task-local and driver-local monotonic
+    * paths: compile + widen the seed, check the schema and aggregate
+    * type, and lower every recursive rule to a `MonoRule`. Returns
+    * (widened seed, schema, lowered rules, agg-is-long), or None on
+    * any ineligible shape. */
+  private def lowerMonotonicClique(
       clique: Analysis#Clique,
       p: String,
-      isMin: Boolean,
       aggIdx: Int,
-      reAgg: DataFrame => DataFrame): Option[DataFrame] = {
+      maxStaticRows: Long)
+      : Option[(DataFrame, org.apache.spark.sql.types.StructType,
+          IndexedSeq[Evaluator.MonoRule], Boolean)] = {
     import Evaluator._
-    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
-    val spark = org.apache.spark.sql.SparkSession.active
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val recRules = clique.recursiveRules(p)
     val exits = clique.exitRules(p)
     if (recRules.isEmpty || exits.isEmpty) return None
@@ -926,7 +930,7 @@ final class Evaluator(
     val aggLong = aggType == LongType
     if (!aggLong && aggType != IntegerType) return None
 
-    val staticRows = staticRowsMemo(conf.localIterateMaxStaticRows)
+    val staticRows = staticRowsMemo(maxStaticRows)
 
     def parse(r: Rule): Option[MonoRule] = {
       val (steps, slot, envType, _) =
@@ -955,7 +959,126 @@ final class Evaluator(
 
     val rulesOpt = recRules.map(parse)
     if (rulesOpt.exists(_.isEmpty)) return None
-    val rules = rulesOpt.flatten.toIndexedSeq
+    Some((seed, schema, rulesOpt.flatten.toIndexedSeq, aggLong))
+  }
+
+  /** Counts of driver-resident monotonic fixpoints run (spec hook). */
+  var monotonicLocalRuns: Int = 0
+
+  /** Driver-resident mmin/mmax fixpoint
+    * (`spark.datalog.recursion.monotoniclocal`, default auto): when
+    * the seed and every static relation fit driver caps, the aggregate
+    * state (group → best value) lives in driver memory and rules fire
+    * as lowered local steps from improved groups — ZERO scheduled jobs
+    * per iteration, against the looped paths' merge job(s) per
+    * iteration. The supportlocal treatment applied to plain monotonic
+    * aggregates: at gate scale these fixpoints (SSSP, CC, APSP) are
+    * job-latency-bound, not shuffle-bound. Improved values are visible
+    * within the round (Gauss-Seidel); the inflationary min/max-merge
+    * fixpoint is schedule-independent, so this converges to the looped
+    * paths' exact state. A mid-loop overflow of
+    * `monotoniclocal.maxentries` bails to the looped paths (work is
+    * redone there; driver memory stays bounded). */
+  private def driverMonotonicFixpoint(
+      clique: Analysis#Clique,
+      p: String,
+      isMin: Boolean,
+      aggIdx: Int): Option[DataFrame] = {
+    import Evaluator._
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (seed, schema, rules, aggLong) =
+      lowerMonotonicClique(clique, p, aggIdx, 1L << 20)
+        .getOrElse(return None)
+    val cap = conf.monotonicLocalMaxEntries
+    val seedRows =
+      collectCapped(seed, cap.min(1L << 24).toInt).getOrElse(return None)
+
+    monotonicLocalRuns += 1
+    val groupIdxs = schema.indices.filterNot(_ == aggIdx).toIndexedSeq
+    val posToGroup = schema.indices.map(i => groupIdxs.indexOf(i))
+    def better(a: Any, b: Any): Boolean = {
+      val c =
+        if (aggLong) java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])
+        else java.lang.Integer.compare(
+          a.asInstanceOf[Int], b.asInstanceOf[Int])
+      if (isMin) c < 0 else c > 0
+    }
+    val best = mutable.HashMap[IndexedSeq[Any], Any]()
+    var dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
+    def offer(g: IndexedSeq[Any], v: Any): Unit =
+      best.get(g) match {
+        case Some(old) if !better(v, old) => ()
+        case _ => best(g) = v; dirty += g
+      }
+    seedRows.foreach { r =>
+      val s = r.toSeq.toIndexedSeq
+      offer(groupIdxs.map(s), s(aggIdx))
+    }
+
+    var frontier = dirty
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > maxIterations)
+        throw new EvalException(
+          s"aggregate fixpoint exceeded $maxIterations iterations")
+      if (best.size > cap) return None
+      dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
+      val statT0 = System.nanoTime()
+      for (g <- frontier) {
+        // current value at fire time: a same-round improvement simply
+        // re-marks the group and refires next round
+        val v = best(g)
+        rules.foreach { mr =>
+          val env = new Array[Any](mr.envSize)
+          var i = 0
+          while (i < schema.length) {
+            env(i) = if (i == aggIdx) v else g(posToGroup(i))
+            i += 1
+          }
+          def go(j: Int): Unit =
+            if (j == mr.steps.length)
+              offer(mr.group.map(env), env(mr.aggSlot))
+            else mr.steps(j) match {
+              case MonoProbe(st) =>
+                st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
+                  .foreach(_.foreach { srow =>
+                    st.binds.foreach { case (pos, s2) => env(s2) = srow(pos) }
+                    go(j + 1)
+                  })
+              case MonoAssign(s2, ex) =>
+                env(s2) = evalEnvExpr(ex, env)
+                go(j + 1)
+              case f: MonoFilter =>
+                if (evalMonoFilter(f, env)) go(j + 1)
+            }
+          go(0)
+        }
+      }
+      recordStat(p, rounds, best.size.toLong, statT0)
+      frontier = dirty
+    }
+
+    import scala.jdk.CollectionConverters._
+    val outRows = best.iterator.map { case (g, v) =>
+      org.apache.spark.sql.Row.fromSeq(schema.indices.map(i =>
+        if (i == aggIdx) v else g(posToGroup(i))))
+    }.toSeq
+    Some(spark.createDataFrame(outRows.asJava, schema))
+  }
+
+  private def localIterateMonotonic(
+      clique: Analysis#Clique,
+      p: String,
+      isMin: Boolean,
+      aggIdx: Int,
+      reAgg: DataFrame => DataFrame): Option[DataFrame] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (seed, schema, rules, aggLong) =
+      lowerMonotonicClique(clique, p, aggIdx, conf.localIterateMaxStaticRows)
+        .getOrElse(return None)
 
     // ---- one task wave of local value-improving fixpoints
     localIterateMonoRuns += 1
@@ -1849,6 +1972,17 @@ final class Evaluator(
     if (groupCols.nonEmpty && copartitionEnabled(stablePivot = false)) {
       evalMonotonicCopart(clique, p, isMin, groupCols, aggCol, headOrder, reAgg)
       return
+    }
+    // Driver-resident path (auto): tiny monotonic fixpoints run with
+    // no scheduled jobs per iteration; any ineligibility or cap
+    // overflow falls through to the looped path below.
+    if (conf.monotonicLocal != "false") {
+      driverMonotonicFixpoint(clique, p, isMin, aggIdx) match {
+        case Some(df) =>
+          memo(p) = df
+          return
+        case None => ()
+      }
     }
     var state = materialize(reAgg(
       exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _)))._1

@@ -140,4 +140,42 @@ class AggOverRecursionDatalogSpec extends DatalogSuite {
       Map("arc" -> Fixtures.graph3Weighted),
       Seq("[2,5,1]", "[2,6,1]", "[2,11,2]", "[2,12,2]", "[2,13,2]", "[2,14,2]"))
   }
+
+  test("driver-resident monotonic path (monotoniclocal=auto) engages, " +
+      "matches the looped path, and bails on overflow") {
+    val program = "mminpath(X,Y,mmin<D>) <- arc(X, Y, D)." +
+      "mminpath(X,Z,mmin<D>) <- mminpath(X, Y, D1), arc(Y, Z, D2), D = D1 + D2." +
+      "shortestpaths(X, Z, min<D>) <- mminpath(X, Z, D)."
+    def run(kvs: (String, String)*): (Set[String], Int) = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(database + program)
+        ctx.registerData("arc", Fixtures.graph1bWeighted)
+        val r = ctx.queryStrings("shortestpaths(A,B,C)").toSet
+        val runs = ctx.monotonicLocalRuns
+        ctx.close()
+        (r, runs)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val (looped, loopedRuns) =
+      run("spark.datalog.recursion.monotoniclocal" -> "false")
+    val (driver, driverRuns) =
+      run("spark.datalog.recursion.monotoniclocal" -> "auto")
+    assert(loopedRuns == 0 && driverRuns == 1,
+      s"driver monotonic engagement wrong ($loopedRuns, $driverRuns)")
+    assert(driver == looped && driver.nonEmpty)
+    // a ceiling between the seed size (~15 arc pairs) and the final
+    // state (30 pairs): the driver path engages, overflows mid-loop,
+    // and the looped path must still produce the exact fixpoint
+    val (bailed, bailedRuns) = run(
+      "spark.datalog.recursion.monotoniclocal" -> "auto",
+      "spark.datalog.recursion.monotoniclocal.maxentries" -> "20")
+    assert(bailedRuns == 1, "driver path never engaged before the bail")
+    assert(bailed == looped, "overflow bail diverged from the looped path")
+  }
 }

@@ -199,8 +199,13 @@ class LocalIterateSpec extends AnyFunSuite {
       (0 until 30).map(i => s"$i,${i + 1},3") ++
       (0 until 6).map(i => s"${5 * i},${5 * (i + 1)},10") ++
       Seq("0,100,50", "100,30,1")
+    // monotoniclocal=false on BOTH sides: the job-count claim compares
+    // the task wave against the truly LOOPED path (the driver-resident
+    // path, default auto, schedules even fewer jobs — its own spec is
+    // in AggInRecursionSpec)
     def run(localiter: String) = withConf(
-      "spark.datalog.recursion.localiterate" -> localiter) {
+      "spark.datalog.recursion.localiterate" -> localiter,
+      "spark.datalog.recursion.monotoniclocal" -> "false") {
       val ctx = new DatalogContext(spark)
       ctx.loadProgram(wdb + prog)
       ctx.registerData("warc", wedges)
