@@ -543,19 +543,10 @@ final class Evaluator(
       else None
 
     // memo static collects: the same (pred, within-atom equalities) is
-    // collected once even when several rules/atoms reference it
-    val staticMemo =
-      mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
-    def staticRows(pred: String, eqs: Seq[(Int, Int)])
-        : Option[IndexedSeq[IndexedSeq[Any]]] =
-      staticMemo.getOrElseUpdate((pred, eqs), {
-        val df0 = cachedStatic(pred)
-        val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
-          d.filter(d(d.columns(a)) === d(d.columns(b)))
-        }
-        collectCapped(df, conf.localIterateMaxStaticRows.min(1L << 24).toInt)
-          .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
-      })
+    // collected once even when several rules/atoms reference it (see
+    // staticRowsMemo: predDF not cachedStatic — collect-once, no
+    // persist pinning)
+    val staticRows = staticRowsMemo(conf.localIterateMaxStaticRows)
 
     /** Lower one rule: the recursive atom binds env slots 0..arity-1;
       * each static atom (body order, left-to-right SIPS like the rule
@@ -740,11 +731,18 @@ final class Evaluator(
       mutable.Map[(String, Seq[(Int, Int)]), Option[IndexedSeq[IndexedSeq[Any]]]]()
     (pred, eqs) =>
       memo.getOrElseUpdate((pred, eqs), {
-        val df0 = cachedStatic(pred)
+        // predDF, not cachedStatic: these paths read the static exactly
+        // once (the collect below) — persisting it would pin dead
+        // blocks until close(); a bail to a looped path re-persists
+        // through that path's own cachedStatic
+        val df0 = predDF(pred)
         val df = eqs.foldLeft(df0) { case (d, (a, b)) =>
           d.filter(d(d.columns(a)) === d(d.columns(b)))
         }
         collectCapped(df, maxRows.min(1L << 24).toInt)
+          // null-free contract: the lowered probes/filters use plain
+          // equality and unboxed compares — a null row bails the path
+          .filter(_.forall(!_.anyNull))
           .map(_.iterator.map(r => r.toSeq.toIndexedSeq).toIndexedSeq)
       })
   }
@@ -896,10 +894,13 @@ final class Evaluator(
     * presumes rules monotone in the recursive value), and ONE global
     * min/max re-aggregation merges the per-partition maps. One task
     * wave + one agg shuffle replaces O(iterations) scheduled jobs.
-    * Memory: a task's best map covers the groups reachable from its
-    * seeds, bounded by the broadcast static size the collect cap
-    * already limits. Returns None on any ineligible shape — the
-    * caller falls back to the looped monotonic paths. */
+    * Memory: a task's best map covers the groups REACHABLE from its
+    * seeds — for multi-column groups (APSP-shape) that is
+    * O(task's seed sources × reachable nodes), which the static
+    * collect cap does NOT bound; the conf is opt-in for exactly this
+    * reason (size the partition count so each task's share fits).
+    * Returns None on any ineligible shape — the caller falls back to
+    * the looped monotonic paths. */
   /** Shared prologue of the task-local and driver-local monotonic
     * paths: compile + widen the seed, check the schema and aggregate
     * type, and lower every recursive rule to a `MonoRule`. Returns
@@ -992,6 +993,10 @@ final class Evaluator(
     val cap = conf.monotonicLocalMaxEntries
     val seedRows =
       collectCapped(seed, cap.min(1L << 24).toInt).getOrElse(return None)
+    // the looped paths' min/max IGNORE null values; the local compare
+    // cannot — bail to them on any null (user-registered EDBs only:
+    // Datalog-source tuples are non-null)
+    if (seedRows.exists(_.anyNull)) return None
 
     monotonicLocalRuns += 1
     val groupIdxs = schema.indices.filterNot(_ == aggIdx).toIndexedSeq
@@ -1006,10 +1011,15 @@ final class Evaluator(
     }
     val best = mutable.HashMap[IndexedSeq[Any], Any]()
     var dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
+    var overCap = false
     def offer(g: IndexedSeq[Any], v: Any): Unit =
       best.get(g) match {
         case Some(old) if !better(v, old) => ()
-        case _ => best(g) = v; dirty += g
+        case _ =>
+          best(g) = v; dirty += g
+          // checked on EVERY insert: a single hub-heavy round must not
+          // outgrow driver memory before a round-boundary check
+          if (best.size > cap) overCap = true
       }
     seedRows.foreach { r =>
       val s = r.toSeq.toIndexedSeq
@@ -1018,15 +1028,16 @@ final class Evaluator(
 
     var frontier = dirty
     var rounds = 0
-    while (frontier.nonEmpty) {
+    while (frontier.nonEmpty && !overCap) {
       rounds += 1
       if (rounds > maxIterations)
         throw new EvalException(
           s"aggregate fixpoint exceeded $maxIterations iterations")
-      if (best.size > cap) return None
       dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
       val statT0 = System.nanoTime()
-      for (g <- frontier) {
+      val it = frontier.iterator
+      while (it.hasNext && !overCap) {
+        val g = it.next()
         // current value at fire time: a same-round improvement simply
         // re-marks the group and refires next round
         val v = best(g)
@@ -1037,28 +1048,14 @@ final class Evaluator(
             env(i) = if (i == aggIdx) v else g(posToGroup(i))
             i += 1
           }
-          def go(j: Int): Unit =
-            if (j == mr.steps.length)
-              offer(mr.group.map(env), env(mr.aggSlot))
-            else mr.steps(j) match {
-              case MonoProbe(st) =>
-                st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
-                  .foreach(_.foreach { srow =>
-                    st.binds.foreach { case (pos, s2) => env(s2) = srow(pos) }
-                    go(j + 1)
-                  })
-              case MonoAssign(s2, ex) =>
-                env(s2) = evalEnvExpr(ex, env)
-                go(j + 1)
-              case f: MonoFilter =>
-                if (evalMonoFilter(f, env)) go(j + 1)
-            }
-          go(0)
+          Evaluator.runMonoSteps(mr.steps, env,
+            () => offer(mr.group.map(env), env(mr.aggSlot)))
         }
       }
       recordStat(p, rounds, best.size.toLong, statT0)
       frontier = dirty
     }
+    if (overCap) return None
 
     import scala.jdk.CollectionConverters._
     val outRows = best.iterator.map { case (g, v) =>
@@ -2265,6 +2262,10 @@ final class Evaluator(
     val rules = rulesOpt.flatten
 
     val seedRows = collectCapped(supSeed, 1 << 20).getOrElse(return None)
+    // the relational merge's count/sum/max skip null support values;
+    // the local compare cannot — bail on any null (user-registered
+    // EDBs only: Datalog-source tuples are non-null)
+    if (seedRows.exists(_.anyNull)) return None
 
     supportLocalRuns += 1
     val supportCap = conf.supportLocalMaxEntries
@@ -2272,6 +2273,7 @@ final class Evaluator(
       mutable.HashMap[IndexedSeq[Any], java.util.HashMap[Any, Any]]()
     val agg = mutable.HashMap[IndexedSeq[Any], Long]()
     var entries = 0L
+    var overCap = false
     var dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
     def lv(x: Any): Long = x.asInstanceOf[Number].longValue
     def insert(g: IndexedSeq[Any], k: Any, v: Any): Unit = {
@@ -2279,6 +2281,9 @@ final class Evaluator(
       val old = m.get(k)
       if (old == null) {
         m.put(k, v); entries += 1
+        // checked on EVERY insert: a single hub-heavy round must not
+        // outgrow driver memory before a round-boundary check
+        if (entries > supportCap) overCap = true
         agg(g) = Math.addExact(agg.getOrElse(g, 0L),
           if (isCount) 1L else lv(v))
         dirty += g
@@ -2297,15 +2302,16 @@ final class Evaluator(
     val posToGroup = recSchema.indices.map(i => groupIdxs.indexOf(i))
     var frontier = dirty
     var rounds = 0
-    while (frontier.nonEmpty) {
+    while (frontier.nonEmpty && !overCap) {
       rounds += 1
       if (rounds > maxIterations)
         throw new EvalException(
           s"support fixpoint exceeded $maxIterations iterations")
-      if (entries > supportCap) return None
       dirty = mutable.LinkedHashSet[IndexedSeq[Any]]()
       val statT0 = System.nanoTime()
-      for (g <- frontier) {
+      val it = frontier.iterator
+      while (it.hasNext && !overCap) {
+        val g = it.next()
         val a = agg(g)
         rules.foreach { sr =>
           val env = new Array[Any](sr.envSize)
@@ -2314,29 +2320,16 @@ final class Evaluator(
             env(i) = if (i == aggIdx) Long.box(a) else g(posToGroup(i))
             i += 1
           }
-          def go(j: Int): Unit =
-            if (j == sr.steps.length) {
-              val out = sr.heads.map(h => evalEnvExpr(h, env))
-              insert(out.take(nG), out(nG), out(nG + 1))
-            } else sr.steps(j) match {
-              case MonoProbe(st) =>
-                st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
-                  .foreach(_.foreach { srow =>
-                    st.binds.foreach { case (pos, s2) => env(s2) = srow(pos) }
-                    go(j + 1)
-                  })
-              case MonoAssign(s2, ex) =>
-                env(s2) = evalEnvExpr(ex, env)
-                go(j + 1)
-              case f: MonoFilter =>
-                if (evalMonoFilter(f, env)) go(j + 1)
-            }
-          go(0)
+          Evaluator.runMonoSteps(sr.steps, env, { () =>
+            val out = sr.heads.map(h => evalEnvExpr(h, env))
+            insert(out.take(nG), out(nG), out(nG + 1))
+          })
         }
       }
       recordStat(p, rounds, entries, statT0)
       frontier = dirty
     }
+    if (overCap) return None
 
     import scala.jdk.CollectionConverters._
     val outRows = agg.iterator.map { case (g, a) =>
@@ -2766,6 +2759,30 @@ object Evaluator extends Serializable {
       group: IndexedSeq[Int],
       aggSlot: Int)
 
+  /** Run one rule's lowered steps over `env` (rec slots pre-bound),
+    * calling `emit` once per complete binding — the single step walker
+    * shared by the driver monotonic, driver support, and task-wave
+    * paths, so probe/assign/filter semantics cannot diverge. */
+  private[datalog] def runMonoSteps(
+      steps: IndexedSeq[MonoStep], env: Array[Any], emit: () => Unit): Unit = {
+    def go(j: Int): Unit =
+      if (j == steps.length) emit()
+      else steps(j) match {
+        case MonoProbe(st) =>
+          st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
+            .foreach(_.foreach { srow =>
+              st.binds.foreach { case (pos, s2) => env(s2) = srow(pos) }
+              go(j + 1)
+            })
+        case MonoAssign(s2, ex) =>
+          env(s2) = evalEnvExpr(ex, env)
+          go(j + 1)
+        case f: MonoFilter =>
+          if (evalMonoFilter(f, env)) go(j + 1)
+      }
+    go(0)
+  }
+
   /** The per-partition monotonic local fixpoint (localIterateMonotonic
     * body). A static factory on the companion so the task closure
     * captures only the broadcast handle and primitives — never the
@@ -2827,25 +2844,8 @@ object Evaluator extends Serializable {
               val env = new Array[Any](mr.envSize)
               var k = 0
               while (k < row.length) { env(k) = row(k); k += 1 }
-              def go(j: Int): Unit =
-                if (j == mr.steps.length)
-                  offer(emitRow(mr.group.map(env), env(mr.aggSlot)), next)
-                else mr.steps(j) match {
-                  case MonoProbe(st) =>
-                    st.table.get(st.keyEnv.map(s => env(s)): Seq[Any])
-                      .foreach(_.foreach { srow =>
-                        st.binds.foreach { case (pos, s2) =>
-                          env(s2) = srow(pos)
-                        }
-                        go(j + 1)
-                      })
-                  case MonoAssign(s2, ex) =>
-                    env(s2) = evalEnvExpr(ex, env)
-                    go(j + 1)
-                  case f: MonoFilter =>
-                    if (evalMonoFilter(f, env)) go(j + 1)
-                }
-              go(0)
+              runMonoSteps(mr.steps, env,
+                () => offer(emitRow(mr.group.map(env), env(mr.aggSlot)), next))
             }
           }
           i += 1

@@ -232,7 +232,12 @@ object EmbeddingQueries extends QueryPack {
     * pack run, and a bench retry's memo rollback rebuilds honestly.
     * Returns the two table names. */
   private def bucketedIndex(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+    // readable normalized name + a hash of the RAW dir: the
+    // normalization is lossy (all punctuation collapses to '_'), and a
+    // collision would silently rebuild another dir's index tables
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode)
     val (ta, tc) = (s"graft_ivfa_$tag", s"graft_pqc_$tag")
     PackResources.checkpoint(s, dir, "emb_bucketed_index") {
       val nb = math.max(1,

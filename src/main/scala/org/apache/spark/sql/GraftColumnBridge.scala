@@ -76,12 +76,19 @@ object GraftColumnBridge {
       : (DataFrame, Boolean, Long, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
+    // the flag is read from PHYSICAL rows (qe.toRdd) — resolve its
+    // ordinal against the executed plan's output by exprId, with the
+    // analyzed position as the fallback (the same discipline as the
+    // hasher below: a physical reordering must not silently read the
+    // wrong column into the convergence count)
     val flagIdx =
       if (flagCol == null) -1
       else {
-        val i = qe.analyzed.output.indexWhere(_.name == flagCol)
-        require(i >= 0, s"no column $flagCol in ${qe.analyzed.output.map(_.name)}")
-        i
+        val ai = qe.analyzed.output.indexWhere(_.name == flagCol)
+        require(ai >= 0, s"no column $flagCol in ${qe.analyzed.output.map(_.name)}")
+        val pi = qe.executedPlan.output
+          .indexWhere(_.exprId == qe.analyzed.output(ai).exprId)
+        if (pi >= 0) pi else ai
       }
     // accumulator only when a flag is asked for — plain checkpoints
     // (every Datalog fixpoint iteration) must not register dead

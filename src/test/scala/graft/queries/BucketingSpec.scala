@@ -135,7 +135,8 @@ class BucketingSpec extends AnyFunSuite {
     assert(viaTables == viaMemo && viaTables.size == 25,
       s"bucketed search diverged: ${viaTables.diff(viaMemo).take(3)}")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+      .stripPrefix("_").stripSuffix("_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode)
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
