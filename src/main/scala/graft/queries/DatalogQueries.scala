@@ -292,6 +292,51 @@ object DatalogQueries extends QueryPack {
       c.query("apsp(A,B,C).")
     }),
 
+    // INCREMENTAL closure maintenance (delta rules, the DBSP/semi-naive
+    // increment pattern): the edge set splits into an "old" batch and a
+    // "new" arrival batch; tcold closes over the old batch only, and
+    // the delta clique derives EXACTLY the paths that use >= 1 new edge
+    // (decompose any such path at its first new edge: old-prefix + new
+    // edge seeds; the suffix is an alternation of whole OLD-path hops
+    // (tcold, multi-edge in one step) and single new edges — iteration
+    // depth is the path's new-edge count, never its edge count).
+    // Work is proportional to the NEW derivations, never a re-closure
+    // of the old corpus — the shape a 100 TB pipeline needs when a new
+    // crawl lands on a standing index. The final union hash-matches the
+    // from-scratch closure oracle, so a missed derivation class fails
+    // the gate. tcold feeds the delta clique across strata (the
+    // lower-stratum fixpoint is just a relation downstream). Both
+    // cliques are decomposable linear recursions, so the gate runs
+    // them under localiterate: the standing closure (diameter 15 on
+    // the chains-only subgraph — 15 looped iterations) and the delta
+    // clique each collapse to one task wave.
+    "dl_tc_incremental" -> ((s, dir) => {
+      // "new arrivals" = the low-key slice of the skip edges (a thin
+      // batch at sf0.1, the realistic standing-corpus/new-crawl ratio;
+      // degenerates gracefully to a fat batch at tiny SFs) — the
+      // oracle is the full closure either way, so ANY split is checked
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "arcold(X,Y) <- arc(X,Y,C), C < 3. " +
+            "arcold(X,Y) <- arc(X,Y,C), C >= 3, X >= 1000. " +
+            "arcnew(X,Y) <- arc(X,Y,C), C >= 3, X < 1000. " +
+            "tcold(X,Y) <- arcold(X,Y). " +
+            "tcold(X,Z) <- tcold(X,Y), arcold(Y,Z). " +
+            "d(X,Y) <- arcnew(X,Y). " +
+            "d(X,Z) <- tcold(X,Y), arcnew(Y,Z). " +
+            "d(X,Z) <- d(X,Y), arcnew(Y,Z). " +
+            "d(X,Z) <- d(X,Y), tcold(Y,Z). " +
+            "tcinc(X,Y) <- tcold(X,Y). tcinc(X,Y) <- d(X,Y).")
+        c.query("tcinc(A,B).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // APSP under the monotonic within-task fixpoint — the MULTI-SEED
     // case where the seed-decomposed local Bellman-Ford actually
     // parallelizes: every edge seeds, seeds partition on the source
@@ -458,6 +503,8 @@ object DatalogQueries extends QueryPack {
     Map(
       "dl_tc" -> tcSql,
       "dl_tc_localiter" -> tcSql,
+      // incremental maintenance must reproduce the from-scratch closure
+      "dl_tc_incremental" -> tcSql,
       "dl_tc_diffflip" -> tcSql,
       "dl_tc_bloom" -> tcSql,
       "dl_tc_nl" -> tcSql,
