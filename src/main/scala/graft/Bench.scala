@@ -78,6 +78,83 @@ object Bench {
       Tables.names.foreach(n =>
         try Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () })
     }
+    // Fixpoint-machinery warmup (untimed): the datalog evaluator's
+    // claimed checkpoints, shuffled-hash semi/anti joins, bloom-probe
+    // expression, within-task local-iterate kernels, and the monotonic
+    // merge each carry their own codegen + JIT surcharge. The first
+    // fixpoint of a kind in the run pays it (~2-4s at sf0.1), and the
+    // hash-Map query order decides WHICH gate that is: r10's
+    // dl_tc_bloom at position 8 billed 4.9s vs its diffflip twin's
+    // 2.7s at position 48 for identical steady-state plans, and
+    // dl_apsp_localiter at position 5 ran slower than the looped
+    // dl_apsp at 39 despite winning every warm A/B. One tiny
+    // forced-conf program per machinery family absorbs the surcharge
+    // here, so the timed numbers compare plans, not run positions.
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      val keys = Seq(
+        "spark.datalog.recursion.copartition.enabled" -> "true",
+        "spark.datalog.recursion.diffflip" -> "true",
+        "spark.datalog.recursion.bloomprefilter" -> "true",
+        // force the checkpoint/claim path (tiny deltas would localize)
+        "spark.datalog.recursion.localDeltaRows" -> "0")
+      val prev = (keys.map(_._1) ++ Seq(
+        "spark.datalog.recursion.localiterate",
+        "spark.datalog.recursion.monotoniclocal"))
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        val edges = spark.range(2000)
+          .filter(col("id") % 16 =!= 15)
+          .select(col("id").as("x"), (col("id") + 1).as("y"), lit(1L).as("c"))
+        val tcProg = "database({warc(X:long, Y:long, C:long)}). " +
+          "wtc(A,B) <- warc(A,B,_). wtc(A,B) <- wtc(A,C), warc(C,B,_)."
+        val mProg = "database({warc(X:long, Y:long, C:long)}). " +
+          "wsp(X,Y,mmin<C>) <- warc(X,Y,C). " +
+          "wsp(X,Z,mmin<D>) <- wsp(X,Y,D1), warc(Y,Z,C), D=D1+C. " +
+          "wapsp(X,Y,min<D>) <- wsp(X,Y,D)."
+        def run(prog: String, q: String): Unit = {
+          val c = new graft.datalog.DatalogContext(spark)
+          try {
+            c.loadProgram(prog)
+            c.registerTable("warc", edges)
+            c.query(q).count()
+          } finally c.close()
+        }
+        run(tcProg, "wtc(A,B).") // copart + diffflip + bloom loop
+        spark.conf.set("spark.datalog.recursion.localiterate", "true")
+        run(tcProg, "wtc(A,B).") // within-task linear kernel
+        run(mProg, "wapsp(A,B,C).") // within-task monotonic kernel
+        spark.conf.unset("spark.datalog.recursion.localiterate")
+        spark.conf.set("spark.datalog.recursion.monotoniclocal", "false")
+        run(mProg, "wapsp(A,B,C).") // looped monotonic merge
+      } catch { case _: Throwable => () }
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // Streaming + graph-loop warmup (untimed), via the real gates at the
+    // smallest scale: the first streaming drain of a JVM pays ~7s of
+    // micro-batch machinery JIT (stream_join 13.4s cold vs 5.7s warm at
+    // sf0.1 — exactly the r10 bench's 12.4s, billed to whichever stream
+    // gate the Map order ran first), and the first graph fixpoint pays
+    // the flagged-checkpoint loop's surcharge (graph_pagerank_conv runs
+    // at position 1). sf0.001 inputs keep the warmup to a few seconds;
+    // the pack memos it creates are released so every timed query still
+    // evaluates its own data cold.
+    locally {
+      val warmDir = {
+        val small = "/root/testdata/sf0.001"
+        if (new java.io.File(small).isDirectory) small else sfDir
+      }
+      Seq("stream_hourly", "stream_sessions", "stream_join",
+        "graph_pagerank_conv").foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+      graft.queries.PackResources.releaseAll()
+    }
     // Committed per-query baseline (our own BENCH_FULL.json format) for
     // the outlier guard — only trusted when sf and cpus match this run.
     // `configMatch` additionally gates where this run's full map is
@@ -112,12 +189,19 @@ object Bench {
     // queries beyond the box's own uniform level re-run; a clean box
     // (drift ~1) behaves exactly as before. The end-of-run
     // env_suspect/median verdict stays on RAW ratios.
+    // Capped at 2.0: drift is estimated from the benched queries
+    // themselves, so a genuine uniform code regression (everything ~2x
+    // slower) would otherwise inflate the estimate and suppress exactly
+    // the retries/flags that would expose it. Past 2x the bands stop
+    // widening — a uniformly-2x-regressed run then floods the suspect
+    // list and the end-of-run raw-ratio verdict, instead of sailing
+    // through as "drift".
     val ratioLog = scala.collection.mutable.ArrayBuffer[Double]()
     def runningDrift: Double =
       if (ratioLog.size < 8) 1.0
       else {
         val s = ratioLog.sorted
-        math.max(1.0, s(s.size / 2))
+        math.min(2.0, math.max(1.0, s(s.size / 2)))
       }
     def isOutlier(name: String, t: Double): Boolean = {
       val d = runningDrift

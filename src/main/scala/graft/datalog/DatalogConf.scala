@@ -179,7 +179,14 @@ final case class DatalogConf(
     monotonicLocal: String = "auto",
     /** `spark.datalog.recursion.monotoniclocal.maxentries` (default
       * 2M): driver aggregate-state entry ceiling for the bail. */
-    monotonicLocalMaxEntries: Long = 1L << 21)
+    monotonicLocalMaxEntries: Long = 1L << 21,
+    /** `spark.datalog.crossjoin` (warn|error|allow, default warn):
+      * policy for rule bodies whose atoms share no variables with the
+      * preceding atoms — Datalog semantics require a cartesian product
+      * there, which at 100 TB is a silent quadratic blowup. `warn`
+      * compiles the crossJoin but logs once per (head, atom) pair;
+      * `error` rejects the rule at compile time; `allow` is silent. */
+    crossJoinPolicy: String = "warn")
 
 object DatalogConf {
 
@@ -343,5 +350,12 @@ object DatalogConf {
     },
     monotonicLocalMaxEntries =
       spark.conf.get("spark.datalog.recursion.monotoniclocal.maxentries",
-        (1L << 21).toString).toLong)
+        (1L << 21).toString).toLong,
+    crossJoinPolicy = {
+      val v = spark.conf.get("spark.datalog.crossjoin", "warn")
+        .trim.toLowerCase
+      require(Set("warn", "error", "allow")(v),
+        s"spark.datalog.crossjoin must be warn|error|allow, got '$v'")
+      v
+    })
 }

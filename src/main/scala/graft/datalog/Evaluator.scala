@@ -80,6 +80,12 @@ final class Evaluator(
 
   private def baseResolver: RuleCompiler.Resolver = (pred, _) => predDF(pred)
 
+  /** All rule compiles route through here so the session's
+    * `spark.datalog.crossjoin` policy (warn|error|allow on disjoint
+    * body atoms) applies engine-wide. */
+  private def compileRule(r: Rule, res: RuleCompiler.Resolver): DataFrame =
+    RuleCompiler.compile(r, res, conf.crossJoinPolicy)
+
   /** Single-`explain` rendering of a WHOLE recursion — the reference
     * shows one Catalyst tree per recursive query through its custom
     * logical operators (dl/logical/operators.scala:23-31); our fixpoint
@@ -112,7 +118,7 @@ final class Evaluator(
     }
     val exitPlans = mutable.Map[String, DataFrame]()
     for (q <- preds; exits = clique.exitRules(q) if exits.nonEmpty) {
-      val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
+      val u = exits.map(r => compileRule(r, baseResolver))
         .reduce(_ union _)
       exitPlans(q) = u
       schemas(q) = u.schema
@@ -123,7 +129,7 @@ final class Evaluator(
       for (q <- preds if !schemas.contains(q);
            r <- clique.recursiveRules(q).headOption) {
         try {
-          val df = RuleCompiler.compile(r, (pred, _) =>
+          val df = compileRule(r, (pred, _) =>
             if (clique.preds(pred)) {
               if (!schemas.contains(pred)) throw new RuleCompiler.SkipRule
               placeholder("ALL", pred)
@@ -168,7 +174,7 @@ final class Evaluator(
             val order = mutable.Buffer[(String, Int)]()
             // occurrence index across the rule, matching the loop's
             // variantResolver numbering
-            val df = RuleCompiler.compile(r, (pred, occ) =>
+            val df = compileRule(r, (pred, occ) =>
               if (clique.preds(pred)) {
                 val globalIdx = order.length
                 order += ((pred, occ))
@@ -191,7 +197,7 @@ final class Evaluator(
 
   private def evalNonRecursive(p: String): DataFrame = {
     val rules = analysis.rulesFor(p)
-    val dfs = rules.map(r => RuleCompiler.compile(r, baseResolver))
+    val dfs = rules.map(r => compileRule(r, baseResolver))
     val u = dfs.reduce(_ union _)
     if ((rules.length == 1 && rules.head.head.isAggregate) || !conf.unionDistinct) u
     else u.distinct()
@@ -338,7 +344,7 @@ final class Evaluator(
       broadcastStatic: Boolean = false): Seq[DataFrame] = {
     val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
     (0 until k).flatMap { chosen =>
-      try Some(RuleCompiler.compile(rule,
+      try Some(compileRule(rule,
         variantResolver(clique, delta, all, chosen, broadcastStatic)))
       catch { case _: RuleCompiler.SkipRule => None }
     }
@@ -525,7 +531,7 @@ final class Evaluator(
     if (recRules.isEmpty || exits.isEmpty) return None
 
     // ---- seed + base type check
-    val seedRaw = exits.map(r => RuleCompiler.compile(r, baseResolver))
+    val seedRaw = exits.map(r => compileRule(r, baseResolver))
       .reduce(_ union _)
     val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
     val schema = seeded.schema
@@ -754,12 +760,24 @@ final class Evaluator(
     * variable to an int/long arithmetic assignment, other comparisons
     * to filters. Returns (steps, variable slots, env slot types, the
     * expression lowerer for head args), or None on any unsupported
-    * shape. */
+    * shape.
+    *
+    * `monoSlot` ≥ 0 marks the env slot carrying the recursive
+    * AGGREGATE value: the local paths evaluate with within-round
+    * (Gauss-Seidel) visibility, which only reaches the same fixpoint
+    * as the relational Jacobi loop when every rule is MONOTONE in that
+    * value. `+` preserves monotonicity; `-` with the value (or
+    * anything derived from it) on the RIGHT is anti-monotone, and `*`
+    * flips with the sign of the partner — both bail to the looped
+    * paths unless the partner is a non-negative literal. Taint
+    * propagates through assignments, so `D2 = D1 + C, D3 = X - D2`
+    * bails too. */
   private def lowerLinearBody(
       clique: Analysis#Clique,
       r: Rule,
       recSchema: org.apache.spark.sql.types.StructType,
-      staticRows: (String, Seq[(Int, Int)]) => Option[IndexedSeq[IndexedSeq[Any]]])
+      staticRows: (String, Seq[(Int, Int)]) => Option[IndexedSeq[IndexedSeq[Any]]],
+      monoSlot: Int = -1)
       : Option[(IndexedSeq[Evaluator.MonoStep],
           mutable.LinkedHashMap[String, Int],
           IndexedSeq[org.apache.spark.sql.types.DataType],
@@ -800,6 +818,19 @@ final class Evaluator(
         (le, lt, EnvLit(i.toLong), LongType)
       case _ => (le, lt, re, rt)
     }
+    // env slots transitively derived from the recursive aggregate value
+    val tainted = mutable.Set[Int]()
+    if (monoSlot >= 0) tainted += monoSlot
+    def exprTaint(e: EnvExpr): Boolean = e match {
+      case EnvRef(s) => tainted(s)
+      case EnvLit(_) => false
+      case EnvBin(_, _, l, r) => exprTaint(l) || exprTaint(r)
+    }
+    def nonNegLit(e: EnvExpr): Boolean = e match {
+      case EnvLit(i: Int) => i >= 0
+      case EnvLit(l: Long) => l >= 0L
+      case _ => false
+    }
     def lower(e: Expr): Option[(EnvExpr, DataType)] = e match {
       case TermExpr(Variable(n)) =>
         slot.get(n).map(s => (EnvRef(s), envType(s)))
@@ -815,7 +846,13 @@ final class Evaluator(
         else (lower(a), lower(b)) match {
           case (Some((le0, lt0)), Some((re0, rt0))) =>
             val (le, lt, re, rt) = promote(le0, lt0, re0, rt0)
-            if (lt == rt && (lt == IntegerType || lt == LongType))
+            // monotonicity guard (see Scaladoc): bail on arithmetic
+            // non-monotone (or of unknowable sign) in the aggregate
+            if (op == "-" && exprTaint(re)) None
+            else if (op == "*" &&
+                ((exprTaint(le) && !nonNegLit(re)) ||
+                  (exprTaint(re) && !nonNegLit(le)))) None
+            else if (lt == rt && (lt == IntegerType || lt == LongType))
               Some((EnvBin(op, lt == LongType, le, re), lt))
             else None
           case _ => None
@@ -859,6 +896,7 @@ final class Evaluator(
         val (ex, dt) = lower(rhs).getOrElse(return None)
         slot(n) = envType.length
         envType += dt
+        if (exprTaint(ex)) tainted += slot(n)
         steps += MonoAssign(slot(n), ex)
       case Comparison(op, lhs, rhs) =>
         val (le0, lt0) = lower(lhs).getOrElse(return None)
@@ -918,11 +956,11 @@ final class Evaluator(
     val recRules = clique.recursiveRules(p)
     val exits = clique.exitRules(p)
     if (recRules.isEmpty || exits.isEmpty) return None
-    val seed0 = exits.map(r => RuleCompiler.compile(r, baseResolver))
+    val seed0 = exits.map(r => compileRule(r, baseResolver))
       .reduce(_ union _)
 
     val seed = widenSeedTypes(recRules, seed0, (r, cur) =>
-      RuleCompiler.compile(r,
+      compileRule(r,
         (pred, _) => if (clique.preds(pred)) cur else predDF(pred)))
       .getOrElse(return None)
     val schema = seed.schema
@@ -935,7 +973,8 @@ final class Evaluator(
 
     def parse(r: Rule): Option[MonoRule] = {
       val (steps, slot, envType, _) =
-        lowerLinearBody(clique, r, schema, staticRows).getOrElse(return None)
+        lowerLinearBody(clique, r, schema, staticRows, monoSlot = aggIdx)
+          .getOrElse(return None)
 
       val group = mutable.ArrayBuffer[Int]()
       var aggSlot = -1
@@ -1099,9 +1138,16 @@ final class Evaluator(
       Evaluator.monoPartitionFixpoint(bc, gIdx, aggI, nCols, longAgg,
         minSide, maxIter))(org.apache.spark.sql.Encoders.row(schema))
 
-    // merge the per-partition maps: ONE min/max aggregation shuffle
-    val (res, _) = materialize(reAgg(out.toDF()))
-    Some(res)
+    // merge the per-partition maps: ONE min/max aggregation shuffle.
+    // A null seed row aborts the wave from inside the task (the local
+    // compare can't mirror min/max's null-ignoring semantics) — fall
+    // back to the looped paths, which can.
+    try {
+      val (res, _) = materialize(reAgg(out.toDF()))
+      Some(res)
+    } catch {
+      case t: Throwable if Evaluator.isNullSeedFailure(t) => None
+    }
   }
 
   /** The semi-naive PSN loop. `exitFilter` optionally restricts a
@@ -1473,7 +1519,7 @@ final class Evaluator(
     for (p <- preds) {
       val exits = clique.exitRules(p)
       if (exits.nonEmpty) {
-        val u = exits.map(r => RuleCompiler.compile(r, baseResolver))
+        val u = exits.map(r => compileRule(r, baseResolver))
           .reduce(_ union _)
         proto += p -> u
         val seeded = exitFilter.get(p).map(f => f(u)).getOrElse(u)
@@ -1910,7 +1956,7 @@ final class Evaluator(
         // recovery for a NoSuchElementException.)
         case _: Evaluator#NoSchemaException =>
           exitRules.headOption.map(r =>
-            RuleCompiler.compile(r, baseResolver).filter(lit(false)))
+            compileRule(r, baseResolver).filter(lit(false)))
       }
     // surface the nested fixpoint's per-iteration stats as our own
     if (conf.collectStats) iterationStats ++= ev2.iterationStats
@@ -1982,7 +2028,7 @@ final class Evaluator(
       }
     }
     var state = materialize(reAgg(
-      exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _)))._1
+      exits.map(r => compileRule(r, baseResolver)).reduce(_ union _)))._1
     var delta = state
 
     var iter = 0
@@ -2084,7 +2130,7 @@ final class Evaluator(
 
     val exits = clique.exitRules(p)
     var state = claim(
-      reAgg(exits.map(r => RuleCompiler.compile(r, baseResolver)).reduce(_ union _))
+      reAgg(exits.map(r => compileRule(r, baseResolver)).reduce(_ union _))
         .repartition(nParts, groupCols.map(col): _*))
     var delta: DataFrame = state
     // prior iteration's keep/delta checkpoints — superseded once the
@@ -2217,12 +2263,12 @@ final class Evaluator(
     if (recRules.isEmpty || exits.isEmpty) return None
 
     val supSeed0 = exits
-      .map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+      .map(r => compileRule(supportRule(r), baseResolver))
       .reduce(_ union _)
     // widen against one derivation step, with the recursive atom bound
     // to the aggregate VIEW of the current seed (what the rules read)
     val supSeed = widenSeedTypes(recRules, supSeed0, (r, cur) =>
-      RuleCompiler.compile(supportRule(r),
+      compileRule(supportRule(r),
         (pred, _) => if (clique.preds(pred)) aggView(cur) else predDF(pred)))
       .getOrElse(return None)
     val supSchema = supSeed.schema
@@ -2241,7 +2287,8 @@ final class Evaluator(
     def parse(r: Rule): Option[SupRule] = {
       val sr = supportRule(r)
       val (steps, _, envType, lower) =
-        lowerLinearBody(clique, sr, recSchema, staticRows).getOrElse(return None)
+        lowerLinearBody(clique, sr, recSchema, staticRows, monoSlot = aggIdx)
+          .getOrElse(return None)
       val heads = sr.head.args.zipWithIndex.map {
         case (PlainArg(e), i) =>
           val (ex0, dt0) = lower(e).getOrElse(return None)
@@ -2418,7 +2465,7 @@ final class Evaluator(
       }
     }
     var supportCkpt = materialize(
-      mergeMax(exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+      mergeMax(exits.map(r => compileRule(supportRule(r), baseResolver))
         .reduce(_ union _)
         .select((gCols ++ Seq(kCol, vCol)).map(col): _*), None)
         .select((gCols ++ Seq(kCol, vCol)).map(col): _*))._1
@@ -2569,7 +2616,7 @@ final class Evaluator(
 
       val exits = clique.exitRules(p)
       var support = claimOn(keyedMax(
-        exits.map(r => RuleCompiler.compile(supportRule(r), baseResolver))
+        exits.map(r => compileRule(supportRule(r), baseResolver))
           .reduce(_ union _)), gCols)._1
       var delta = claimOn(aggView(support), headGroupCols)._1
       // superseded once the next iteration's keep/improved materialize
@@ -2665,6 +2712,27 @@ final class Evaluator(
 // Serializable: task closures produced by monoPartitionFixpoint capture
 // the module (its eval helpers run on executors)
 object Evaluator extends Serializable {
+  /** Marker message for a null seed row detected inside a
+    * monoPartitionFixpoint task — the driver scans failure cause
+    * chains for it and falls back to the looped paths (which handle
+    * nulls via min/max's null-ignoring semantics). A message token
+    * rather than an exception class so Spark's task-failure wrapping/
+    * re-serialization cannot hide it. */
+  private[datalog] val nullSeedMarker =
+    "graft.datalog: null seed row in localiterate monotonic fixpoint"
+
+  /** Whether `t`'s cause chain carries the null-seed marker. */
+  private[datalog] def isNullSeedFailure(t: Throwable): Boolean = {
+    var e = t
+    var depth = 0
+    while (e != null && depth < 16) {
+      if (Option(e.getMessage).exists(_.contains(nullSeedMarker))) return true
+      e = e.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** One static atom lowered for task-local evaluation (localiterate
     * path): probe `table` keyed on the env slots bound so far, then
     * bind the atom's new variables into the env. Top-level so task
@@ -2826,7 +2894,20 @@ object Evaluator extends Serializable {
         val old = best.get(g)
         if (old == null || better(v, old)) { best.put(g, v); push += row }
       }
-      it.foreach(r => offer(r.toSeq.toIndexedSeq, frontier))
+      // null-free contract (mirrors the driver paths' seedRows.anyNull
+      // bail at lines ~999/~2268): a null aggregate would unbox to 0
+      // in better() — silently diverging from the looped reAgg's
+      // null-ignoring min/max — and a stored null best value re-pushes
+      // its row every round (best.get(g) == null means "absent").
+      // Statics are already guaranteed null-free (staticRowsMemo bails
+      // the lowering), and the int/long arithmetic steps preserve
+      // non-nullness, so checking the incoming seed rows suffices. The
+      // marker aborts the wave; the driver catches it and falls back
+      // to the looped paths (see localIterateMonotonic).
+      it.foreach { r =>
+        if (r.anyNull) throw new IllegalStateException(nullSeedMarker)
+        offer(r.toSeq.toIndexedSeq, frontier)
+      }
       var rounds = 0
       while (frontier.nonEmpty) {
         rounds += 1

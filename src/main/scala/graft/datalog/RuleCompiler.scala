@@ -39,7 +39,30 @@ object RuleCompiler {
   /** resolve(predName, occurrenceIndexAmongThatPredInThisRule) → DataFrame */
   type Resolver = (String, Int) => DataFrame
 
-  def compile(rule: Rule, resolve: Resolver): DataFrame = {
+  // once-per-(head, atom) guard so the fixpoint loop's per-iteration
+  // recompiles don't spam the warning
+  private val crossWarned = scala.collection.concurrent.TrieMap[(String, String), Unit]()
+
+  /** A body atom sharing no variables with the atoms before it forces a
+    * cartesian product — semantically required by Datalog, but a silent
+    * quadratic blowup at scale. Policy from `spark.datalog.crossjoin`
+    * (warn|error|allow, default warn). */
+  private def onCrossJoin(rule: Rule, atom: BodyAtom, policy: String): Unit = {
+    lazy val msg = s"rule for '${rule.head.pred}': body atom " +
+      s"'${atom.pred}' shares no variables with the preceding atoms — " +
+      "compiling a CARTESIAN product (quadratic at scale; set " +
+      "spark.datalog.crossjoin=allow to silence or =error to reject)"
+    policy match {
+      case "error" => throw new CompileException(msg)
+      case "allow" => ()
+      case _ =>
+        if (crossWarned.putIfAbsent((rule.head.pred, atom.pred), ()).isEmpty)
+          System.err.println(s"[graft.datalog] $msg")
+    }
+  }
+
+  def compile(rule: Rule, resolve: Resolver,
+      crossJoinPolicy: String = "warn"): DataFrame = {
     val varMap = mutable.Map[String, Column]()
     var cur: Option[DataFrame] = None
     var atomIdx = 0
@@ -156,8 +179,10 @@ object RuleCompiler {
           // joinConds here mean equality against pre-bound (assignment) vars
           joinConds.foldLeft(df)((d, c) => d.filter(c))
         case Some(acc) =>
-          if (joinConds.isEmpty) acc.crossJoin(df)
-          else acc.join(df, joinConds.reduce(_ && _), "inner")
+          if (joinConds.isEmpty) {
+            onCrossJoin(rule, atom, crossJoinPolicy)
+            acc.crossJoin(df)
+          } else acc.join(df, joinConds.reduce(_ && _), "inner")
       })
       retryPending()
     }

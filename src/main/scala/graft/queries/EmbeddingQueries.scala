@@ -231,13 +231,24 @@ object EmbeddingQueries extends QueryPack {
     * memoized per (session, dir) through the pack memo — one write per
     * pack run, and a bench retry's memo rollback rebuilds honestly.
     * Returns the two table names. */
-  private def bucketedIndex(s: SparkSession, dir: String): (String, String) = {
-    // readable normalized name + a hash of the RAW dir: the
-    // normalization is lossy (all punctuation collapses to '_'), and a
-    // collision would silently rebuild another dir's index tables
+  private[queries] def bucketedIndex(s: SparkSession, dir: String): (String, String) = {
+    // readable normalized name + a 128-bit digest of the RAW dir + a
+    // session token: the normalization is lossy (all punctuation
+    // collapses to '_'), 32-bit hashCode collides across dirs at
+    // realistic catalog sizes, and the build DROPs + recursively
+    // deletes the tables' warehouse directories — so a collision (or
+    // two sessions sharing a warehouse on the same dir) would clobber
+    // another index mid-query. The digest makes cross-dir collisions
+    // cryptographically impossible; the app+session token scopes the
+    // tables per application and session instance.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString
+    val sessTok = java.lang.Integer.toHexString(
+      s.sparkContext.applicationId.hashCode ^ System.identityHashCode(s))
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_") +
-      "_" + java.lang.Integer.toHexString(dir.hashCode)
+      "_" + digest + "_" + sessTok
     val (ta, tc) = (s"graft_ivfa_$tag", s"graft_pqc_$tag")
     PackResources.checkpoint(s, dir, "emb_bucketed_index") {
       val nb = math.max(1,

@@ -64,6 +64,13 @@ object StreamingQueries extends QueryPack {
   private[graft] val stateRowsByQuery =
     scala.collection.concurrent.TrieMap[String, Seq[Long]]()
 
+  /** Per-query micro-batch wall durations (triggerExecution ms per
+    * batch) from the last drain — the overhead-accounting companion of
+    * `stateRowsByQuery` (how many batches a drain ran and where the
+    * time went vs the data volume). */
+  private[graft] val batchMillisByQuery =
+    scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
@@ -192,6 +199,8 @@ object StreamingQueries extends QueryPack {
     q.awaitTermination()
     stateRowsByQuery(name) =
       q.recentProgress.toSeq.map(_.stateOperators.map(_.numRowsTotal).sum)
+    batchMillisByQuery(name) = q.recentProgress.toSeq.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
     s.read.schema(df.schema).parquet(base.resolve("data").toString)
   }
 

@@ -76,4 +76,46 @@ class ErrorSpec extends AnyFunSuite {
     val e = intercept[Exception] { run("p(X, Z) <- arc(X, _).", "p(A,B).") }
     assert(e.getMessage.contains("unbound"))
   }
+
+  private def runCross(policy: Option[String]): Seq[String] = {
+    val key = "spark.datalog.crossjoin"
+    val prev = spark.conf.getOption(key)
+    policy match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    try {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(
+        "database({arc(X:integer, Y:integer), brc(X:integer, Y:integer)}). " +
+          "p(X,Y) <- arc(X,_), brc(Y,_).")
+      ctx.registerData("arc", Seq("1,2", "3,4"))
+      ctx.registerData("brc", Seq("5,6", "7,8"))
+      ctx.queryStrings("p(A,B).")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("disjoint body atoms compile a cartesian under the default policy") {
+    // spark.datalog.crossjoin default `warn`: semantically required by
+    // Datalog, so the product evaluates (2x2 = 4 rows) with a one-time
+    // stderr warning
+    assert(runCross(None).toSet ==
+      Set("[1,5]", "[1,7]", "[3,5]", "[3,7]"))
+  }
+
+  test("spark.datalog.crossjoin=error rejects disjoint body atoms") {
+    val e = intercept[Exception] { runCross(Some("error")) }
+    assert(e.getMessage.contains("CARTESIAN") && e.getMessage.contains("brc"),
+      s"expected the cartesian rejection naming the atom, got: ${e.getMessage}")
+    // allow stays silent and evaluates
+    assert(runCross(Some("allow")).size == 4)
+  }
+
+  test("spark.datalog.crossjoin validates its value") {
+    val e = intercept[Exception] { runCross(Some("nope")) }
+    assert(e.getMessage.contains("crossjoin"))
+  }
 }

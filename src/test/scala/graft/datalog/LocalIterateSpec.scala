@@ -301,4 +301,99 @@ class LocalIterateSpec extends AnyFunSuite {
     val want = expected.count(_.head == "0")
     assert(rows.map(parseRow) == Set(Seq(want.toString)))
   }
+
+  test("non-monotone arithmetic on the aggregate bails every local path") {
+    // D = C - D1 is ANTI-monotone in the recursive value: the local
+    // Gauss-Seidel paths' within-round visibility would reach a
+    // different (schedule-dependent) fixpoint than the relational
+    // Jacobi loop, so the lowering must refuse the rule. Chain DAG ->
+    // finitely many derivations, so the looped path terminates.
+    val wdb = "database({warc(X:long, Y:long, C:long)})."
+    val wedges = (0 until 6).map(i => s"$i,${i + 1},${7 + i}")
+    def run(prog: String, q: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> "true") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb + prog)
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings(q).toSet,
+        ctx.localIterateMonoRuns, ctx.monotonicLocalRuns)
+    }
+    val (sub, subWave, subDriver) = run(
+      "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D=C-D1. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    assert(subWave == 0 && subDriver == 0,
+      "subtraction of the aggregate must not lower to a local path")
+    assert(sub.nonEmpty)
+    // taint flows through assignments: D2 = D1 + C is derived from the
+    // aggregate, so X - D2 is anti-monotone too
+    val (chain, chainWave, chainDriver) = run(
+      "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D2=D1+C, D=C-D2. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    assert(chainWave == 0 && chainDriver == 0)
+    assert(chain.nonEmpty)
+    // multiplication by a variable (sign unknowable) bails...
+    val (mulv, mulvWave, mulvDriver) = run(
+      "sp(X,mmin<D>) <- X=0, D=1. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D=D1*C. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    assert(mulvWave == 0 && mulvDriver == 0)
+    assert(mulv.nonEmpty)
+    // ...but a non-negative literal partner is monotone and engages
+    val (mul2loc, mul2Wave, _) = run(
+      "sp(X,mmin<D>) <- X=0, D=1. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,_), D=D1*2. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    val (mul2loop, _, _) = withConf(
+      "spark.datalog.recursion.localiterate" -> "false",
+      "spark.datalog.recursion.monotoniclocal" -> "false") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb +
+        "sp(X,mmin<D>) <- X=0, D=1. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,_), D=D1*2. " +
+        "o(X,min<D>) <- sp(X,D).")
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings("o(A,D).").toSet, 0, 0)
+    }
+    assert(mul2Wave == 1, "non-negative literal multiply should engage")
+    assert(mul2loc == mul2loop && mul2loc.nonEmpty)
+  }
+
+  test("null seed rows fall back from the monotonic task wave") {
+    // a user-registered EDB can carry nulls the Datalog dialect cannot
+    // express; the task-local compare has no null-ignoring min/max, so
+    // the wave must abort and the looped paths (which DO ignore nulls
+    // in the merge) take over with identical results
+    // the null must live in a SEED-only relation: a static with a null
+    // row already bails at lowering time (staticRowsMemo's null-free
+    // contract), so the task-side check is the seed rows' only guard
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val seedSchema = StructType(Seq(
+      StructField("x", LongType, nullable = true),
+      StructField("c", LongType, nullable = true)))
+    val seedRows = Seq(Row(0L, 0L), Row(3L, null))
+    val prog = "database({warc(X:long, Y:long, C:long), " +
+      "seedr(X:long, C:long)}). " +
+      "sp(X,mmin<C>) <- seedr(X,C). " +
+      "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D=D1+C. " +
+      "o(X,min<D>) <- sp(X,D)."
+    def run(localiter: String) = withConf(
+      "spark.datalog.recursion.localiterate" -> localiter) {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(prog)
+      ctx.registerData("warc", (0 until 6).map(i => s"$i,${i + 1},${i + 2}"))
+      ctx.registerTable("seedr", spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(seedRows).asJava), seedSchema))
+      (ctx.queryStrings("o(A,D).").toSet, ctx.localIterateMonoRuns)
+    }
+    val (looped, _) = run("false")
+    val (wave, waveRuns) = run("true")
+    // the wave ATTEMPTED (lowering cannot see data nulls) but the task
+    // aborted and the looped fallback produced the result
+    assert(waveRuns == 1)
+    assert(wave == looped && wave.nonEmpty)
+  }
 }

@@ -134,14 +134,14 @@ class BucketingSpec extends AnyFunSuite {
       .defs("emb_ivfpq_search")(spark, dir).collect().map(key).toSet
     assert(viaTables == viaMemo && viaTables.size == 25,
       s"bucketed search diverged: ${viaTables.diff(viaMemo).take(3)}")
-    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_") +
-      "_" + java.lang.Integer.toHexString(dir.hashCode)
+    // names come from the builder (memo hit — no rebuild), so the spec
+    // can't drift from the naming scheme
+    val (ta, tc) = graft.queries.EmbeddingQueries.bucketedIndex(spark, dir)
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
-      val j = spark.table(s"graft_ivfa_$tag")
-        .join(spark.table(s"graft_pqc_$tag"), "vec_id")
+      val j = spark.table(ta)
+        .join(spark.table(tc), "vec_id")
       assert(j.count() == 500)
       assert(GraftColumnBridge.countShuffleExchanges(j) == 0,
         GraftColumnBridge.executedPlanString(j))
