@@ -104,7 +104,10 @@ object Bench {
         .map(k => k -> spark.conf.getOption(k))
       try {
         keys.foreach { case (k, v) => spark.conf.set(k, v) }
-        val edges = spark.range(2000)
+        // 10k nodes: big enough that the kernels' hot loops hit C2
+        // compilation thresholds during the warmup, small enough that
+        // each warmup fixpoint stays ~1s
+        val edges = spark.range(10000)
           .filter(col("id") % 16 =!= 15)
           .select(col("id").as("x"), (col("id") + 1).as("y"), lit(1L).as("c"))
         val tcProg = "database({warc(X:long, Y:long, C:long)}). " +
