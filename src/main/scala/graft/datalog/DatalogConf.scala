@@ -180,6 +180,15 @@ final case class DatalogConf(
     /** `spark.datalog.recursion.monotoniclocal.maxentries` (default
       * 2M): driver aggregate-state entry ceiling for the bail. */
     monotonicLocalMaxEntries: Long = 1L << 21,
+    /** `spark.datalog.recursion.monotoniclocal.autoentries` (default
+      * 256k): the ECONOMIC ceiling, below the memory one — the driver
+      * path exists to amortize per-iteration job latency for small
+      * fixpoints, and its single-threaded loop loses to the
+      * distributed merge well before driver memory is at risk (sf1.0
+      * A/B at local[32]: 150k-entry CC driver 4.8s vs looped 6.1s;
+      * 1.1M-entry APSP driver 13.4s vs looped 6.8s). State growing
+      * past min(autoentries, maxentries) bails to the looped paths. */
+    monotonicLocalAutoEntries: Long = 1L << 18,
     /** `spark.datalog.crossjoin` (warn|error|allow, default warn):
       * policy for rule bodies whose atoms share no variables with the
       * preceding atoms — Datalog semantics require a cartesian product
@@ -351,6 +360,9 @@ object DatalogConf {
     monotonicLocalMaxEntries =
       spark.conf.get("spark.datalog.recursion.monotoniclocal.maxentries",
         (1L << 21).toString).toLong,
+    monotonicLocalAutoEntries =
+      spark.conf.get("spark.datalog.recursion.monotoniclocal.autoentries",
+        (1L << 18).toString).toLong,
     crossJoinPolicy = {
       val v = spark.conf.get("spark.datalog.crossjoin", "warn")
         .trim.toLowerCase

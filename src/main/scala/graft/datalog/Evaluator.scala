@@ -1029,7 +1029,12 @@ final class Evaluator(
     val (seed, schema, rules, aggLong) =
       lowerMonotonicClique(clique, p, aggIdx, 1L << 20)
         .getOrElse(return None)
-    val cap = conf.monotonicLocalMaxEntries
+    // two ceilings: autoentries is the ECONOMIC one (the single-thread
+    // driver loop loses to the distributed merge well before driver
+    // memory is at risk — sf1.0 A/B: 1.1M-entry APSP 13.4s driver vs
+    // 6.8s looped, 150k-entry CC 4.8s vs 6.1s), maxentries the memory
+    // backstop
+    val cap = conf.monotonicLocalMaxEntries.min(conf.monotonicLocalAutoEntries)
     val seedRows =
       collectCapped(seed, cap.min(1L << 24).toInt).getOrElse(return None)
     // the looped paths' min/max IGNORE null values; the local compare

@@ -177,5 +177,14 @@ class AggOverRecursionDatalogSpec extends DatalogSuite {
       "spark.datalog.recursion.monotoniclocal.maxentries" -> "20")
     assert(bailedRuns == 1, "driver path never engaged before the bail")
     assert(bailed == looped, "overflow bail diverged from the looped path")
+    // the ECONOMIC ceiling (autoentries, default 256k) bails the same
+    // way below the memory cap: the driver loop loses to the
+    // distributed merge long before driver memory is at risk (sf1.0:
+    // 1.1M-entry APSP driver 13.4s vs looped 6.8s)
+    val (eco, ecoRuns) = run(
+      "spark.datalog.recursion.monotoniclocal" -> "auto",
+      "spark.datalog.recursion.monotoniclocal.autoentries" -> "20")
+    assert(ecoRuns == 1, "driver path never engaged before the economic bail")
+    assert(eco == looped, "autoentries bail diverged from the looped path")
   }
 }
