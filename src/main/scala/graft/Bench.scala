@@ -25,6 +25,22 @@ object Bench {
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
+  /** Running drift estimate: median baseline ratio of the queries
+    * completed so far (1.0 until 8 samples exist). CAPPED at 2.0: drift
+    * is estimated from the benched queries themselves, so a genuine
+    * uniform code regression (everything ~2x slower) would otherwise
+    * inflate the estimate and suppress exactly the retries/flags that
+    * would expose it — past 2x the bands stop widening and a
+    * uniformly-regressed run floods the suspect list and the
+    * end-of-run raw-ratio verdict instead of sailing through as
+    * "drift". Exposed for BenchGuardSpec. */
+  private[graft] def driftEstimate(ratios: Seq[Double]): Double =
+    if (ratios.size < 8) 1.0
+    else {
+      val s = ratios.sorted
+      math.min(2.0, math.max(1.0, s(s.size / 2)))
+    }
+
   /** Stall-episode verdict over a finished run: (medianRatio,
     * tailSuspects). Median ratio is computed over non-errored queries
     * with a measurable baseline (>0.2s) — errored queries report
@@ -192,20 +208,8 @@ object Bench {
     // queries beyond the box's own uniform level re-run; a clean box
     // (drift ~1) behaves exactly as before. The end-of-run
     // env_suspect/median verdict stays on RAW ratios.
-    // Capped at 2.0: drift is estimated from the benched queries
-    // themselves, so a genuine uniform code regression (everything ~2x
-    // slower) would otherwise inflate the estimate and suppress exactly
-    // the retries/flags that would expose it. Past 2x the bands stop
-    // widening — a uniformly-2x-regressed run then floods the suspect
-    // list and the end-of-run raw-ratio verdict, instead of sailing
-    // through as "drift".
     val ratioLog = scala.collection.mutable.ArrayBuffer[Double]()
-    def runningDrift: Double =
-      if (ratioLog.size < 8) 1.0
-      else {
-        val s = ratioLog.sorted
-        math.min(2.0, math.max(1.0, s(s.size / 2)))
-      }
+    def runningDrift: Double = driftEstimate(ratioLog.toSeq)
     def isOutlier(name: String, t: Double): Boolean = {
       val d = runningDrift
       baseline.get(name).exists(b => t > 5 * d * b && t - d * b > 2.0)

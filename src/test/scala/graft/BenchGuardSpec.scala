@@ -45,6 +45,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(tail.size == 2 && !envSuspect(median, tail))
   }
 
+  test("drift estimate: warms up at 1.0, tracks the median, caps at 2.0") {
+    // fewer than 8 samples: no estimate yet (a couple of early outliers
+    // must not widen the bands for everyone after them)
+    assert(Bench.driftEstimate(Seq(3.0, 3.0, 3.0)) == 1.0)
+    // a uniformly ~1.5x box: bands scale to the observed drift
+    assert(Bench.driftEstimate(Seq.fill(9)(1.5)) == 1.5)
+    // never below 1.0 (a fast box must not TIGHTEN the bands)
+    assert(Bench.driftEstimate(Seq.fill(9)(0.5)) == 1.0)
+    // ADVICE r10: a genuine uniform 3x code regression would inflate
+    // its own drift estimate and suppress the retries/flags that would
+    // expose it — the cap holds the bands at 2x so such a run floods
+    // the suspect list instead
+    assert(Bench.driftEstimate(Seq.fill(9)(3.0)) == 2.0)
+  }
+
   test("retry rollback: releaseNewSince drops only what the query built") {
     // The r8 fabrication: a stall-retried query re-ran against the memo
     // its own first run had checkpointed and min() recorded the warm
