@@ -445,6 +445,70 @@ case class NGramHashSet(child: Expression, width: Int, p: Long = 1000000007L)
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign bucket over `bits` planes of a `dims`-wide
+  * quantized vector: bucket = Σ_j (dot_j > 0 ? 1<<j : 0) with plane
+  * weights w(i,j) = ((i*31 + j*17) % 7) - 3 — bit-identical to the HOF
+  * formula the DuckDB oracles replicate
+  * (aggregate(transform(sequence...))), but a generated two-level
+  * integer loop instead of interpreted lambda trees. The HOF version
+  * was the dominant cost of every LSH-bucketed embedding query AND was
+  * evaluated twice per row when a join's isnotnull condition inlined
+  * it (emb_knn_lsh at sf1.0: 3.8s → the corpus bucketing pass alone).
+  * Short arrays reproduce the HOF's null-propagation: any plane
+  * reading past the array makes every plane sum null, so the bucket is
+  * 0. */
+case class HyperplaneBucket(child: Expression, bits: Int, dims: Int = 64)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireLongArray(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, a, GraftFunctions.elemNullable(child))
+    if (a.numElements() < dims) return 0L
+    var bkt = 0L
+    var j = 0
+    while (j < bits) {
+      var s = 0L
+      var i = 0
+      while (i < dims) {
+        s += a.getLong(i) * (((i * 31 + j * 17) % 7) - 3)
+        i += 1
+      }
+      if (s > 0) bkt += (1L << j)
+      j += 1
+    }
+    bkt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bkt = ctx.freshName("bkt")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, a, GraftFunctions.elemNullable(child))}
+        long $bkt = 0L;
+        if ($a.numElements() >= $dims) {
+          for (int $j = 0; $j < $bits; $j++) {
+            long $s = 0L;
+            for (int $i = 0; $i < $dims; $i++) {
+              $s += $a.getLong($i) * ((($i * 31 + $j * 17) % 7) - 3);
+            }
+            if ($s > 0) $bkt += (1L << $j);
+          }
+        }
+        ${ev.value} = $bkt;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** Column-API helpers for the native expressions. */
 object GraftFunctions {
   private[functions] def requireLongArray(
@@ -510,4 +574,7 @@ object GraftFunctions {
   def sortedIntersectCount(l: Column, r: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(l), GraftColumnBridge.expression(r)))
+  def hyperplaneBucket(c: Column, bits: Int, dims: Int = 64): Column =
+    GraftColumnBridge.column(HyperplaneBucket(
+      GraftColumnBridge.expression(c), bits, dims))
 }

@@ -29,22 +29,19 @@ object EmbeddingQueries extends QueryPack {
   // dot products use the native codegen'd DotI64 expression — a tight
   // generated loop over the quantized arrays instead of interpreted
   // zip_with/aggregate lambdas (this is the per-pair inner kernel)
-  import graft.functions.GraftFunctions.dotI64
+  import graft.functions.GraftFunctions.{dotI64, hyperplaneBucket}
 
-  /** Hyperplane-sign bucket over `bits` planes (2^bits buckets) of a
-    * `dims`-wide vector; plane weights w(i,j) = ((i*31+j*17) % 7) - 3.
-    * Bits come from `spark.graft.lsh.bits` (default 8): more bits →
-    * smaller buckets → fewer candidates per bucket and lower recall —
-    * the knob a 100 TB corpus turns UP so within-bucket work stays
-    * bounded as the corpus grows. (The DuckDB oracles pin the default;
-    * the gates run at 8.) The same kernel at dims=16/bits=4 is the PQ
-    * subspace cell hash. */
-  private def bucket(v: String, bits: Int, dims: Int = 64) =
-    s"""aggregate(transform(sequence(0,${bits - 1}), j ->
-          if(aggregate(transform(sequence(0,${dims - 1}), i ->
-               $v[i] * (((i*31 + j*17) % 7) - 3)), cast(0 as bigint), (s, x) -> s + x) > 0,
-             shiftleft(1L, j), 0L)),
-        0L, (s, x) -> s + x)"""
+  // Hyperplane-sign bucketing is the codegen'd HyperplaneBucket kernel
+  // (graft.functions; plane weights ((i*31+j*17) % 7) - 3, bit-identical
+  // to the aggregate(transform(...)) HOF the DuckDB oracles replicate —
+  // the interpreted HOF was the dominant cost of every LSH query, and
+  // joins on the bucket column evaluated it twice per corpus row via
+  // the inlined isnotnull condition). Bits come from
+  // `spark.graft.lsh.bits` (default 8): more bits → smaller buckets →
+  // fewer candidates per bucket and lower recall — the knob a 100 TB
+  // corpus turns UP so within-bucket work stays bounded as the corpus
+  // grows. The same kernel at dims=16/bits=4 is the PQ subspace cell
+  // hash.
 
   private def lshBits(s: SparkSession): Int =
     s.conf.get("spark.graft.lsh.bits", "8").toInt
@@ -161,7 +158,8 @@ object EmbeddingQueries extends QueryPack {
     * all-pairs. Shared by the pair gate and the clustering gate. */
   private def embNeardupPairs(s: SparkSession, dir: String): DataFrame = {
     val e = capBuckets(s,
-      emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt"))
+      emb(s, dir).select(col("vec_id"), col("q"),
+        hyperplaneBucket(col("q"), lshBits(s)).as("bkt")))
     val a = e.select(col("bkt"), col("vec_id").as("v1"), col("q").as("q1"))
     val b = e.select(col("bkt"), col("vec_id").as("v2"), col("q").as("q2"))
     a.join(b, Seq("bkt"))
@@ -177,8 +175,8 @@ object EmbeddingQueries extends QueryPack {
       """explode(transform(sequence(0,3), m ->
            struct(m as m, slice(q, m*16+1, 16) as qm))) as e""")
       .select(col("vec_id"), col("e.m").as("m"), col("e.qm").as("qm"))
-      .selectExpr("vec_id", "m", "qm",
-        s"${bucket("qm", bits = 4, dims = 16)} as cell")
+      .select(col("vec_id"), col("m"), col("qm"),
+        hyperplaneBucket(col("qm"), bits = 4, dims = 16).as("cell"))
 
   /** PQ codebook (m, ccell, cmean): ≤64 per-cell integer-mean subspace
     * centroids — one partial-agg shuffle, broadcast everywhere used. */
@@ -332,7 +330,8 @@ object EmbeddingQueries extends QueryPack {
     // on the tiny broadcast query side — the corpus side still joins
     // once on its single bucket key.
     "emb_knn_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt")
+      val e = emb(s, dir).select(col("vec_id"), col("q"),
+        hyperplaneBucket(col("q"), lshBits(s)).as("bkt"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"),
           explode(probeArray(s, col("bkt"))).as("bkt"))
@@ -354,7 +353,8 @@ object EmbeddingQueries extends QueryPack {
     // is the same broadcast-queries × corpus-scan plan as emb_knn, so
     // measuring recall on an N-query sample costs one corpus pass.
     "emb_lsh_recall" -> ((s, dir) => {
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", lshBits(s))} as bkt")
+      val e = emb(s, dir).select(col("vec_id"), col("q"),
+        hyperplaneBucket(col("q"), lshBits(s)).as("bkt"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt").as("qbkt"))
       val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"),
@@ -382,7 +382,8 @@ object EmbeddingQueries extends QueryPack {
     // which reproduces the same first-3-one-bit-flip probe set.
     "emb_lsh_recall_mp" -> ((s, dir) => {
       val bits = 12; val probes = 4
-      val e = emb(s, dir).selectExpr("vec_id", "q", s"${bucket("q", bits)} as bkt")
+      val e = emb(s, dir).select(col("vec_id"), col("q"),
+        hyperplaneBucket(col("q"), bits).as("bkt"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("bkt").as("qbkt"))
       val cands = e.select(col("vec_id").as("cid"), col("q").as("cv"),

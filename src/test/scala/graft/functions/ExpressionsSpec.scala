@@ -182,6 +182,56 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((ok.getAs[Long]("sim") & 1L) == 1L)
   }
 
+  test("HyperplaneBucket matches the nested aggregate HOF formulation") {
+    import spark.implicits._
+    // 64-dim quantized vectors incl. negatives, zeros, and magnitudes
+    val df = Seq(
+      (1L, (0 until 64).map(i => ((i * 37) % 13 - 6) * 1000L)),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) -5000L else 4999L)),
+      (3L, Seq.fill(64)(0L)),
+      (4L, (0 until 64).map(i => (i * 2654435761L) % 9973L - 4986L))
+    ).toDF("id", "q")
+    def hof(bits: Int, dims: Int) =
+      s"""aggregate(transform(sequence(0,${bits - 1}), j ->
+            if(aggregate(transform(sequence(0,${dims - 1}), i ->
+                 q[i] * (((i*31 + j*17) % 7) - 3)), cast(0 as bigint), (s, x) -> s + x) > 0,
+               shiftleft(1L, j), 0L)),
+          0L, (s, x) -> s + x) as bkt"""
+    for ((bits, dims) <- Seq((8, 64), (12, 64))) {
+      val h = df.selectExpr("id", hof(bits, dims))
+      val n = df.select(col("id"),
+        GraftFunctions.hyperplaneBucket(col("q"), bits, dims).as("bkt"))
+      assert(n.exceptAll(h).isEmpty && h.exceptAll(n).isEmpty,
+        s"bits=$bits dims=$dims diverged")
+    }
+    // the PQ subspace shape (dims=16, bits=4) over slices
+    val sliced = df.selectExpr("id", "slice(q, 1, 16) as q")
+    val h16 = sliced.selectExpr("id", hof(4, 16))
+    val n16 = sliced.select(col("id"),
+      GraftFunctions.hyperplaneBucket(col("q"), 4, 16).as("bkt"))
+    assert(n16.exceptAll(h16).isEmpty && h16.exceptAll(n16).isEmpty)
+    // short array: every plane sum is null in the HOF -> bucket 0
+    val short = Seq((1L, Seq(1L, 2L))).toDF("id", "q")
+    assert(short.select(GraftFunctions.hyperplaneBucket(col("q"), 8, 64))
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("HyperplaneBucket interpreted eval agrees with codegen") {
+    import spark.implicits._
+    val df = Seq((0 until 64).map(i => ((i * 71) % 17 - 8) * 123L))
+      .toDF("q")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val a = df.select(GraftFunctions.hyperplaneBucket(col("q"), 8).as("b"))
+        .collect().head.getLong(0)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val b = df.select(GraftFunctions.hyperplaneBucket(col("q"), 8).as("b"))
+        .collect().head.getLong(0)
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen") {
     // force the interpreted path by evaluating via collect on a plan with
     // codegen disabled
