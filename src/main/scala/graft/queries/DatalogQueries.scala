@@ -140,18 +140,24 @@ object DatalogQueries extends QueryPack {
       }
     }),
 
-    // Linear TC under diffflip + the bloom pre-filter
-    // (spark.datalog.recursion.bloomprefilter=true): a per-predicate
-    // sketch over the accumulated facts — fed by the checkpoint jobs
+    // Linear TC under diffflip + the bloom pre-filter in AUTO mode
+    // with a gate-scale engagement threshold: a per-predicate sketch
+    // over the accumulated facts — fed by the checkpoint jobs
     // themselves — lets certainly-new candidates skip the semi build
-    // (the membership half of the reference's SetRDD layer,
-    // SetRDD.scala:29-167; BloomPrefilterSpec asserts engagement +
-    // zero exchanges). Distinct predicate name for a separate memo.
+    // once the fact set is large enough that the build it narrows
+    // dominates (the membership half of the reference's SetRDD layer,
+    // SetRDD.scala:29-167). `auto` + minrows=4000 is the realistic
+    // economics: early tiny iterations skip the probe (it can't help
+    // there), later ones engage — both regimes run inside this one
+    // oracle-checked gate at sf0.01+ (closure 11k facts; the forced
+    // from-iteration-0 mode is BloomPrefilterSpec's job). Distinct
+    // predicate name for a separate memo.
     "dl_tc_bloom" -> ((s, dir) => {
       val keys = Seq(
         "spark.datalog.recursion.copartition.enabled" -> "true",
         "spark.datalog.recursion.diffflip" -> "true",
-        "spark.datalog.recursion.bloomprefilter" -> "true")
+        "spark.datalog.recursion.bloomprefilter" -> "auto",
+        "spark.datalog.recursion.bloomprefilter.minrows" -> "4000")
       val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
       keys.foreach { case (k, v) => s.conf.set(k, v) }
       try {
