@@ -1356,11 +1356,33 @@ final class Evaluator(
         a
       }))
     // `auto` keeps accumulating hashes from iteration 0 (soundness: the
-    // sketch must cover EVERY slice) but pays for the probe — the plan
-    // literal and the per-candidate-row hash — only once the fact set
-    // is large enough that the semi build it narrows dominates
+    // sketch must cover EVERY slice) but pays for the probe — the
+    // broadcast sketch and the per-candidate-row hash — only once the
+    // fact set is large enough that the semi build it narrows dominates
     val bloomProbeMinRows =
       if (conf.bloomPrefilter == "true") 1L else conf.bloomMinRows
+    // One broadcast of the serialized sketch per (pred, sketch
+    // version): a plan-literal sketch serializes into EVERY task binary
+    // (0.9 MB × 32 partitions × engaged iterations ≈ 2.4s of pure
+    // task shipping at sf1.0), a broadcast ships once per executor.
+    // serializedBloom memoizes its byte array until new hashes arrive,
+    // so reference identity detects staleness. All broadcasts retire
+    // when the fixpoint ends (slices are materialized checkpoints — no
+    // returned lineage references the probes).
+    val bloomBcs = mutable.Map[String,
+      (Array[Byte], org.apache.spark.broadcast.Broadcast[Array[Byte]])]()
+    val bloomBcsRetired =
+      mutable.Buffer[org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+    def bloomBcFor(pred: String, bytes: Array[Byte])
+        : org.apache.spark.broadcast.Broadcast[Array[Byte]] =
+      bloomBcs.get(pred) match {
+        case Some((prev, bc)) if prev eq bytes => bc
+        case old =>
+          old.foreach { case (_, bc) => bloomBcsRetired += bc }
+          val bc = spark.sparkContext.broadcast(bytes)
+          bloomBcs(pred) = (bytes, bc)
+          bc
+      }
 
     /** claim-checkpoint (or localize when tiny) an iteration result
       * that is physically hash-partitioned on the pivot; the claim is
@@ -1480,7 +1502,7 @@ final class Evaluator(
             case Some(bytes) =>
               bloomPrefilterSplits += 1
               cand.filter(org.apache.spark.sql.GraftColumnBridge
-                .bloomMightContain(bytes,
+                .bloomMightContainBroadcast(bloomBcFor(pred, bytes),
                   org.apache.spark.sql.functions.xxhash64(
                     cand.columns.map(cand(_)).toIndexedSeq: _*)))
             case _ => cand
@@ -1731,6 +1753,10 @@ final class Evaluator(
         case Some(v) => spark.conf.set(coPartConf, v)
         case None => spark.conf.unset(coPartConf)
       }
+      // every slice is a materialized checkpoint, so no plan the caller
+      // can still run references a probe broadcast — safe to retire all
+      (bloomBcsRetired.iterator ++ bloomBcs.valuesIterator.map(_._2))
+        .foreach(bc => try bc.destroy() catch { case _: Throwable => () })
     }
   }
 

@@ -322,6 +322,17 @@ object GraftColumnBridge {
       catalyst.expressions.Literal(bloomBytes, types.BinaryType),
       expression(hashCol)))
 
+  /** The broadcast-backed variant — the 100 TB shape: a literal sketch
+    * serializes into EVERY task binary (0.9 MB × partitions × engaged
+    * iterations measured ~2.4s of pure task-shipping at sf1.0), while
+    * a broadcast ships once per executor and the expression carries
+    * only the handle. The filter deserializes lazily once per executor
+    * JVM; reads are lock-free. */
+  def bloomMightContainBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      hashCol: Column): Column =
+    column(BloomMightContainBroadcast(bc, expression(hashCol)))
+
   /** Register a function builder in an existing session's registry (for
     * sessions not built with `spark.sql.extensions=GraftExtensions`). */
   def registerFunction(
@@ -332,4 +343,38 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+}
+
+/** `might_contain` probe over a BROADCAST serialized BloomFilter (see
+  * GraftColumnBridge.bloomMightContainBroadcast). Name kept on the
+  * `might_contain` family so plan audits recognize the probe. */
+case class BloomMightContainBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression)
+    extends catalyst.expressions.UnaryExpression {
+  override def dataType: types.DataType = types.BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+
+  /** Public: called from generated code. */
+  def mightContain(h: Long): Boolean = filter.mightContainLong(h)
+
+  override def nullSafeEval(h: Any): Any =
+    mightContain(h.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: catalyst.expressions.codegen.CodegenContext,
+      ev: catalyst.expressions.codegen.ExprCode)
+      : catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeBc", this,
+      classOf[BloomMightContainBroadcast].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $ref.mightContain($h);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBroadcast =
+    copy(child = newChild)
 }
