@@ -235,7 +235,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Run order stays the queries Map's (deterministic hash) order —
+    // the SAME order the committed BENCH_FULL.json baseline was
+    // measured under. A sorted order was tried and reverted: shared
+    // pack memos (quantized vectors, IVF artifacts, shared fixpoint
+    // contexts) bill their one-time build to the FIRST family member
+    // that runs, so reordering shifts those bills onto different gates
+    // than the baseline measured and manufactures fake per-query
+    // "regressions" (emb_ivf_search measured 2.8x its baseline purely
+    // by inheriting the IVF build). The machinery warmup above absorbs
+    // the order-dependent JIT surcharges either way.
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val snap = graft.queries.PackResources.snapshot()
       var t = timed(name, fn)
       if (errors.lastOption.forall(_._1 != name) && retryWorthy(name, t)) {
@@ -253,17 +263,18 @@ object Bench {
         baseline.get(name).filter(_ > 0.2).foreach(b => ratioLog += t / b)
       name -> t
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val resultsMap = results.toMap
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Stall detection, three prongs: per-query 5x retry (isolated
     // spikes), median shared-query ratio >1.3 (uniform ~1.4x box
     // episodes), and >=3 heavy queries >2.5x (heavy-tail episodes the
     // first two miss — see stallVerdict).
     val (medianRatio, tailSuspects) =
-      stallVerdict(results.toSeq, baseline, errors.map(_._1).toSet)
+      stallVerdict(results, baseline, errors.map(_._1).toSet)
     val envSuspect =
       suspects.nonEmpty || medianRatio > 1.3 || tailSuspects.size >= 3
-    val head = headline.filter(results.contains)
-      .map(k => s"\"$k\":" + fmt(results(k))).mkString("{", ",", "}")
+    val head = headline.filter(resultsMap.contains)
+      .map(k => s"\"$k\":" + fmt(resultsMap(k))).mkString("{", ",", "}")
     // Keep the metric line short (the invoking harness tail-parses it):
     // errors carry truncated messages, suspects at most 5 names.
     val errJson =
@@ -287,7 +298,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${results.size}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per round).
-    val full = results.toSeq.sortBy(_._1)
+    val full = results.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n")
     val errFull =
       if (errors.isEmpty) ""
