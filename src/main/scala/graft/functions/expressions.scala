@@ -445,6 +445,66 @@ case class NGramHashSet(child: Expression, width: Int, p: Long = 1000000007L)
     copy(child = newChild)
 }
 
+/** POSITIONAL n-gram hashes: same rolling combine as NGramHashSet
+  * (fold (v*1000003 + h) % p over each width-window of token hashes)
+  * but emitted in position order with NO dedup — element i is the hash
+  * of the gram starting at token i, so `posexplode` recovers (pos,
+  * gram) pairs for span-level matching (the substring-dedup /
+  * diagonal-run operator needs positions, which the distinct set form
+  * destroys). */
+case class NGramHashSeq(child: Expression, width: Int, p: Long = 1000000007L)
+    extends UnaryExpression {
+  require(width >= 1, "width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireLongArray(prettyName, child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, arr, GraftFunctions.elemNullable(child))
+    val n = arr.numElements()
+    val m = math.max(0, n - width + 1)
+    val tmp = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var v = 0L
+      var j = 0
+      while (j < width) { v = (v * 1000003L + arr.getLong(i + j)) % p; j += 1 }
+      tmp(i) = v
+      i += 1
+    }
+    new GenericArrayData(tmp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val tmp = ctx.freshName("tmp")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, c, GraftFunctions.elemNullable(child))}
+        final int $n = $c.numElements();
+        final int $m = java.lang.Math.max(0, $n - $width + 1);
+        final long[] $tmp = new long[$m];
+        for (int $i = 0; $i < $m; $i++) {
+          long $v = 0L;
+          for (int $j = 0; $j < $width; $j++) {
+            $v = ($v * 1000003L + $c.getLong($i + $j)) % ${p}L;
+          }
+          $tmp[$i] = $v;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashSeq =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign bucket over `bits` planes of a `dims`-wide
   * quantized vector: bucket = Σ_j (dot_j > 0 ? 1<<j : 0) with plane
   * weights w(i,j) = ((i*31 + j*17) % 7) - 3 — bit-identical to the HOF
@@ -564,6 +624,8 @@ object GraftFunctions {
     GraftColumnBridge.column(Shingle3SortedSet(GraftColumnBridge.expression(c)))
   def nGramHashSet(c: Column, width: Int): Column =
     GraftColumnBridge.column(NGramHashSet(GraftColumnBridge.expression(c), width))
+  def nGramHashSeq(c: Column, width: Int): Column =
+    GraftColumnBridge.column(NGramHashSeq(GraftColumnBridge.expression(c), width))
   def minhashSig(c: Column, k: Int = 16): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(c), k))
   def simhash32(c: Column): Column =

@@ -125,6 +125,28 @@ object TemporalQueries extends QueryPack {
         count(lit(1)).as("n"))
     }),
 
+    // Type-2 slowly-changing dimension from the event stream (the
+    // warehouse-standard temporal-history op the reference lacks): per
+    // user, the history of their event_type attribute as
+    // (valid_from, valid_to) intervals — a new row opens when the
+    // attribute CHANGES (gaps-and-islands via lag), closes at the next
+    // change (lead; NULL = current). One shuffle on user_id; both
+    // windows ride the same sort (spillable — a hot user spills, never
+    // buffers), the same scale discipline as evt_sessions.
+    // Deterministic: (tsu, event_id) is a unique order.
+    "evt_scd2" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "event_type", "ts div 1000 as tsu", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      e.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to",
+          lead("tsu", 1).over(
+            Window.partitionBy("user_id").orderBy("tsu", "event_id")))
+        .select(col("user_id"), col("event_type"),
+          col("tsu").as("valid_from"), col("valid_to"))
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -193,6 +215,19 @@ object TemporalQueries extends QueryPack {
          SELECT agg.bucket, op.open_cents, agg.high_cents, agg.low_cents,
                 cl.close_cents, agg.n
          FROM agg JOIN op USING (bucket) JOIN cl USING (bucket)""",
+    "evt_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+                    FROM events),
+         c AS (SELECT *, lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+               FROM e),
+         ch AS (SELECT user_id, event_type, tsu, event_id FROM c
+                WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, CAST(tsu AS BIGINT) AS valid_from,
+                CAST(lead(tsu) OVER
+                  (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT)
+                  AS valid_to
+         FROM ch""",
     "evt_range_join" ->
       """WITH w AS (SELECT k,
                       1704067200000000 + k * 14400000000 AS lo,

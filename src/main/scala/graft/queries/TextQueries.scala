@@ -569,6 +569,48 @@ object TextQueries extends QueryPack {
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Span-level duplicate detection (the exact-substring-dedup shape:
+    // find long runs of text shared VERBATIM across documents —
+    // boilerplate, licenses, mirrored passages — which doc-level
+    // near-dup misses when the rest of the two docs differs). Plan:
+    // positional 13-gram rolling hashes (codegen'd NGramHashSeq — the
+    // set form destroys positions), gram-frequency cap (grams with
+    // more than `spark.graft.span.maxDf` occurrences are boilerplate
+    // the self-join must not explode on — the suffix-array pipelines'
+    // common-prefix cut), gram-key self-join d1 < d2 (blocked, never
+    // doc×doc), then gaps-and-islands on each (d1, d2, diagonal): a
+    // run of `run_len` consecutive matching grams is a shared span of
+    // run_len + 12 tokens. Shuffles: one gram-keyed (the join), one
+    // (d1,d2)-keyed (the run window, spillable). Output: spans of
+    // >= 16 shared tokens (run_len >= 4).
+    "txt_span_dedup" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.nGramHashSeq
+      import org.apache.spark.sql.expressions.Window
+      val maxDf = s.conf.get("spark.graft.span.maxDf", "1000").toInt
+      val g = docs(s, dir)
+        .select(col("doc_id"), tokHashes.as("h"))
+        .filter(size(col("h")) >= 13)
+        .select(col("doc_id"), posexplode(nGramHashSeq(col("h"), 13)))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "ng")
+      val rare = g.groupBy("ng").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("ng")
+      val gg = g.join(rare, "ng")
+      val m = gg.select(col("ng"), col("doc_id").as("d1"), col("p").as("p1"))
+        .join(gg.select(col("ng"), col("doc_id").as("d2"), col("p").as("p2")), "ng")
+        .filter(col("d1") < col("d2"))
+        .withColumn("diag", col("p1") - col("p2"))
+      val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+      m.withColumn("grp", col("p1") - row_number().over(w))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg(min("p1").as("start1"), min("p2").as("start2"),
+          (count(lit(1)) + 12).as("span_tokens"))
+        .filter(col("span_tokens") >= 16)
+        .select(col("d1"), col("d2"),
+          col("start1").cast("long").as("start1"),
+          col("start2").cast("long").as("start2"),
+          col("span_tokens"))
+    }),
+
     // Collocation mining (PMI-style): the corpus-statistics operator
     // behind phrase detection / tokenizer-merge candidates. Strength is
     // the exact-integer PMI ratio n12·N·10^6 div (n1·n2) (monotone in
@@ -857,6 +899,28 @@ object TextQueries extends QueryPack {
           SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
           FROM g JOIN bench USING (ng)
           WHERE g.doc_id % 10 <> 7 GROUP BY g.doc_id""",
+    "txt_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+            list_transform(string_split(text,' '), tok -> ${thDuck("tok")}) AS h
+          FROM documents),
+          g AS (SELECT doc_id, i AS p,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(h, i+1, i+13)),
+                (a, b) -> (a*1000003 + b) % $P) AS ng
+            FROM t, unnest(range(len(h)-12)) AS u(i)
+            WHERE len(h) >= 13),
+          rare AS (SELECT ng FROM g GROUP BY ng HAVING count(*) <= 1000),
+          gg AS (SELECT g.* FROM g JOIN rare USING (ng)),
+          m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2,
+                       a.p - b.p AS diag
+                FROM gg a JOIN gg b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+          r AS (SELECT *, p1 - row_number()
+                  OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+                FROM m)
+          SELECT d1, d2, CAST(min(p1) AS BIGINT) AS start1,
+                 CAST(min(p2) AS BIGINT) AS start2,
+                 CAST(count(*) + 12 AS BIGINT) AS span_tokens
+          FROM r GROUP BY d1, d2, diag, grp
+          HAVING count(*) + 12 >= 16""",
     "txt_pmi_top" ->
       """WITH d AS (SELECT string_split(text,' ') AS t FROM documents
              WHERE len(string_split(text,' ')) >= 2),
