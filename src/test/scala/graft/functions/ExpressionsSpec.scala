@@ -182,6 +182,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert((ok.getAs[Long]("sim") & 1L) == 1L)
   }
 
+  test("NGramHashSeq matches the positional HOF and the set form's distinct") {
+    val width = 3
+    val hof = hashesDF.selectExpr("id",
+      s"""case when size(h) >= $width then
+            transform(sequence(0, size(h) - $width),
+              i -> aggregate(slice(h, i + 1, $width), cast(0 as bigint),
+                     (a, x) -> (a * 1000003 + x) % $P))
+          else array() end as g""")
+    val native = hashesDF.select(col("id"),
+      GraftFunctions.nGramHashSeq(col("h"), width).as("g"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // the set kernel is exactly sort_distinct of the positional one
+    val setForm = hashesDF.select(col("id"),
+      GraftFunctions.nGramHashSet(col("h"), width).as("s"))
+    val seqThenDedup = hashesDF.select(col("id"),
+      array_sort(array_distinct(GraftFunctions.nGramHashSeq(col("h"), width)))
+        .as("s"))
+    assert(seqThenDedup.exceptAll(setForm).isEmpty &&
+      setForm.exceptAll(seqThenDedup).isEmpty)
+  }
+
   test("HyperplaneBucket matches the nested aggregate HOF formulation") {
     import spark.implicits._
     // 64-dim quantized vectors incl. negatives, zeros, and magnitudes
