@@ -181,6 +181,38 @@ object TextQueries extends QueryPack {
     PackResources.checkpoint(s, dir, "txt_shingles")(
       docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s")))
 
+  /** Span-level duplicate detection core over a (doc_id, text) frame —
+    * see the `txt_span_dedup` gate comment for the design; exposed for
+    * the property spec's independent brute-force oracle. Output:
+    * (d1, d2, start1, start2, span_tokens) for maximal runs of
+    * consecutive matching 13-grams spanning ≥ 16 tokens. */
+  private[queries] def spanDedup(d: DataFrame, maxDf: Int): DataFrame = {
+    import graft.functions.GraftFunctions.nGramHashSeq
+    import org.apache.spark.sql.expressions.Window
+    val g = d
+      .select(col("doc_id"), tokHashes.as("h"))
+      .filter(size(col("h")) >= 13)
+      .select(col("doc_id"), posexplode(nGramHashSeq(col("h"), 13)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "ng")
+    val rare = g.groupBy("ng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("ng")
+    val gg = g.join(rare, "ng")
+    val m = gg.select(col("ng"), col("doc_id").as("d1"), col("p").as("p1"))
+      .join(gg.select(col("ng"), col("doc_id").as("d2"), col("p").as("p2")), "ng")
+      .filter(col("d1") < col("d2"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    m.withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(min("p1").as("start1"), min("p2").as("start2"),
+        (count(lit(1)) + 12).as("span_tokens"))
+      .filter(col("span_tokens") >= 16)
+      .select(col("d1"), col("d2"),
+        col("start1").cast("long").as("start1"),
+        col("start2").cast("long").as("start2"),
+        col("span_tokens"))
+  }
+
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
     * over distinct shingle sets, kept when num/den ≥ threshold. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
@@ -583,33 +615,9 @@ object TextQueries extends QueryPack {
     // run_len + 12 tokens. Shuffles: one gram-keyed (the join), one
     // (d1,d2)-keyed (the run window, spillable). Output: spans of
     // >= 16 shared tokens (run_len >= 4).
-    "txt_span_dedup" -> ((s, dir) => {
-      import graft.functions.GraftFunctions.nGramHashSeq
-      import org.apache.spark.sql.expressions.Window
-      val maxDf = s.conf.get("spark.graft.span.maxDf", "1000").toInt
-      val g = docs(s, dir)
-        .select(col("doc_id"), tokHashes.as("h"))
-        .filter(size(col("h")) >= 13)
-        .select(col("doc_id"), posexplode(nGramHashSeq(col("h"), 13)))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "ng")
-      val rare = g.groupBy("ng").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("ng")
-      val gg = g.join(rare, "ng")
-      val m = gg.select(col("ng"), col("doc_id").as("d1"), col("p").as("p1"))
-        .join(gg.select(col("ng"), col("doc_id").as("d2"), col("p").as("p2")), "ng")
-        .filter(col("d1") < col("d2"))
-        .withColumn("diag", col("p1") - col("p2"))
-      val w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
-      m.withColumn("grp", col("p1") - row_number().over(w))
-        .groupBy("d1", "d2", "diag", "grp")
-        .agg(min("p1").as("start1"), min("p2").as("start2"),
-          (count(lit(1)) + 12).as("span_tokens"))
-        .filter(col("span_tokens") >= 16)
-        .select(col("d1"), col("d2"),
-          col("start1").cast("long").as("start1"),
-          col("start2").cast("long").as("start2"),
-          col("span_tokens"))
-    }),
+    "txt_span_dedup" -> ((s, dir) =>
+      spanDedup(docs(s, dir),
+        s.conf.get("spark.graft.span.maxDf", "1000").toInt)),
 
     // Collocation mining (PMI-style): the corpus-statistics operator
     // behind phrase detection / tokenizer-merge candidates. Strength is
