@@ -169,6 +169,11 @@ final case class DatalogConf(
       * bails to the relational path (work is redone there; driver
       * memory stays bounded). */
     supportLocalMaxEntries: Long = 1L << 21,
+    /** `spark.datalog.recursion.supportlocal.autoentries` (default
+      * 256k): the ECONOMIC ceiling below the memory one — the same
+      * single-thread-vs-distributed crossover measured for the
+      * monotonic twin (`monotoniclocal.autoentries`). */
+    supportLocalAutoEntries: Long = 1L << 18,
     /** `spark.datalog.recursion.monotoniclocal` (auto|false, default
       * auto): evaluate an mmin/mmax fixpoint entirely on the DRIVER
       * when its seed and every static relation fit the local caps —
@@ -350,6 +355,9 @@ object DatalogConf {
     supportLocalMaxEntries =
       spark.conf.get("spark.datalog.recursion.supportlocal.maxentries",
         (1L << 21).toString).toLong,
+    supportLocalAutoEntries =
+      spark.conf.get("spark.datalog.recursion.supportlocal.autoentries",
+        (1L << 18).toString).toLong,
     monotonicLocal = {
       val v = spark.conf.get("spark.datalog.recursion.monotoniclocal", "auto")
         .trim.toLowerCase

@@ -2346,7 +2346,12 @@ final class Evaluator(
     if (seedRows.exists(_.anyNull)) return None
 
     supportLocalRuns += 1
-    val supportCap = conf.supportLocalMaxEntries
+    // same two-ceiling discipline as driverMonotonicFixpoint: the
+    // economic autoentries bail fires well before the memory backstop
+    // (the single-threaded driver loop loses to the distributed merge
+    // at large support sizes — measured on the monotonic twin at sf1.0)
+    val supportCap =
+      conf.supportLocalMaxEntries.min(conf.supportLocalAutoEntries)
     val support =
       mutable.HashMap[IndexedSeq[Any], java.util.HashMap[Any, Any]]()
     val agg = mutable.HashMap[IndexedSeq[Any], Long]()

@@ -177,6 +177,15 @@ class SupportAggSpec extends DatalogSuite {
     assert(bailedRuns == 1, "driver path never engaged before the bail")
     assert(bailed == relational && bailed.nonEmpty,
       "overflow bail diverged from the relational loop")
+    // the ECONOMIC ceiling (autoentries) bails the same way below the
+    // memory cap — the monotonic twin's measured single-thread-vs-
+    // distributed crossover applied to support maps
+    val (eco, ecoRuns) = run(
+      "spark.datalog.recursion.supportlocal" -> "auto",
+      "spark.datalog.recursion.supportlocal.autoentries" -> "4")
+    assert(ecoRuns == 1, "driver path never engaged before the economic bail")
+    assert(eco == relational,
+      "autoentries bail diverged from the relational loop")
   }
 
   test("support copart iterations shuffle only the delta-sized candidate agg") {
