@@ -147,6 +147,26 @@ object TemporalQueries extends QueryPack {
           col("tsu").as("valid_from"), col("valid_to"))
     }),
 
+    // Weekly cohort retention (the product-analytics triangle): users
+    // cohorted by the week of their FIRST event; for each
+    // (cohort_week, week_offset), how many of that cohort were active
+    // offset weeks later. ONE shuffle on user_id carries both the
+    // cohort min and the distinct active-week set (collect_set is
+    // bounded by the calendar horizon in weeks, not by event volume —
+    // a hot user costs a bigger partial agg, never a buffer), then a
+    // tiny (cohort, offset) agg. At 100 TB/day this is the same plan:
+    // per-user state stays O(weeks).
+    "evt_retention" -> ((s, dir) => {
+      val Week = 604800000000L
+      Tables.load(s, dir, "events")
+        .selectExpr("user_id", s"(ts div 1000 - $Anchor) div $Week as wk")
+        .groupBy("user_id")
+        .agg(min("wk").as("cohort_wk"), collect_set("wk").as("wks"))
+        .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -228,6 +248,17 @@ object TemporalQueries extends QueryPack {
                   (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT)
                   AS valid_to
          FROM ch""",
+    "evt_retention" ->
+      """WITH e AS (SELECT user_id,
+                (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+              FROM events),
+           f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+           a AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT CAST(f.cohort_wk AS BIGINT) AS cohort_wk,
+                CAST(a.wk - f.cohort_wk AS BIGINT) AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     "evt_range_join" ->
       """WITH w AS (SELECT k,
                       1704067200000000 + k * 14400000000 AS lo,

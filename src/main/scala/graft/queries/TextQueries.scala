@@ -266,6 +266,42 @@ object TextQueries extends QueryPack {
         "size(regexp_extract_all(text, '[a-z]{1,4}', 0)) as n_subwords",
         "size(regexp_extract_all(text, '[a-z]+', 0)) as n_alpha_runs")),
 
+    // Token-window chunking with overlap (context-window prep — the
+    // step between cleaning and packing in an LLM data pipeline):
+    // chunk k covers tokens [k·48, k·48+64), i.e. 64-token windows on a
+    // 48-token stride (16-token overlap), one chunk per stride start
+    // below n. Pure narrow codegen (sequence → explode → slice): zero
+    // shuffles, so at 100 TB this is a map-only pass that rides the
+    // scan — the 10⁹-doc plan is this plan.
+    "txt_chunk_overlap" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$toks as tk", s"size($toks) as n")
+        .selectExpr("doc_id", "tk", "n",
+          "explode(sequence(0L, cast((n - 1) div 48 as long))) as k")
+        .selectExpr(
+          "doc_id",
+          "k as chunk_id",
+          "k * 48 as start_tok",
+          "least(64L, n - k * 48) as n_chunk_tokens",
+          "array_join(slice(tk, cast(k * 48 + 1 as int), 64), ' ') as chunk_text")),
+
+    // Positional inverted index (posting lists — the retrieval-side
+    // artifact a corpus pipeline materializes next to the text): one
+    // row per (term, doc) with term frequency, first position and the
+    // full 1-based position list (comma-joined — the oracle compare is
+    // string-exact). Plan: posexplode rides the scan, then ONE partial-
+    // agg shuffle on (term, doc_id) — hot terms don't skew because
+    // doc_id is in the key; a true per-term posting list at 100 TB is
+    // this output bucketed by term.
+    "txt_inverted_index" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"posexplode($toks) as (pos0, term)")
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          (min(col("pos0")) + 1).cast("long").as("first_pos"),
+          expr("""array_join(transform(sort_array(collect_list(pos0 + 1)),
+                    x -> cast(x as string)), ',')""").as("positions"))),
+
     // Quality scoring: exact integer length/stopword ratios.
     "txt_quality" -> ((s, dir) =>
       docs(s, dir).selectExpr(
@@ -731,6 +767,30 @@ object TextQueries extends QueryPack {
          len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subwords,
          len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs
          FROM documents""",
+    "txt_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                    FROM documents),
+              x AS (SELECT doc_id, toks, len(toks) AS n,
+                           unnest(generate_series(0, (len(toks)-1)//48)) AS k
+                    FROM t)
+         SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                CAST(k*48 AS BIGINT) AS start_tok,
+                CAST(least(64, n - k*48) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text
+         FROM x""",
+    "txt_inverted_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                    FROM documents),
+              p AS (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks))) AS pos
+                    FROM t),
+              e AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                           toks[pos] AS term
+                    FROM p)
+         SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                CAST(min(pos) AS BIGINT) AS first_pos,
+                string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+         FROM e GROUP BY term, doc_id""",
     "txt_quality" ->
       """SELECT doc_id, length(text) AS n_chars_len,
          len(string_split(text,' ')) AS n_tokens,

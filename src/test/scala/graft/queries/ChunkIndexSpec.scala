@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.datalog.TestSpark
+
+/** Structural invariants for the r11 pipeline additions — chunking,
+  * inverted index, retention — checked against the raw fixture tables
+  * (independent of the DuckDB oracle formulations, which mirror the
+  * engine's own arithmetic):
+  *
+  *  - txt_chunk_overlap: chunk 0 + the tails of every later chunk
+  *    reconstruct the document exactly (the overlap really is the
+  *    stride prefix, no token lost or duplicated); per-doc chunk count
+  *    = ceil(n/48); every chunk's token count matches its text.
+  *  - txt_inverted_index: per doc, sum(tf) = token count and
+  *    max(position) = token count (1-based, dense); per (term, doc),
+  *    the positions string is strictly increasing and its length = tf.
+  *  - evt_retention: offset-0 row per cohort counts the whole cohort
+  *    (every user is active in their own first week); summing the
+  *    offset-0 counts = total distinct users; no negative offsets.
+  */
+class ChunkIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunks on a 48-stride reconstruct every document exactly") {
+    import spark.implicits._
+    val chunks = TextQueries.defs("txt_chunk_overlap")(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)]
+      .collect().groupBy(_._1)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0, starts on the stride, count = ceil(n/48)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.length == (toks.length + 47) / 48)
+      sorted.foreach { case (_, k, start, n, text) =>
+        assert(start == k * 48)
+        val expect = toks.slice(start.toInt, start.toInt + 64)
+        assert(n == expect.length && n == math.min(64, toks.length - start))
+        assert(text == expect.mkString(" "))
+      }
+      // stitch: chunk 0 plus tokens [48,64) of each later chunk = doc
+      val stitched = sorted.flatMap { case (_, k, _, _, text) =>
+        val ts = text.split(" ", -1)
+        if (k == 0) ts else ts.drop(16)
+      }
+      assert(stitched.toSeq == toks.toSeq)
+    }
+  }
+
+  test("inverted index is a dense 1-based permutation of each document") {
+    import spark.implicits._
+    val idx = TextQueries.defs("txt_inverted_index")(spark, dir)
+      .select("term", "doc_id", "tf", "first_pos", "positions")
+      .as[(String, Long, Long, Long, String)].collect()
+    val nTok = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) as n")
+      .as[(Long, Long)].collect().toMap
+    idx.groupBy(_._2).foreach { case (id, rows) =>
+      assert(rows.map(_._3).sum == nTok(id), s"sum(tf) != n_tokens for $id")
+      val allPos = rows.flatMap(_._5.split(",").map(_.toLong))
+      assert(allPos.sorted.toSeq == (1L to nTok(id)).toSeq,
+        s"positions not a dense 1..n permutation for $id")
+    }
+    idx.foreach { case (term, id, tf, first, pos) =>
+      val ps = pos.split(",").map(_.toLong).toSeq
+      assert(ps.length == tf && ps == ps.sorted && ps.head == first,
+        s"posting list malformed for ($term, $id)")
+    }
+  }
+
+  test("retention cohorts: offset 0 covers each cohort; totals add up") {
+    import spark.implicits._
+    val r = TemporalQueries.defs("evt_retention")(spark, dir)
+      .select("cohort_wk", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(r.forall(_._2 >= 0), "negative week offset")
+    val users = graft.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    val offset0 = r.filter(_._2 == 0)
+    assert(offset0.map(_._1).distinct.length ==
+      r.map(_._1).distinct.length, "a cohort lacks its offset-0 row")
+    assert(offset0.map(_._3).sum == users,
+      "offset-0 cohort sizes do not sum to the distinct-user count")
+    // no later offset can exceed its cohort's size
+    val size = offset0.map(t => t._1 -> t._3).toMap
+    assert(r.forall(t => t._3 <= size(t._1)), "retention above cohort size")
+  }
+}
