@@ -338,7 +338,28 @@ object RelationalQueries extends QueryPack {
           .selectExpr("user_id", "event_id",
             "cast(round(value * 100, 0) as bigint) as cents"),
         t(s, dir, "customer").selectExpr("c_custkey", "c_mktsegment"))
-        .toDF("segment", "n", "sum_cents"))
+        .toDF("segment", "n", "sum_cents")),
+
+    // Runtime bloom-filter join pruning (JoinOps): lineitem rows probe
+    // a distributed-built sketch of the selective orders subset BEFORE
+    // the join shuffle — only might-match rows reach the exchange; the
+    // exact join above keeps the result identical to the plain join
+    // (the oracle). AQE would broadcast this build side at test scale;
+    // the gate forces the shuffle path so the pruned exchange is the
+    // plan under test — at 100 TB the build side outgrows the
+    // broadcast threshold and this IS the plan.
+    "q33_bloom_join" -> ((s, dir) => {
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      val pruned = JoinOps.bloomPruneFact(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        col("l_orderkey"), sel, col("o_orderkey"))
+      pruned.hint("shuffle_hash")
+        .join(sel, pruned("l_orderkey") === sel("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), cents(col("l_extendedprice")).as("sum_cents"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,6 +477,13 @@ object RelationalQueries extends QueryPack {
          CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment""",
+    "q33_bloom_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus""",
     "q29_lag" ->
       """SELECT o_custkey, o_orderkey,
          CAST(COALESCE(date_diff('day',

@@ -322,6 +322,16 @@ object GraftColumnBridge {
       catalyst.expressions.Literal(bloomBytes, types.BinaryType),
       expression(hashCol)))
 
+  /** Distributed sketch BUILD: Catalyst's `BloomFilterAggregate` as a
+    * normal aggregate column — per-partition partial sketches merged by
+    * the agg machinery, so the build side never collects to the driver
+    * (the scalable complement of the probe below; `hashCol` must be
+    * `functions.xxhash64(<key>)`, the same hash the probe applies). The
+    * result row carries the serialized `util.sketch.BloomFilter`. */
+  def bloomAggregate(hashCol: Column, expectedItems: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(hashCol), expectedItems).toAggregateExpression())
+
   /** The broadcast-backed variant — the 100 TB shape: a literal sketch
     * serializes into EVERY task binary (0.9 MB × partitions × engaged
     * iterations measured ~2.4s of pure task-shipping at sf1.0), while
