@@ -210,6 +210,20 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           cents(col("o_totalprice")).as("sum_cents"))),
 
+    // GROUPING SETS — explicit set list (neither a rollup prefix chain
+    // nor the full cube: status-only, priority-only and grand total,
+    // skipping the pair), with grouping_id disambiguating real NULL
+    // group values from subtotal rows. One pass, map-side partials per
+    // set — the same single-shuffle plan as rollup/cube.
+    "q34_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          cents(col("o_totalprice")).as("sum_cents"))),
+
     // FULL OUTER join with null-safe projection (reference has inner +
     // anti only): per-nation customer/supplier presence.
     "q27_outer" -> ((s, dir) => {
@@ -495,6 +509,14 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q34_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q27_outer" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk,
          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
