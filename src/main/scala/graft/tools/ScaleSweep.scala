@@ -19,7 +19,9 @@ object ScaleSweep {
     "emb_ivfpq_search", "emb_ivfpq_bucketed", "emb_neardup",
     "graph_pagerank", "graph_pagerank_conv", "graph_kcore", "graph_lpa",
     "stream_hourly", "stream_sessions", "stream_join", "q1_agg",
-    "q3_join_agg", "q31_salted_join", "txt_span_dedup", "evt_scd2")
+    "q3_join_agg", "q31_salted_join", "txt_span_dedup", "evt_scd2",
+    "txt_chunk_overlap", "txt_inverted_index", "evt_retention",
+    "q33_bloom_join", "q34_grouping_sets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp_sf1")
