@@ -514,6 +514,26 @@ object EmbeddingQueries extends QueryPack {
           """aggregate(zip_with(q, code, (x, c) -> abs(x - (c * m) div 127)),
              cast(0 as bigint), (a, e) -> a + e) as l1_err""")),
 
+    // Signed random projection (Johnson-Lindenstrauss sketch — the
+    // third compression shape next to PQ and SQ8): 32-dim quantized
+    // vectors project to 8 signed-sum components, sign(i,j) from a
+    // closed-form integer hash so both engines derive the identical
+    // "random" matrix with no materialized state (in production the
+    // signs come from a tiny broadcast matrix; the closed form IS that
+    // broadcast, fused into codegen). Map-only — zero shuffles, rides
+    // the scan at any scale; exact int64 arithmetic end to end.
+    "emb_rproj" -> ((s, dir) =>
+      emb(s, dir)
+        .selectExpr("vec_id",
+          """transform(sequence(0, 7), j ->
+               aggregate(sequence(0, size(q) - 1), cast(0 as bigint),
+                 (a, i) -> a + element_at(q, i + 1) *
+                   (case when ((i + 1) * (j + 2) * 2654435761L) % 97 < 48
+                         then 1 else -1 end))) as r""")
+        .selectExpr("vec_id",
+          "r[0] as r0", "r[1] as r1", "r[2] as r2", "r[3] as r3",
+          "r[4] as r4", "r[5] as r5", "r[6] as r6", "r[7] as r7")),
+
     // Full IVF top-k search (the complete ANN query path): queries probe
     // their nProbe=2 best coarse cells, candidates are only the vectors
     // ASSIGNED to a probed cell, exact top-5 by quantized dot within.
@@ -735,6 +755,22 @@ object EmbeddingQueries extends QueryPack {
             CAST(list_sum(list_transform(range(len(q)),
               i -> abs(q[i+1] - (code[i+1] * m) // 127))) AS BIGINT) AS l1_err
           FROM cd""",
+    "emb_rproj" ->
+      s"""WITH e AS (SELECT vec_id, $quantD AS q FROM embeddings),
+          p AS (SELECT vec_id,
+              list_transform(generate_series(0, 7), j ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, len(q)), i ->
+                    q[i] * (CASE WHEN (i * (j + 2) * 2654435761) % 97 < 48
+                                 THEN 1 ELSE -1 END))),
+                  (a, b) -> a + b)) AS r
+            FROM e)
+          SELECT vec_id,
+            CAST(r[1] AS BIGINT) AS r0, CAST(r[2] AS BIGINT) AS r1,
+            CAST(r[3] AS BIGINT) AS r2, CAST(r[4] AS BIGINT) AS r3,
+            CAST(r[5] AS BIGINT) AS r4, CAST(r[6] AS BIGINT) AS r5,
+            CAST(r[7] AS BIGINT) AS r6, CAST(r[8] AS BIGINT) AS r7
+          FROM p""",
     "emb_ivf_search" ->
       s"""WITH e AS (SELECT vec_id, $quantD AS v, label FROM embeddings),
           c AS (SELECT CAST(label AS BIGINT) AS clabel, i,
