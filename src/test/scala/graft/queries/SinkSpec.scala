@@ -36,4 +36,19 @@ class SinkSpec extends AnyFunSuite {
       .schema(src.schema).csv(out)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
+
+  test("orc write round-trips with predicate pushdown on read-back") {
+    val out = Files.createTempDirectory("graft_sink").toString + "/supplier"
+    val src = graft.Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    src.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val filtered = back.filter(col("s_nationkey") === 3)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("s_nationkey"), "orc scan lost the pushed filter")
+    assert(filtered.count() ==
+      src.filter(col("s_nationkey") === 3).count())
+  }
 }
