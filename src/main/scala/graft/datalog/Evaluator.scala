@@ -2339,19 +2339,24 @@ final class Evaluator(
     if (rulesOpt.exists(_.isEmpty)) return None
     val rules = rulesOpt.flatten
 
-    val seedRows = collectCapped(supSeed, 1 << 20).getOrElse(return None)
+    // same two-ceiling discipline as driverMonotonicFixpoint: the
+    // economic autoentries bail fires well before the memory backstop
+    // (the single-threaded driver loop loses to the distributed merge
+    // at large support sizes — measured on the monotonic twin at sf1.0).
+    // The seed collect is capped at the effective ceiling too, so a
+    // seed past it bails BEFORE shipping rows to the driver (the
+    // monotonic twin's cap.min discipline) instead of collecting a
+    // million rows only to throw them away on the overCap bail.
+    val supportCap =
+      conf.supportLocalMaxEntries.min(conf.supportLocalAutoEntries)
+    supportLocalRuns += 1 // engaged (a collect bail still counts)
+    val seedRows =
+      collectCapped(supSeed, supportCap.min(1L << 24).toInt)
+        .getOrElse(return None)
     // the relational merge's count/sum/max skip null support values;
     // the local compare cannot — bail on any null (user-registered
     // EDBs only: Datalog-source tuples are non-null)
     if (seedRows.exists(_.anyNull)) return None
-
-    supportLocalRuns += 1
-    // same two-ceiling discipline as driverMonotonicFixpoint: the
-    // economic autoentries bail fires well before the memory backstop
-    // (the single-threaded driver loop loses to the distributed merge
-    // at large support sizes — measured on the monotonic twin at sf1.0)
-    val supportCap =
-      conf.supportLocalMaxEntries.min(conf.supportLocalAutoEntries)
     val support =
       mutable.HashMap[IndexedSeq[Any], java.util.HashMap[Any, Any]]()
     val agg = mutable.HashMap[IndexedSeq[Any], Long]()

@@ -28,11 +28,27 @@ object JoinOps {
   /** `fact` pruned to rows whose `factKey` might appear in `build`'s
     * `buildKey` set, then exact-joined. `expectedItems` sizes the
     * sketch (fpp degrades gracefully past it — more shuffle, never a
-    * wrong answer). Returns the pruned fact (caller joins). */
+    * wrong answer). Returns the pruned fact (caller joins).
+    *
+    * The key columns must resolve to the SAME data type: xxhash64
+    * hashes per-type, so equal values of different types (int 5 vs
+    * bigint 5) hash apart and true matches would be pruned — the same
+    * reason Spark's InjectRuntimeFilter requires matching sides. A
+    * mismatch fails loudly here instead of silently dropping rows.
+    *
+    * The sketch broadcast (~1 MB at the default sizing) must outlive
+    * every plan derived from the result; it is registered with
+    * PackResources and destroyed by the pack-wide release points. */
   def bloomPruneFact(
       fact: DataFrame, factKey: Column,
       build: DataFrame, buildKey: Column,
       expectedItems: Long = 1 << 20): DataFrame = {
+    val factType = fact.select(factKey).schema.head.dataType
+    val buildType = build.select(buildKey).schema.head.dataType
+    require(factType == buildType,
+      s"bloomPruneFact key types must match (fact $factType vs build " +
+        s"$buildType): xxhash64 is type-dependent, a mismatch would " +
+        "prune genuinely matching rows")
     val row = build
       .select(GraftColumnBridge.bloomAggregate(xxhash64(buildKey), expectedItems)
         .as("sketch"))
@@ -40,6 +56,7 @@ object JoinOps {
     if (row.isNullAt(0)) fact.limit(0) // empty build side: nothing joins
     else {
       val bc = fact.sparkSession.sparkContext.broadcast(row.getAs[Array[Byte]](0))
+      PackResources.trackBroadcast(bc)
       fact.filter(
         GraftColumnBridge.bloomMightContainBroadcast(bc, xxhash64(factKey)))
     }

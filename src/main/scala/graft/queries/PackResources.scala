@@ -18,6 +18,8 @@ object PackResources {
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), graft.datalog.DatalogContext]()
   private val rddTracked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
+  private val bcTracked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.broadcast.Broadcast[_]]()
 
   /** Track a loose checkpointed RDD (a fixpoint's FINAL state, still
     * backing the returned DataFrame's lineage) for release: the graph
@@ -25,6 +27,13 @@ object PackResources {
     * round's blocks must outlive the result's consumption — releaseAll
     * drains them with everything else. */
   def trackRDD(r: org.apache.spark.rdd.RDD[_]): Unit = rddTracked.add(r)
+
+  /** Track a driver-created broadcast (e.g. a bloom sketch handle) for
+    * release: the broadcast must outlive every plan that references it,
+    * so the release points are the pack-wide ones (releaseAll / the
+    * bench's snapshot rollback), not per-query. */
+  def trackBroadcast(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    bcTracked.add(b)
 
   /** Memoized localCheckpoint: one materialization per (session, dir,
     * tag), tracked for release. */
@@ -42,12 +51,15 @@ object PackResources {
   final case class Snapshot(
       cks: Set[(SparkSession, String, String)],
       ctxs: Set[(SparkSession, String, String)],
-      rdds: Set[org.apache.spark.rdd.RDD[_]])
+      rdds: Set[org.apache.spark.rdd.RDD[_]],
+      bcs: Set[org.apache.spark.broadcast.Broadcast[_]])
 
   def snapshot(): Snapshot = {
     val rs = scala.collection.mutable.Set.empty[org.apache.spark.rdd.RDD[_]]
     rddTracked.forEach(r => rs += r)
-    Snapshot(ckMemo.keySet.toSet, ctxMemo.keySet.toSet, rs.toSet)
+    val bs = scala.collection.mutable.Set.empty[org.apache.spark.broadcast.Broadcast[_]]
+    bcTracked.forEach(b => bs += b)
+    Snapshot(ckMemo.keySet.toSet, ctxMemo.keySet.toSet, rs.toSet, bs.toSet)
   }
 
   /** Release ONLY what was pinned after `snap` was taken. The bench's
@@ -71,6 +83,9 @@ object PackResources {
     val stale = scala.collection.mutable.Set.empty[org.apache.spark.rdd.RDD[_]]
     rddTracked.forEach(r => if (!snap.rdds(r)) stale += r)
     stale.foreach { r => r.unpersist(blocking = true); rddTracked.remove(r) }
+    val staleBc = scala.collection.mutable.Set.empty[org.apache.spark.broadcast.Broadcast[_]]
+    bcTracked.forEach(b => if (!snap.bcs(b)) staleBc += b)
+    staleBc.foreach { b => b.destroy(); bcTracked.remove(b) }
   }
 
   /** Unpersist every tracked checkpoint and close every tracked context.
@@ -87,5 +102,7 @@ object PackResources {
     ctxMemo.clear()
     rddTracked.forEach(_.unpersist(blocking = false))
     rddTracked.clear()
+    bcTracked.forEach(_.destroy())
+    bcTracked.clear()
   }
 }

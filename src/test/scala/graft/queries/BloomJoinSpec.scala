@@ -33,6 +33,19 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(exact == plain, "bloom pruning changed the join result")
   }
 
+  test("mismatched key types fail loudly instead of silently pruning") {
+    // xxhash64 is type-dependent: int 5 and bigint 5 hash apart, so a
+    // type-mismatched probe would drop every true match — the helper
+    // must reject the call (Spark's InjectRuntimeFilter makes the same
+    // matching-sides demand)
+    val fact = spark.range(100).select(col("id").cast("int").as("k"))
+    val build = spark.range(10).select(col("id").as("bk"))
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.bloomPruneFact(fact, col("k"), build, col("bk"))
+    }
+    assert(e.getMessage.contains("types must match"))
+  }
+
   test("empty build side yields an empty (not failed) result") {
     val fact = spark.range(100).select(col("id").as("k"))
     val build = spark.range(10).select(col("id").as("bk")).filter(col("bk") < 0)
