@@ -556,6 +556,37 @@ object TextQueries extends QueryPack {
     // (top-k pushed below the shuffle — only k rows per partition move);
     // the exact count rides the same deduped frame for the
     // estimate-vs-truth report.
+    // Count-min sketch + heavy hitters (the other classic stream/corpus
+    // sketch next to KMV): a 4×256 CMS over all token occurrences —
+    // the sketch build is ONE partial-agg shuffle whose map side
+    // collapses to ≤4·256 cells per partition regardless of corpus
+    // size (the whole point of CMS at 100 TB: fixed-size state, one
+    // pass) — then the exact top-10 tokens probe it; cms_est = min
+    // over the 4 rows, and CMS guarantees cms_est ≥ exact_n (the
+    // overestimate-only bound, asserted in ChunkIndexSpec).
+    "txt_heavy_hitters_cms" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.tokenHash64
+      val bExpr = s"((h * (2*r+3) + 104729*r) % $P) % 256"
+      val tok = docs(s, dir).selectExpr(s"explode($toks) as t")
+        .select(col("t"),
+          element_at(tokenHash64(array(col("t"))), 1).as("h"))
+      val sketch = tok
+        .select(col("h"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b", expr(bExpr))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val top = tok.groupBy("t").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), asc("t")).limit(10)
+      top
+        .select(col("t"), col("exact_n"),
+          element_at(tokenHash64(array(col("t"))), 1).as("h"))
+        .select(col("t"), col("exact_n"), col("h"),
+          explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("b", expr(bExpr))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("t").as("token"), col("exact_n"))
+        .agg(min("c").as("cms_est"))
+    }),
+
     "txt_kmv_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val k = 64
@@ -932,6 +963,26 @@ object TextQueries extends QueryPack {
            CAST(shard * 1000000 + cum_before // 512 AS BIGINT) AS seq_id,
            CAST(cum_before % 512 AS BIGINT) AS seq_off
          FROM c""",
+    "txt_heavy_hitters_cms" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS t
+                       FROM documents),
+              th AS (SELECT t, ${thDuck("t")} AS h FROM tok),
+              bu AS (SELECT h, r,
+                       ((h * (2*r+3) + 104729*r) % $P) % 256 AS b
+                     FROM th, unnest(generate_series(0, 3)) AS u(r)),
+              sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                     FROM bu GROUP BY r, b),
+              ex AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n
+                     FROM th GROUP BY t
+                     ORDER BY exact_n DESC, t ASC LIMIT 10),
+              eh AS (SELECT t, exact_n, ${thDuck("t")} AS h FROM ex),
+              pr AS (SELECT t, exact_n, r,
+                       ((h * (2*r+3) + 104729*r) % $P) % 256 AS b
+                     FROM eh, unnest(generate_series(0, 3)) AS u(r))
+          SELECT pr.t AS token, pr.exact_n,
+                 CAST(min(sk.c) AS BIGINT) AS cms_est
+          FROM pr JOIN sk ON sk.r = pr.r AND sk.b = pr.b
+          GROUP BY 1, 2""",
     "txt_kmv_distinct" ->
       s"""WITH toks AS (SELECT source,
             unnest(list_transform(string_split(text,' '), tok -> ${thDuck("tok")})) AS h

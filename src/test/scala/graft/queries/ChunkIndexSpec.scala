@@ -74,6 +74,21 @@ class ChunkIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min estimates never undercount (the CMS bound)") {
+    import spark.implicits._
+    val r = TextQueries.defs("txt_heavy_hitters_cms")(spark, dir)
+      .select("token", "exact_n", "cms_est")
+      .as[(String, Long, Long)].collect()
+    assert(r.length == 10, s"expected the exact top-10, got ${r.length}")
+    assert(r.forall(t => t._3 >= t._2),
+      "CMS underestimated a heavy hitter — the sketch bound is one-sided")
+    // the exact top-10 counts must match a direct recount
+    val recount = graft.Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) as t")
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(r.forall(t => recount(t._1) == t._2))
+  }
+
   test("retention cohorts: offset 0 covers each cohort; totals add up") {
     import spark.implicits._
     val r = TemporalQueries.defs("evt_retention")(spark, dir)
