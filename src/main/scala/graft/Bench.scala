@@ -11,7 +11,7 @@ object Bench {
   // blow past the window (it did in rounds 1-4 — the line was truncated and
   // never parsed). The one-line JSON therefore reports the total plus a
   // curated headline subset; the full per-query map goes to BENCH_FULL.json.
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q1_agg", "q4_join3", "q8_topk", "q15_rank_per_group",
     "dl_tc", "dl_tc_nl", "dl_sg", "dl_apsp", "dl_sssp", "dl_cc",
     "dl_paths_msum", "txt_minhash", "txt_lsh_pairs", "txt_dedup_exact",

@@ -104,4 +104,14 @@ class BenchGuardSpec extends AnyFunSuite {
       Seq("e1" -> 9.0, "e2" -> 9.0, "e3" -> 9.0), baseline, errored)
     assert(tail2.isEmpty)
   }
+
+  test("every headline name resolves to a registered query") {
+    // the metric line filters headline through the results map, so a
+    // typo or a renamed gate would silently vanish from BENCH_r{N}.json
+    val qs = SparkEntry.queries.keySet
+    val missing = Bench.headline.filterNot(qs)
+    assert(missing.isEmpty, s"headline names not in queries: $missing")
+    assert(Bench.headline.distinct.size == Bench.headline.size,
+      "duplicate headline names")
+  }
 }
