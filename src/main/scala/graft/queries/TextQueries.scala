@@ -605,6 +605,23 @@ object TextQueries extends QueryPack {
             s"else (($k - 1) * 4294967296) div kth_min end").as("est_distinct"))
     }),
 
+    // Deterministic weighted sampling without replacement (the
+    // token-proportional corpus draw): integer A-ES — per doc the sort
+    // key is lcg(doc_id)·10^6 div n_tokens, so heavier docs
+    // stochastically draw smaller keys, and the sample is the global
+    // ascending top-1000 by (key, doc_id). No RNG (replays/retries
+    // sample identically); the top-k compiles to
+    // TakeOrderedAndProject — per-partition heaps then one merge,
+    // never a global sort. ChunkIndexSpec asserts the weighting bias
+    // (sample mean tokens > corpus mean).
+    "txt_sample_weighted" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"size($toks) as n_tokens",
+          "((doc_id * 1103515245 + 12345) % 1000000) * 1000000 as lk")
+        .selectExpr("doc_id", "n_tokens", "lk div n_tokens as wkey")
+        .orderBy(col("wkey").asc, col("doc_id").asc)
+        .limit(1000)),
+
     // Token-budget domain mixing (the sampler that composes a training
     // mix): each language gets a token budget (en 1600 / fr,de,es 800 /
     // zh 320), docs are drawn in a deterministic LCG-priority order
@@ -963,6 +980,14 @@ object TextQueries extends QueryPack {
            CAST(shard * 1000000 + cum_before // 512 AS BIGINT) AS seq_id,
            CAST(cum_before % 512 AS BIGINT) AS seq_off
          FROM c""",
+    "txt_sample_weighted" ->
+      """WITH w AS (SELECT doc_id,
+              CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              ((doc_id * 1103515245 + 12345) % 1000000) * 1000000 AS lk
+            FROM documents)
+         SELECT doc_id, n_tokens,
+                CAST(lk // n_tokens AS BIGINT) AS wkey
+         FROM w ORDER BY wkey ASC, doc_id ASC LIMIT 1000""",
     "txt_heavy_hitters_cms" ->
       s"""WITH tok AS (SELECT unnest(string_split(text,' ')) AS t
                        FROM documents),

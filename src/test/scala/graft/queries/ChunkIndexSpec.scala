@@ -89,6 +89,31 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(r.forall(t => recount(t._1) == t._2))
   }
 
+  test("weighted sampling over-represents heavy docs deterministically") {
+    import spark.implicits._
+    // sf0.1 (5000 docs): the 1000-doc sample must be a strict subset
+    // for the bias to be observable (sf0.001 AND sf0.01 both carry
+    // only 500 docs — there the sample IS the corpus and the means
+    // coincide)
+    val wDir = "/root/testdata/sf0.1"
+    val sample = TextQueries.defs("txt_sample_weighted")(spark, wDir)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    val corpus = graft.Tables.load(spark, wDir, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) as n")
+      .as[(Long, Long)].collect()
+    assert(sample.length == math.min(1000, corpus.length))
+    // token-proportional draw: the sample's mean doc length must
+    // exceed the corpus mean (heavier docs draw smaller keys)
+    val sMean = sample.map(_._2).sum.toDouble / sample.length
+    val cMean = corpus.map(_._2).sum.toDouble / corpus.length
+    assert(sMean > cMean,
+      f"no weighting bias: sample mean $sMean%.1f vs corpus $cMean%.1f")
+    // deterministic: a second evaluation draws the identical sample
+    val again = TextQueries.defs("txt_sample_weighted")(spark, wDir)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    assert(sample.toSeq == again.toSeq)
+  }
+
   test("retention cohorts: offset 0 covers each cohort; totals add up") {
     import spark.implicits._
     val r = TemporalQueries.defs("evt_retention")(spark, dir)
