@@ -167,6 +167,36 @@ object TemporalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Histogram-sketch quantiles (the fixed-state percentile answer at
+    // scale, next to q28's exact sort-based median): 1000 equi-width
+    // buckets over the integer-cents value domain — ONE min/max/count
+    // agg (broadcast back), one histogram partial agg whose map side
+    // collapses to ≤1000 cells per partition at any event volume, then
+    // a cumulative scan over the ≤1000-row histogram picks each
+    // percentile's bucket (the single-partition window is over the
+    // sketch, never the data). Estimate = bucket lower bound; exact
+    // integer arithmetic, deterministic, oracle-identical.
+    "evt_quantiles_hist" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("cast(round(value * 100, 0) as bigint) as c")
+      val mm = e.agg(min("c").as("mn"), max("c").as("mx"),
+        count(lit(1)).as("n"))
+      val hist = e.crossJoin(broadcast(mm))
+        .selectExpr("((c - mn) * 1000) div (mx - mn + 1) as b",
+          "mn", "mx", "n")
+        .groupBy("b", "mn", "mx", "n").agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum("cnt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = { import s.implicits._; Seq(50L, 90L, 99L).toDF("p") }
+      ps.crossJoin(cum)
+        .filter(col("cum") >= expr("(p * n + 99) div 100"))
+        .groupBy("p").agg(
+          min("b").as("bucket"), min("mn").as("mn"), min("mx").as("mx"))
+        .selectExpr("p", "bucket",
+          "mn + (bucket * (mx - mn + 1)) div 1000 as est_cents")
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -259,6 +289,23 @@ object TemporalQueries extends QueryPack {
                 CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "evt_quantiles_hist" ->
+      """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+                    FROM events),
+           mm AS (SELECT min(c) AS mn, max(c) AS mx,
+                         CAST(count(*) AS BIGINT) AS n FROM e),
+           h AS (SELECT ((c - mn) * 1000) // (mx - mn + 1) AS b,
+                        mn, mx, n, CAST(count(*) AS BIGINT) AS cnt
+                 FROM e, mm GROUP BY 1, 2, 3, 4),
+           cu AS (SELECT *, sum(cnt) OVER (ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+           ps AS (SELECT unnest([50, 90, 99]) AS p)
+         SELECT CAST(p AS BIGINT) AS p,
+                CAST(min(b) AS BIGINT) AS bucket,
+                CAST(min(mn) + (min(b) * (min(mx) - min(mn) + 1)) // 1000
+                     AS BIGINT) AS est_cents
+         FROM ps JOIN cu ON cum >= (p * n + 99) // 100
+         GROUP BY p""",
     "evt_range_join" ->
       """WITH w AS (SELECT k,
                       1704067200000000 + k * 14400000000 AS lo,

@@ -114,6 +114,24 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(sample.toSeq == again.toSeq)
   }
 
+  test("histogram quantiles bracket the exact percentiles") {
+    import spark.implicits._
+    val est = TemporalQueries.defs("evt_quantiles_hist")(spark, dir)
+      .select("p", "est_cents").as[(Long, Long)].collect().toMap
+    assert(est.keySet == Set(50L, 90L, 99L))
+    val cents = graft.Tables.load(spark, dir, "events")
+      .selectExpr("cast(round(value * 100, 0) as bigint) as c")
+      .as[Long].collect().sorted
+    val width = (cents.last - cents.head + 1) / 1000 + 1
+    est.foreach { case (p, e) =>
+      // exact kth smallest, k = ceil(p·n/100) — the estimate is the
+      // containing bucket's lower bound, so exact ∈ [est, est + width)
+      val exact = cents(((p * cents.length + 99) / 100 - 1).toInt)
+      assert(e <= exact && exact < e + width,
+        s"p$p estimate $e does not bracket exact $exact (width $width)")
+    }
+  }
+
   test("retention cohorts: offset 0 covers each cohort; totals add up") {
     import spark.implicits._
     val r = TemporalQueries.defs("evt_retention")(spark, dir)
