@@ -40,6 +40,12 @@ object StreamDebug {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val n = df.count()
       println(f"RESULT $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.queries.StreamingQueries.stateRowsByQuery.get(name).foreach(v =>
+        println(s"STATE_ROWS $name ${v.mkString(",")}"))
+      graft.queries.StreamingQueries.batchMillisByQuery.get(name).foreach(v =>
+        println(s"BATCH_MS $name ${v.mkString(",")}"))
+      graft.queries.StreamingQueries.watermarkByQuery.get(name).foreach(v =>
+        v.zipWithIndex.foreach { case (l, i) => println(s"WM $name [$i] $l") })
     }
     spark.stop()
   }

@@ -58,6 +58,23 @@ object StreamingQueries extends QueryPack {
   private def dropSentinels(df: DataFrame, tsCol: String): DataFrame =
     df.filter(col(tsCol) < expr(s"timestamp_micros(${CUTOFF_US}L)"))
 
+  /** One event-type side of a stream-stream join, sentinel-safe: BOTH
+    * predicates reference the watermark column, because Catalyst splits
+    * conjunctions and pushes any predicate on a NON-watermark column
+    * (here `event_type`) below the EventTimeWatermark node into the
+    * scan — which silently killed the flush sentinels at the source, so
+    * the final watermark never advanced past the data and a left-outer
+    * join never flushed its last unmatched rows (the inner join masked
+    * this: matches emit eagerly, eviction is only cleanup). The OR arm
+    * keeps sentinels through the type filter so they reach the
+    * watermark tracker; the second filter then drops them before the
+    * join. */
+  private def typedSide(df: DataFrame, tsCol: String, t: String): DataFrame = {
+    val cutoff = expr(s"timestamp_micros(${CUTOFF_US}L)")
+    df.filter(col("event_type") === t || col(tsCol) >= cutoff)
+      .filter(col(tsCol) < cutoff)
+  }
+
   /** Per-query state-store row counts (one entry per micro-batch, summed
     * over stateful operators), recorded after each drain — the eviction
     * spec asserts these stay bounded instead of growing with history. */
@@ -70,6 +87,12 @@ object StreamingQueries extends QueryPack {
     * time went vs the data volume). */
   private[graft] val batchMillisByQuery =
     scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+
+  /** Per-query per-batch event-time diagnostics (watermark + max event
+    * time strings from StreamingQueryProgress) from the last drain —
+    * how the watermark actually advanced across the replay. */
+  private[graft] val watermarkByQuery =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -201,6 +224,9 @@ object StreamingQueries extends QueryPack {
       q.recentProgress.toSeq.map(_.stateOperators.map(_.numRowsTotal).sum)
     batchMillisByQuery(name) = q.recentProgress.toSeq.map(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+    watermarkByQuery(name) = q.recentProgress.toSeq.map(p =>
+      s"wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")} rows=${p.numInputRows} " +
+        p.sources.map(sp => s"src[${sp.numInputRows}:${Option(sp.endOffset).map(_.replaceAll("[^0-9]", "")).getOrElse("")}]").mkString(" "))
     s.read.schema(df.schema).parquet(base.resolve("data").toString)
   }
 
@@ -328,10 +354,9 @@ object StreamingQueries extends QueryPack {
     "stream_join" -> ((s, dir) => {
       drainAppend(s, "stream_join") { ss =>
         def side(t: String, idCol: String, tsCol: String, userCol: String) =
-          dropSentinels(
+          typedSide(
               streamEvents(ss, dir).withColumnRenamed("ts_utc", tsCol)
-                .withWatermark(tsCol, "1 hour"), tsCol)
-            .filter(col("event_type") === t)
+                .withWatermark(tsCol, "1 hour"), tsCol, t)
             .select(col("event_id").as(idCol), col("user_id").as(userCol),
               col(tsCol))
         val purchases = side("purchase", "pid", "pts", "user_id")
@@ -340,6 +365,35 @@ object StreamingQueries extends QueryPack {
             col("user_id") === col("c_user") &&
               col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
               col("cts") <= col("pts"))
+          .select(col("pid"), col("cid"), col("user_id"),
+            (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      }
+    }),
+
+    // Stream-stream LEFT OUTER interval join — the semantically
+    // hardest streaming join surface: an unmatched purchase emits its
+    // null row only when the watermark passes its eviction point
+    // (until then it waits in state for a possible late click). The
+    // drain's far-future flush sentinels push the watermark past ALL
+    // real data, so every unmatched row flushes and the result equals
+    // the static LEFT join exactly — which is the oracle. Same bounded
+    // state as the inner variant: the interval condition caps each
+    // side's state at the watermark horizon.
+    "stream_join_outer" -> ((s, dir) => {
+      drainAppend(s, "stream_join_outer") { ss =>
+        def side(t: String, idCol: String, tsCol: String, userCol: String) =
+          typedSide(
+              streamEvents(ss, dir).withColumnRenamed("ts_utc", tsCol)
+                .withWatermark(tsCol, "1 hour"), tsCol, t)
+            .select(col("event_id").as(idCol), col("user_id").as(userCol),
+              col(tsCol))
+        val purchases = side("purchase", "pid", "pts", "user_id")
+        val clicks = side("click", "cid", "cts", "c_user")
+        purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+              col("cts") <= col("pts"),
+            "leftOuter")
           .select(col("pid"), col("cid"), col("user_id"),
             (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
       }
@@ -397,6 +451,15 @@ object StreamingQueries extends QueryPack {
                     FROM events WHERE event_type = 'click')
          SELECT p.pid, c.cid, p.user_id, p.ptsu - c.ctsu AS gap_us
          FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu""",
+    "stream_join_outer" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu
+                    FROM events WHERE event_type = 'click')
+         SELECT p.pid, c.cid, p.user_id,
+                CAST(p.ptsu - c.ctsu AS BIGINT) AS gap_us
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
            AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu""",
     "evt_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
