@@ -224,6 +224,27 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n"),
           cents(col("o_totalprice")).as("sum_cents"))),
 
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // technique behind Delta/Iceberg OPTIMIZE ZORDER: interleave 16
+    // bits of two dimensions (customer key, order epoch-day) so rows
+    // close in BOTH dimensions land in the same file/range and a scan
+    // filtered on either dimension prunes most files. The gate emits
+    // the z-value per order plus its range bucket (z div 2^20 — what a
+    // writer would range-partition files by); pure codegen arithmetic,
+    // zero shuffles except the tiny bucket count.
+    "q35_zorder" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey",
+          "o_custkey % 65536 as x",
+          "datediff(o_orderdate, date'1992-01-01') % 65536 as y")
+        .selectExpr("o_orderkey", "x", "y",
+          """aggregate(sequence(0, 15), cast(0 as bigint),
+               (a, i) -> a + (shiftleft(cast(shiftright(x, i) as bigint) % 2, 2*i))
+                           + (shiftleft(cast(shiftright(y, i) as bigint) % 2, 2*i + 1)))
+             as z""")
+        .selectExpr("o_orderkey", "cast(x as bigint) as x",
+          "cast(y as bigint) as y", "z", "z div 1048576 as z_bucket")),
+
     // FULL OUTER join with null-safe projection (reference has inner +
     // anti only): per-nation customer/supplier presence.
     "q27_outer" -> ((s, dir) => {
@@ -509,6 +530,22 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q35_zorder" ->
+      """WITH b AS (SELECT o_orderkey,
+              o_custkey % 65536 AS x,
+              date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS y
+            FROM orders),
+           z AS (SELECT o_orderkey, x, y,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(0, 15), i ->
+                  CAST((x >> i) & 1 AS BIGINT) * (CAST(1 AS BIGINT) << (2*i))
+                  + CAST((y >> i) & 1 AS BIGINT) * (CAST(1 AS BIGINT) << (2*i + 1)))),
+                (a, t) -> a + t) AS z
+            FROM b)
+         SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                CAST(z AS BIGINT) AS z,
+                CAST(z // 1048576 AS BIGINT) AS z_bucket
+         FROM z""",
     "q34_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -132,6 +132,29 @@ class ChunkIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order buckets give multi-dimensional pruning on either axis") {
+    import spark.implicits._
+    val z = RelationalQueries.defs("q35_zorder")(spark, "/root/testdata/sf0.1")
+      .select("x", "y", "z", "z_bucket").as[(Long, Long, Long, Long)].collect()
+    // interleave round-trip: de-interleaving z recovers (x, y) exactly
+    z.take(500).foreach { case (x, y, zv, _) =>
+      var (dx, dy) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        dx |= ((zv >> (2 * i)) & 1) << i
+        dy |= ((zv >> (2 * i + 1)) & 1) << i
+      }
+      assert(dx == x && dy == y, s"z=$zv does not round-trip ($x, $y)")
+    }
+    // locality: a narrow filter on EITHER dimension touches a small
+    // fraction of the z-range buckets — the pruning a zordered layout
+    // buys at 100 TB (each bucket = one file/range a scan can skip)
+    val all = z.map(_._4).distinct.length
+    val xs = z.filter(t => t._1 >= 1000 && t._1 < 1256).map(_._4).distinct.length
+    val ys = z.filter(t => t._2 >= 1000 && t._2 < 1256).map(_._4).distinct.length
+    assert(xs < all / 2 && ys < all / 2,
+      s"no z-locality: $xs/$ys of $all buckets for 256-wide slices")
+  }
+
   test("retention cohorts: offset 0 covers each cohort; totals add up") {
     import spark.implicits._
     val r = TemporalQueries.defs("evt_retention")(spark, dir)
