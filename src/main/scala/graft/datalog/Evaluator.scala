@@ -82,9 +82,12 @@ final class Evaluator(
 
   /** All rule compiles route through here so the session's
     * `spark.datalog.crossjoin` policy (warn|error|allow on disjoint
-    * body atoms) applies engine-wide. */
+    * body atoms) applies engine-wide; the warn-once set lives with
+    * THIS evaluator, so iterations don't spam but a fresh
+    * program/context warns afresh. */
+  private val crossWarned = RuleCompiler.newWarnedSet()
   private def compileRule(r: Rule, res: RuleCompiler.Resolver): DataFrame =
-    RuleCompiler.compile(r, res, conf.crossJoinPolicy)
+    RuleCompiler.compile(r, res, conf.crossJoinPolicy, crossWarned)
 
   /** Single-`explain` rendering of a WHOLE recursion — the reference
     * shows one Catalyst tree per recursive query through its custom
@@ -906,6 +909,14 @@ final class Evaluator(
         val ordered = op == "<" || op == "<=" || op == ">" || op == ">="
         if (ordered && lt != IntegerType && lt != LongType) return None
         if (!ordered && op != "=" && op != "~=") return None
+        // monotonicity guard, filter half (the arithmetic half is in
+        // lower()): the local Gauss-Seidel paths fire rules from
+        // INTERMEDIATE (dominated) aggregate values, so a filter that
+        // passes for a dominated value but fails for the group's best
+        // (e.g. D1 >= 10 under mmin, or any equality on D1) derives
+        // facts the looped relational path never would — bail to the
+        // loop whenever a comparison touches an aggregate-derived slot
+        if (exprTaint(le) || exprTaint(re)) return None
         steps += MonoFilter(op, lt == LongType, le, re)
       case _ => return None
     }

@@ -39,15 +39,21 @@ object RuleCompiler {
   /** resolve(predName, occurrenceIndexAmongThatPredInThisRule) → DataFrame */
   type Resolver = (String, Int) => DataFrame
 
-  // once-per-(head, atom) guard so the fixpoint loop's per-iteration
-  // recompiles don't spam the warning
-  private val crossWarned = scala.collection.concurrent.TrieMap[(String, String), Unit]()
+  /** Once-per-(head, atom) warn guard, scoped by the CALLER (one per
+    * evaluator, so the fixpoint loop's per-iteration recompiles don't
+    * spam the warning, but a fresh program/context warns afresh — a
+    * JVM-global set suppressed warnings across unrelated contexts that
+    * happened to reuse predicate names, and grew without bound under
+    * magic-set-generated heads). */
+  type WarnedSet = scala.collection.mutable.Set[(String, String)]
+  def newWarnedSet(): WarnedSet = scala.collection.mutable.Set.empty
 
   /** A body atom sharing no variables with the atoms before it forces a
     * cartesian product — semantically required by Datalog, but a silent
     * quadratic blowup at scale. Policy from `spark.datalog.crossjoin`
     * (warn|error|allow, default warn). */
-  private def onCrossJoin(rule: Rule, atom: BodyAtom, policy: String): Unit = {
+  private def onCrossJoin(rule: Rule, atom: BodyAtom, policy: String,
+      warned: WarnedSet): Unit = {
     lazy val msg = s"rule for '${rule.head.pred}': body atom " +
       s"'${atom.pred}' shares no variables with the preceding atoms — " +
       "compiling a CARTESIAN product (quadratic at scale; set " +
@@ -56,13 +62,14 @@ object RuleCompiler {
       case "error" => throw new CompileException(msg)
       case "allow" => ()
       case _ =>
-        if (crossWarned.putIfAbsent((rule.head.pred, atom.pred), ()).isEmpty)
+        if (warned.add((rule.head.pred, atom.pred)))
           System.err.println(s"[graft.datalog] $msg")
     }
   }
 
   def compile(rule: Rule, resolve: Resolver,
-      crossJoinPolicy: String = "warn"): DataFrame = {
+      crossJoinPolicy: String = "warn",
+      crossWarned: WarnedSet = newWarnedSet()): DataFrame = {
     val varMap = mutable.Map[String, Column]()
     var cur: Option[DataFrame] = None
     var atomIdx = 0
@@ -180,7 +187,7 @@ object RuleCompiler {
           joinConds.foldLeft(df)((d, c) => d.filter(c))
         case Some(acc) =>
           if (joinConds.isEmpty) {
-            onCrossJoin(rule, atom, crossJoinPolicy)
+            onCrossJoin(rule, atom, crossJoinPolicy, crossWarned)
             acc.crossJoin(df)
           } else acc.join(df, joinConds.reduce(_ && _), "inner")
       })

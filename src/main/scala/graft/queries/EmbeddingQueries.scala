@@ -229,6 +229,29 @@ object EmbeddingQueries extends QueryPack {
     * memoized per (session, dir) through the pack memo — one write per
     * pack run, and a bench retry's memo rollback rebuilds honestly.
     * Returns the two table names. */
+  /** Once-per-table-name shutdown hook deleting the named tables'
+    * warehouse directories (catalog entries die with the in-memory
+    * catalog; the directories would otherwise outlive the JVM). */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerWarehouseCleanup(
+      s: SparkSession, tables: Seq[String]): Unit = {
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    tables.filter(cleanupRegistered.add).foreach { t =>
+      val d = new java.io.File(wh, t)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+          }
+          f.delete(): Unit
+        }
+        if (d.exists()) rm(d)
+      }))
+    }
+  }
+
   private[queries] def bucketedIndex(s: SparkSession, dir: String): (String, String) = {
     // readable normalized name + a 128-bit digest of the RAW dir + a
     // session token: the normalization is lossy (all punctuation
@@ -248,6 +271,12 @@ object EmbeddingQueries extends QueryPack {
       .stripPrefix("_").stripSuffix("_") +
       "_" + digest + "_" + sessTok
     val (ta, tc) = (s"graft_ivfa_$tag", s"graft_pqc_$tag")
+    // the session token makes each JVM run's tables unique, so without
+    // cleanup every run would leave its full bucketed corpus+codes
+    // behind in the warehouse — delete this run's directories at JVM
+    // exit (only a hard kill leaks, and the next run can't collide
+    // with leaked dirs because its token differs)
+    registerWarehouseCleanup(s, Seq(ta, tc))
     PackResources.checkpoint(s, dir, "emb_bucketed_index") {
       val nb = math.max(1,
         s.conf.get("spark.graft.ann.index.buckets", "8").toInt)

@@ -341,16 +341,11 @@ object StreamingQueries extends QueryPack {
     // window of each side in the state store, so the join's state is
     // O(traffic in the interval), never O(history). Inner-join matches
     // append eagerly; the time-ordered replay means no row is ever late,
-    // so the multi-batch drain loses nothing. NOTE: the flush sentinels
-    // do NOT advance these watermarks — the event_type filter does not
-    // reference the event-time column, so the optimizer
-    // (PushPredicateThroughNonJoin) pushes it below each side's
-    // EventTimeWatermark node and sentinel rows never reach the
-    // watermark tracker. That is fine here: inner-join matches emit
-    // eagerly, so results are complete; the final batch's state stays
-    // bounded-but-undrained, which StreamEvictionSpec asserts. (To
-    // actually drain, the type filter would have to be phrased against
-    // the watermark column so it stays above the watermark node.)
+    // so the multi-batch drain loses nothing. The sides run through
+    // `typedSide`, which keeps every predicate on the watermark column
+    // so the flush sentinels reach the watermark tracker and the final
+    // batches drain state to ZERO (StreamEvictionSpec asserts it) —
+    // see typedSide's doc for the pushdown bug this closed.
     "stream_join" -> ((s, dir) => {
       drainAppend(s, "stream_join") { ss =>
         def side(t: String, idCol: String, tsCol: String, userCol: String) =

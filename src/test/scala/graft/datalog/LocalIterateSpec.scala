@@ -358,6 +358,38 @@ class LocalIterateSpec extends AnyFunSuite {
     }
     assert(mul2Wave == 1, "non-negative literal multiply should engage")
     assert(mul2loc == mul2loop && mul2loc.nonEmpty)
+
+    // COMPARISON filters on the aggregate bail too: the local paths
+    // fire from intermediate (dominated) values, so a filter that
+    // passes for a dominated value but fails for the group's best
+    // (D1 >= k under mmin) would derive facts the Jacobi loop never
+    // does — same divergence class as the arithmetic, closed r11
+    val (flt, fltWave, fltDriver) = run(
+      "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D1 >= 0, D=D1+C. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    assert(fltWave == 0 && fltDriver == 0,
+      "a comparison on the aggregate must not lower to a local path")
+    val (fltLoop, _, _) = withConf(
+      "spark.datalog.recursion.localiterate" -> "false",
+      "spark.datalog.recursion.monotoniclocal" -> "false") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(wdb +
+        "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), D1 >= 0, D=D1+C. " +
+        "o(X,min<D>) <- sp(X,D).")
+      ctx.registerData("warc", wedges)
+      (ctx.queryStrings("o(A,D).").toSet, 0, 0)
+    }
+    assert(flt == fltLoop && flt.nonEmpty,
+      "the filtered program must still run (relational fallback)")
+    // a filter on STATICS only keeps the local paths engaged
+    val (stf, stfWave, _) = run(
+      "sp(X,mmin<D>) <- X=0, D=0. " +
+        "sp(Z,mmin<D>) <- sp(X,D1), warc(X,Z,C), C >= 0, D=D1+C. " +
+        "o(X,min<D>) <- sp(X,D).", "o(A,D).")
+    assert(stfWave == 1, "static-only filters must not bail the wave")
+    assert(stf.nonEmpty)
   }
 
   test("null seed rows fall back from the monotonic task wave") {

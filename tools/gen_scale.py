@@ -60,7 +60,11 @@ def main(src, dst, k=10):
     write("documents", f"""
         SELECT doc_id + i*{ndoc} AS doc_id,
                CASE WHEN i = 0 THEN text ELSE text || ' r' || i END AS text,
-               lang, source, n_chars
+               lang, source,
+               -- keep the generator invariant n_chars == length(text)
+               -- (replica suffixes lengthen the text)
+               length(CASE WHEN i = 0 THEN text
+                           ELSE text || ' r' || i END) AS n_chars
         FROM {t('documents')}, reps""")
     write("embeddings", f"""
         SELECT vec_id + i*{nvec} AS vec_id, embedding, label
