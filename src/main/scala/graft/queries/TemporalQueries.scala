@@ -197,6 +197,32 @@ object TemporalQueries extends QueryPack {
           "mn + (bucket * (mx - mn + 1)) div 1000 as est_cents")
     }),
 
+    // Robust anomaly counts (median absolute deviation — telemetry's
+    // outlier-flagging staple, insensitive to the outliers themselves
+    // unlike mean/stddev): per event type, the integer-exact doubled
+    // median (med2) and quadrupled MAD (mad4), and how many events sit
+    // beyond 3·MAD. The ×2/×4 doubling keeps every interpolated median
+    // integral, so both engines compare exact integers (the q28
+    // percentile-parity trick, twice). Exact medians buffer per-group
+    // values — the sketch path at 100 TB is evt_quantiles_hist; this
+    // is the exact complement, dim-bounded groups (5 event types).
+    "evt_anomaly_mad" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("event_type", "cast(round(value * 100, 0) as bigint) as c")
+      val med = e.groupBy("event_type")
+        .agg(expr("cast(round(percentile(c, 0.5) * 2, 0) as bigint)").as("med2"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("c") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("cast(round(percentile(dev2, 0.5) * 2, 0) as bigint)").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(min("med2").as("med2"), min("mad4").as("mad4"),
+          sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_anomalies"),
+          count(lit(1)).as("n"))
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -289,6 +315,23 @@ object TemporalQueries extends QueryPack {
                 CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "evt_anomaly_mad" ->
+      """WITH e AS (SELECT event_type,
+                CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+           m AS (SELECT event_type,
+                CAST(round(quantile_cont(c, 0.5) * 2, 0) AS BIGINT) AS med2
+              FROM e GROUP BY 1),
+           d AS (SELECT e.event_type, c, med2,
+                abs(c * 2 - med2) AS dev2
+              FROM e JOIN m USING (event_type)),
+           md AS (SELECT event_type,
+                CAST(round(quantile_cont(dev2, 0.5) * 2, 0) AS BIGINT) AS mad4
+              FROM d GROUP BY 1)
+         SELECT d.event_type, min(d.med2) AS med2, min(md.mad4) AS mad4,
+                CAST(sum(CASE WHEN dev2 * 2 > mad4 * 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_anomalies,
+                COUNT(*) AS n
+         FROM d JOIN md USING (event_type) GROUP BY 1""",
     "evt_quantiles_hist" ->
       """WITH e AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
                     FROM events),
