@@ -245,6 +245,33 @@ object RelationalQueries extends QueryPack {
         .selectExpr("o_orderkey", "cast(x as bigint) as x",
           "cast(y as bigint) as y", "z", "z div 1048576 as z_bucket")),
 
+    // Data-quality constraint audit (the Deequ / dbt-test shape every
+    // ingest pipeline runs before publishing a table): one summary row
+    // for orders — row count, key-uniqueness violations, null counts,
+    // referential orphans (o_custkey ∉ customer), range violations.
+    // ONE scan feeds the single-pass checks (null/range partials
+    // collapse map-side); uniqueness is a key-grouped count and
+    // orphans a left_anti against the dim — at 100 TB the same plan,
+    // with the dim side broadcast.
+    "q36_data_quality" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dups = o.groupBy("o_orderkey").agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1)
+        .agg(coalesce(sum(col("k") - 1), lit(0L)).as("dup_keys"))
+      val orphans = o.join(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkeys"))
+      val scans = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_dates"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_totals"),
+        sum(when(col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          0L).otherwise(1L)).as("bad_priorities"))
+      scans.crossJoin(dups).crossJoin(orphans)
+    }),
+
     // FULL OUTER join with null-safe projection (reference has inner +
     // anti only): per-nation customer/supplier presence.
     "q27_outer" -> ((s, dir) => {
@@ -530,6 +557,25 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q36_data_quality" ->
+      """WITH dups AS (SELECT COALESCE(SUM(k - 1), 0) AS dup_keys
+              FROM (SELECT o_orderkey, COUNT(*) AS k FROM orders
+                    GROUP BY 1 HAVING COUNT(*) > 1)),
+           orph AS (SELECT COUNT(*) AS orphan_custkeys FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           sc AS (SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_dates,
+              CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nonpos_totals,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+                     '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                   THEN 0 ELSE 1 END) AS BIGINT) AS bad_priorities
+              FROM orders)
+         SELECT n_rows, null_dates, nonpos_totals, bad_priorities,
+                CAST(dup_keys AS BIGINT) AS dup_keys,
+                CAST(orphan_custkeys AS BIGINT) AS orphan_custkeys
+         FROM sc, dups, orph""",
     "q35_zorder" ->
       """WITH b AS (SELECT o_orderkey,
               o_custkey % 65536 AS x,
