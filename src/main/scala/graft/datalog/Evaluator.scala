@@ -498,7 +498,16 @@ final class Evaluator(
       /** materialized row count (0 = unknown) — drives the diffflip
         * auto decision: flip when the accumulated slice rows are big
         * enough that hash-building them dominates the iteration */
-      rows: Long = 0L)
+      rows: Long = 0L) {
+    // Every slice must be a materialized plan (checkpoint RDD /
+    // LocalRelation leaves only): the fixpoint's finally block destroys
+    // all bloom-probe broadcasts on exit, which is sound ONLY because
+    // no returned plan can re-evaluate iteration lineage that probes
+    // them. A future lazy-slice change must fail HERE, loudly, not as
+    // an opaque destroyed-broadcast error at the caller's next action.
+    assert(Evaluator.materializedPlan(df),
+      s"non-materialized slice plan: ${df.queryExecution.logical.nodeName}")
+  }
 
   /** Counts of within-task localiterate fixpoints run (spec hook). */
   var localIterateRuns: Int = 0
@@ -1764,10 +1773,17 @@ final class Evaluator(
         case Some(v) => spark.conf.set(coPartConf, v)
         case None => spark.conf.unset(coPartConf)
       }
-      // every slice is a materialized checkpoint, so no plan the caller
-      // can still run references a probe broadcast — safe to retire all
+      // every slice is a materialized checkpoint (Slice's constructor
+      // asserts it), so no plan the caller can still run references a
+      // probe broadcast — safe to retire all. Failures are LOGGED, not
+      // silently swallowed: a destroy error here is the first symptom
+      // if the materialized-slice invariant ever breaks (ADVICE r11).
       (bloomBcsRetired.iterator ++ bloomBcs.valuesIterator.map(_._2))
-        .foreach(bc => try bc.destroy() catch { case _: Throwable => () })
+        .foreach(bc => try bc.destroy() catch {
+          case e: Throwable =>
+            org.slf4j.LoggerFactory.getLogger(classOf[Evaluator]).warn(
+              s"bloom-probe broadcast destroy failed (id=${bc.id}): $e")
+        })
     }
   }
 
@@ -2764,6 +2780,20 @@ final class Evaluator(
 // Serializable: task closures produced by monoPartitionFixpoint capture
 // the module (its eval helpers run on executors)
 object Evaluator extends Serializable {
+  /** True when the plan's leaves are all materialized carriers
+    * (checkpointed RDD scans / LocalRelations) — i.e. re-evaluating the
+    * DataFrame replays stored blocks and can never re-run fixpoint
+    * iteration lineage. Slice construction asserts this (the
+    * bloom-broadcast retirement invariant); MaterializedSliceSpec
+    * exercises it end-to-end. */
+  private[datalog] def materializedPlan(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+
   /** Marker message for a null seed row detected inside a
     * monoPartitionFixpoint task — the driver scans failure cause
     * chains for it and falls back to the looped paths (which handle

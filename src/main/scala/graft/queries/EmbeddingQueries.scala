@@ -234,9 +234,23 @@ object EmbeddingQueries extends QueryPack {
     * catalog; the directories would otherwise outlive the JVM). */
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Local filesystem path of the session warehouse, or None when the
+    * conf value doesn't parse as a path-bearing URI (spaces/illegal
+    * chars/opaque URIs — ADVICE r11): callers SKIP cleanup rather than
+    * fail the query path. Hadoop's Path parser tolerates raw local
+    * paths and `file:` URIs alike; the URISyntaxException shape that
+    * killed `new java.net.URI(...)` lands in the Failure arm. */
+  private def warehousePath(s: SparkSession): Option[String] =
+    scala.util.Try {
+      val conf = s.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(conf)
+      Option(p.toUri.getPath).filter(_.nonEmpty).getOrElse(conf)
+    }.toOption
+
   private def registerWarehouseCleanup(
       s: SparkSession, tables: Seq[String]): Unit = {
-    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val wh = warehousePath(s).getOrElse(return)
     tables.filter(cleanupRegistered.add).foreach { t =>
       val d = new java.io.File(wh, t)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -284,15 +298,15 @@ object EmbeddingQueries extends QueryPack {
       // warehouse directories persist — clear both or saveAsTable fails
       Seq(ta, tc).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath
-        val d = new java.io.File(wh, t)
-        if (d.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
+        warehousePath(s).foreach { wh =>
+          val d = new java.io.File(wh, t)
+          if (d.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(d)
           }
-          rm(d)
         }
       }
       ivfAssigned(s, dir).drop("q")

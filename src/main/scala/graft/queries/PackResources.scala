@@ -85,8 +85,14 @@ object PackResources {
     stale.foreach { r => r.unpersist(blocking = true); rddTracked.remove(r) }
     val staleBc = scala.collection.mutable.Set.empty[org.apache.spark.broadcast.Broadcast[_]]
     bcTracked.forEach(b => if (!snap.bcs(b)) staleBc += b)
-    staleBc.foreach { b => b.destroy(); bcTracked.remove(b) }
+    staleBc.foreach { b => destroyQuietly(b); bcTracked.remove(b) }
   }
+
+  /** One already-destroyed broadcast (double release, user code) must
+    * not abort the release loop and leak the rest of the tracked state
+    * — same guard the Evaluator's retirement loop carries. */
+  private def destroyQuietly(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    try b.destroy() catch { case _: Exception => () }
 
   /** Unpersist every tracked checkpoint and close every tracked context.
     * DataFrames previously returned by pack queries must be fully
@@ -102,7 +108,7 @@ object PackResources {
     ctxMemo.clear()
     rddTracked.forEach(_.unpersist(blocking = false))
     rddTracked.clear()
-    bcTracked.forEach(_.destroy())
+    bcTracked.forEach(destroyQuietly)
     bcTracked.clear()
   }
 }

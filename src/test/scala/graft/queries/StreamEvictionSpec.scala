@@ -35,8 +35,14 @@ class StreamEvictionSpec extends AnyFunSuite {
   test("stream_dedup_count: dedup ids are forgotten past the watermark") {
     val (_, state) = runTracked("stream_dedup_count")
     val totalEvents = 1000L // sf0.001 events rows
-    assert(state.length >= 5)
-    assert(state.max < totalEvents / 2,
+    // coarser 2-files/trigger replay (r12): 3 file batches + >=1
+    // trailing no-data eviction batch — still multi-batch, still
+    // bounded, still drained. The horizon is now ~one 2-file batch
+    // (~half the sf0.001 table), so the history bound is 65%: an
+    // unbounded dedup state would sit at ~100% of the distinct ids by
+    // the last data batch, an evicted one at ~one batch's worth.
+    assert(state.length >= 4, s"expected a multi-batch replay, got $state")
+    assert(state.max < totalEvents * 13 / 20,
       s"dedup state ${state.max} holds history, not the watermark horizon")
     assert(state.last == 0, s"dedup state not drained: $state")
   }
