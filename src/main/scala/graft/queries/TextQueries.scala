@@ -162,6 +162,38 @@ object TextQueries extends QueryPack {
 
   private val toks = "split(text, ' ')"
 
+  /** BM25 CTE chain (DuckDB side) ending in `bm25ranked(q_id, doc_id,
+    * score, rk)` — shared by txt_bm25_topk and txt_hybrid_rrf. */
+  private val bm25Cte =
+    """d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       dd AS (SELECT doc_id, t, len(t) AS dl FROM d),
+       posting AS (SELECT doc_id, dl, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dd)
+                   GROUP BY doc_id, dl, tok),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM posting GROUP BY term),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS l_tokens FROM dd),
+       qs AS (SELECT DISTINCT doc_id AS q_id, t[(i * 7) % len(t) + 1] AS term
+              FROM dd, range(4) r(i) WHERE doc_id BETWEEN 1 AND 8),
+       sc AS (SELECT q.q_id, p.doc_id,
+                (CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+                 * CAST(44 AS HUGEINT) * CAST(s.l_tokens AS HUGEINT)
+                 * CAST(p.tf AS HUGEINT) * CAST(1000000 AS HUGEINT))
+                // (CAST(2*f.df + 1 AS HUGEINT)
+                    * (CAST(20 AS HUGEINT) * s.l_tokens * p.tf
+                       + CAST(6 AS HUGEINT) * s.l_tokens
+                       + CAST(18 AS HUGEINT) * p.dl * s.n_docs))
+                AS term_score
+              FROM posting p JOIN qs q USING (term)
+                JOIN dfreq f ON p.term = f.term CROSS JOIN stats s),
+       scored AS (SELECT q_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score
+                  FROM sc GROUP BY q_id, doc_id),
+       bm25ranked AS (SELECT q_id, doc_id, score,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, doc_id ASC) AS rk
+                  FROM scored)"""
+
   // per-token u32 hashes + sorted distinct shingle set + minhash/simhash
   // are native codegen'd expressions (graft.functions.TokenHash64 /
   // Shingle3SortedSet / MinHashSig / SimHash32) — same formulas as the
@@ -171,6 +203,43 @@ object TextQueries extends QueryPack {
 
   /** the token-hash array column for the current row's `text` */
   private def tokHashes = tokenHash64(split(col("text"), " "))
+
+  /** BM25-ranked (q_id, doc_id, score, rk) top-10 per query — shared by
+    * txt_bm25_topk and the RRF fusion gate (see txt_bm25_topk's doc for
+    * the exact-integer scoring derivation and the plan shape). */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).selectExpr("doc_id", s"$toks as t")
+      .selectExpr("doc_id", "t", "size(t) as dl")
+    val posting = d.selectExpr("doc_id", "dl", "explode(t) as term")
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
+    val qs = d.filter(col("doc_id").between(1, 8))
+      .selectExpr("doc_id as q_id", "t",
+        "explode(sequence(0, 3)) as i")
+      .selectExpr("q_id", "t[cast((i * 7) % size(t) as int)] as term")
+      .distinct()
+    val dq = dfreq.join(broadcast(qs), "term") // ≤32 rows after join
+    posting.join(broadcast(dq), "term")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id",
+        """(cast(2 * n_docs - 2 * df + 1 as decimal(20,0))
+            * cast(44 as decimal(20,0)) * cast(l_tokens as decimal(20,0))
+            * cast(tf as decimal(20,0)) * cast(1000000 as decimal(20,0)))
+           div
+           (cast(2 * df + 1 as decimal(20,0))
+            * (cast(20 as decimal(20,0)) * cast(l_tokens as decimal(20,0)) * cast(tf as decimal(20,0))
+               + cast(6 as decimal(20,0)) * cast(l_tokens as decimal(20,0))
+               + cast(18 as decimal(20,0)) * cast(dl as decimal(20,0)) * cast(n_docs as decimal(20,0))))
+           as term_score""")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("term_score").cast("long").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 10)
+  }
 
   /** doc_id + distinct sorted shingle-hash set, materialized: Catalyst's
     * projection collapse would otherwise inline the shingle expression
@@ -320,40 +389,49 @@ object TextQueries extends QueryPack {
     // WindowGroupLimit (per-partition heaps, only k rows per partition
     // reach the final sort) — at 100 TB this is a posting-list scan
     // with broadcast probes, the plan a retrieval engine runs.
-    "txt_bm25_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).selectExpr("doc_id", s"$toks as t")
-        .selectExpr("doc_id", "t", "size(t) as dl")
-      val posting = d.selectExpr("doc_id", "dl", "explode(t) as term")
-        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
-      val qs = d.filter(col("doc_id").between(1, 8))
-        .selectExpr("doc_id as q_id", "t",
-          "explode(sequence(0, 3)) as i")
-        .selectExpr("q_id", "t[cast((i * 7) % size(t) as int)] as term")
-        .distinct()
-      val dq = dfreq.join(broadcast(qs), "term") // ≤32 rows after join
-      posting.join(broadcast(dq), "term")
-        .crossJoin(broadcast(stats))
-        .selectExpr("q_id", "doc_id",
-          """(cast(2 * n_docs - 2 * df + 1 as decimal(20,0))
-              * cast(44 as decimal(20,0)) * cast(l_tokens as decimal(20,0))
-              * cast(tf as decimal(20,0)) * cast(1000000 as decimal(20,0)))
-             div
-             (cast(2 * df + 1 as decimal(20,0))
-              * (cast(20 as decimal(20,0)) * cast(l_tokens as decimal(20,0)) * cast(tf as decimal(20,0))
-                 + cast(6 as decimal(20,0)) * cast(l_tokens as decimal(20,0))
-                 + cast(18 as decimal(20,0)) * cast(dl as decimal(20,0)) * cast(n_docs as decimal(20,0))))
-             as term_score""")
-        .groupBy("q_id", "doc_id")
-        .agg(sum("term_score").cast("long").as("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id")
-            .orderBy(col("score").desc, col("doc_id").asc)))
-        .filter(col("rk") <= 10)
+    "txt_bm25_topk" -> ((s, dir) =>
+      bm25Ranked(s, dir)
         .select(col("q_id"), col("doc_id"), col("score"),
-          col("rk").cast("long").as("rk"))
+          col("rk").cast("long").as("rk"))),
+
+    // Hybrid retrieval via reciprocal-rank fusion (the lexical+dense
+    // fusion step of a production RAG stack): the BM25 top-10 arm and a
+    // brute-force quantized-dot embedding top-10 arm (vec_id == doc_id
+    // in the fixtures) are fused per query as
+    //   rrf_x1e6 = Σ_arm 10^6 div (60 + rank_arm)
+    // — the standard RRF with k=60, exact in integers, no score
+    // calibration between arms needed (that's WHY production stacks use
+    // RRF). A doc missing from one arm contributes only the other
+    // (rank 0 = absent in the output). Both arms end in
+    // WindowGroupLimit top-10s over broadcast query sides, and the
+    // fusion is a ~160-row full-outer join — free at any corpus scale.
+    "txt_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.dotI64
+      val a = bm25Ranked(s, dir).select(col("q_id"), col("doc_id"),
+        col("rk").as("rk_bm25"))
+      val e = Tables.load(s, dir, "embeddings").selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint)) as q")
+      val queries = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))
+      val wE = Window.partitionBy("q_id").orderBy(desc("dot"), asc("doc_id"))
+      val b = e.select(col("vec_id").as("doc_id"), col("q").as("cv"))
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("doc_id"), dotI64(col("qv"), col("cv")).as("dot"))
+        .withColumn("rk_emb", row_number().over(wE))
+        .filter(col("rk_emb") <= 10)
+        .select("q_id", "doc_id", "rk_emb")
+      val wF = Window.partitionBy("q_id").orderBy(desc("rrf_x1e6"), asc("doc_id"))
+      a.join(b, Seq("q_id", "doc_id"), "full_outer")
+        .selectExpr("q_id", "doc_id",
+          "coalesce(1000000 div (60 + rk_bm25), 0) + " +
+            "coalesce(1000000 div (60 + rk_emb), 0) as rrf_x1e6",
+          "cast(coalesce(rk_bm25, 0) as bigint) as rk_bm25",
+          "cast(coalesce(rk_emb, 0) as bigint) as rk_emb")
+        .withColumn("rk", row_number().over(wF))
+        .filter(col("rk") <= 10)
+        .selectExpr("q_id", "doc_id", "rrf_x1e6", "rk_bm25", "rk_emb",
+          "cast(rk as bigint) as rk")
     }),
 
     // Quality scoring: exact integer length/stopword ratios.
@@ -896,36 +974,41 @@ object TextQueries extends QueryPack {
     // HUGEINT (int128) mirrors the Spark side's decimal(38,0) exactly;
     // all-positive integer floor division, so // == div bit-for-bit
     "txt_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         dd AS (SELECT doc_id, t, len(t) AS dl FROM d),
-         posting AS (SELECT doc_id, dl, tok AS term, CAST(count(*) AS BIGINT) AS tf
-                     FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dd)
-                     GROUP BY doc_id, dl, tok),
-         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-                   FROM posting GROUP BY term),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                          CAST(sum(dl) AS BIGINT) AS l_tokens FROM dd),
-         qs AS (SELECT DISTINCT doc_id AS q_id, t[(i * 7) % len(t) + 1] AS term
-                FROM dd, range(4) r(i) WHERE doc_id BETWEEN 1 AND 8),
-         sc AS (SELECT q.q_id, p.doc_id,
-                  (CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
-                   * CAST(44 AS HUGEINT) * CAST(s.l_tokens AS HUGEINT)
-                   * CAST(p.tf AS HUGEINT) * CAST(1000000 AS HUGEINT))
-                  // (CAST(2*f.df + 1 AS HUGEINT)
-                      * (CAST(20 AS HUGEINT) * s.l_tokens * p.tf
-                         + CAST(6 AS HUGEINT) * s.l_tokens
-                         + CAST(18 AS HUGEINT) * p.dl * s.n_docs))
-                  AS term_score
-                FROM posting p JOIN qs q USING (term)
-                  JOIN dfreq f ON p.term = f.term CROSS JOIN stats s),
-         scored AS (SELECT q_id, doc_id, CAST(sum(term_score) AS BIGINT) AS score
-                    FROM sc GROUP BY q_id, doc_id),
-         ranked AS (SELECT q_id, doc_id, score,
-                      row_number() OVER (PARTITION BY q_id
-                                         ORDER BY score DESC, doc_id ASC) AS rk
-                    FROM scored)
+      s"""WITH $bm25Cte
          SELECT q_id, doc_id, score, CAST(rk AS BIGINT) AS rk
-         FROM ranked WHERE rk <= 10""",
+         FROM bm25ranked WHERE rk <= 10""",
+    "txt_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         aarm AS (SELECT q_id, doc_id, rk AS rk_bm25
+                  FROM bm25ranked WHERE rk <= 10),
+         ev AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+                FROM embeddings),
+         qe AS (SELECT vec_id AS q_id, v AS qv FROM ev
+                WHERE vec_id BETWEEN 1 AND 8),
+         se AS (SELECT qe.q_id, c.vec_id AS doc_id,
+                  CAST(list_sum(list_transform(range(1, len(qe.qv)+1),
+                    i -> qe.qv[i]*c.v[i])) AS BIGINT) AS dot
+                FROM qe, ev c),
+         re AS (SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY dot DESC, doc_id ASC) AS rk_emb
+                FROM se),
+         barm AS (SELECT q_id, doc_id, rk_emb FROM re WHERE rk_emb <= 10),
+         f AS (SELECT coalesce(a.q_id, b.q_id) AS q_id,
+                 coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 coalesce(1000000 // (60 + a.rk_bm25), 0)
+                   + coalesce(1000000 // (60 + b.rk_emb), 0) AS rrf_x1e6,
+                 CAST(coalesce(a.rk_bm25, 0) AS BIGINT) AS rk_bm25,
+                 CAST(coalesce(b.rk_emb, 0) AS BIGINT) AS rk_emb
+               FROM aarm a FULL JOIN barm b
+                 ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+         rf AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY rrf_x1e6 DESC, doc_id ASC) AS rk FROM f)
+         SELECT q_id, doc_id, CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6,
+                rk_bm25, rk_emb, CAST(rk AS BIGINT) AS rk
+         FROM rf WHERE rk <= 10""",
     "txt_quality" ->
       """SELECT doc_id, length(text) AS n_chars_len,
          len(string_split(text,' ')) AS n_tokens,
