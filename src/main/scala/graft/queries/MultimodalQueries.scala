@@ -108,6 +108,41 @@ object MultimodalQueries extends QueryPack {
         .filter(col("ham") <= 3)
     }),
 
+    // Image near-dup CLUSTERING (the multimodal SemDeDup shape,
+    // completing the txt/emb/mm dedup triangle): connected components
+    // over the verified dHash pair graph via the engine's own mmin
+    // label-propagation fixpoint — group id IS the canonical
+    // representative (smallest doc_id). Same composition as
+    // txt_neardup_groups / emb_neardup_groups; the pair pass is shared
+    // with mm_phash_pairs via the checkpoint memo, and the tiny
+    // verified pair graph runs the component fixpoint as ONE
+    // localiterate wave.
+    "mm_phash_groups" -> ((s, dir) => {
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        PackResources.context(s, dir, "mm_phash_groups")({
+          val pairs = PackResources.checkpoint(s, dir, "mm_phash_pairs_v")(
+            defs("mm_phash_pairs")(s, dir).select(col("d1"), col("d2")))
+          val c = new graft.datalog.DatalogContext(s)
+          c.loadProgram(
+            "database({ph_e(X:long, Y:long), ph_n(X:long)}). " +
+              "lbl(X, mmin<X>) <- ph_n(X). " +
+              "lbl(Y, mmin<L>) <- lbl(X, L), ph_e(X, Y). " +
+              "grp(X, min<L>) <- lbl(X, L).")
+          c.registerTable("ph_e",
+            pairs.union(pairs.select(col("d2"), col("d1"))))
+          c.registerTable("ph_n",
+            pairs.select(col("d1")).union(pairs.select(col("d2"))).distinct())
+          c
+        }).query("grp(D, G).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // One payload → many sampled "frames": mapPartitions emits a row per
     // fixed-size window with a per-frame checksum (what a real pipeline
     // does with decoded video frames; decode itself is the stub).
@@ -187,6 +222,25 @@ object MultimodalQueries extends QueryPack {
           SELECT d1, d2,
                  CAST(bit_count(CAST(xor(p1, p2) AS BIT)) AS BIGINT) AS ham
           FROM cand WHERE bit_count(CAST(xor(p1, p2) AS BIT)) <= 3""",
+    "mm_phash_groups" ->
+      s"""WITH RECURSIVE v AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, 'z' || substr(text, 2) FROM documents),
+          ${phashCte("v")},
+          bands AS (SELECT doc_id, phash, b, (phash >> (16*b)) & 65535 AS bk
+                    FROM h, range(4) r(b)),
+          pr AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+                 FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.bk = b2.bk
+                 WHERE b1.doc_id < b2.doc_id
+                   AND bit_count(CAST(xor(b1.phash, b2.phash) AS BIT)) <= 3),
+          ed AS (SELECT d1 AS s, d2 AS t FROM pr UNION SELECT d2, d1 FROM pr),
+          nd AS (SELECT DISTINCT s FROM ed),
+          l(x, lbl) AS (
+            SELECT s, s FROM nd
+            UNION
+            SELECT ed.t, l.lbl FROM l JOIN ed ON ed.s = l.x)
+          SELECT CAST(x AS BIGINT) AS d, CAST(min(lbl) AS BIGINT) AS g
+          FROM l GROUP BY x""",
     // text is ASCII, so UTF-8 byte length == char length and the
     // codepoint checksum is the unicode() sum
     "mm_features" ->
