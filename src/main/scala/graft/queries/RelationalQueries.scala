@@ -272,6 +272,40 @@ object RelationalQueries extends QueryPack {
       scans.crossJoin(dups).crossJoin(orphans)
     }),
 
+    // CDC MERGE / upsert (the Delta/Iceberg MERGE INTO semantics as one
+    // key-partitioned full-outer join — the warehouse snapshot-refresh
+    // op a training-data pipeline runs nightly): a deterministic change
+    // batch derived from orders (U = matched update adding the
+    // customer's order total, D = matched delete for n-ending-in-3
+    // keys, I = insert under shifted keys) applies to the customer
+    // snapshot. Plan: one partial-agg shuffle builds the change batch,
+    // ONE full-outer key join applies it — no driver loop, no
+    // per-row lookups; at 100 TB the join is the only snapshot-sized
+    // operation and MERGE INTO compiles to exactly this shape plus the
+    // snapshot write.
+    "q37_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer").selectExpr("c_custkey as key", "c_name",
+        "cast(round(c_acctbal * 100, 0) as bigint) as cents")
+      val chg = t(s, dir, "orders")
+        .selectExpr("o_custkey", "cast(round(o_totalprice * 100, 0) as bigint) as tc")
+        .groupBy("o_custkey").agg(sum("tc").as("total_cents"))
+      val cdc = chg.selectExpr(
+          "case when o_custkey % 10 = 3 then 'D' else 'U' end as op",
+          "o_custkey as key", "total_cents")
+        .union(chg.filter(col("o_custkey") % 7 === 2).selectExpr(
+          "'I' as op", "o_custkey + 1000000 as key", "total_cents"))
+      base.join(cdc, Seq("key"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .selectExpr("key",
+          "case when op = 'I' then concat('Customer#', key) else c_name end as name",
+          """case when op = 'U' then cents + total_cents
+                  when op = 'I' then total_cents
+                  else cents end as cents""",
+          """case when op = 'U' then 'updated'
+                  when op = 'I' then 'inserted'
+                  else 'kept' end as src""")
+    }),
+
     // FULL OUTER join with null-safe projection (reference has inner +
     // anti only): per-nation customer/supplier presence.
     "q27_outer" -> ((s, dir) => {
@@ -425,6 +459,30 @@ object RelationalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_cdc_merge" ->
+      """WITH base AS (SELECT c_custkey AS key, c_name,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer),
+         chg AS (SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+           FROM orders GROUP BY o_custkey),
+         cdc AS (SELECT CASE WHEN o_custkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+                   o_custkey AS key, total_cents FROM chg
+                 UNION ALL
+                 SELECT 'I', o_custkey + 1000000, total_cents FROM chg
+                 WHERE o_custkey % 7 = 2)
+         SELECT coalesce(base.key, cdc.key) AS key,
+           CASE WHEN op = 'I' THEN 'Customer#' || CAST(cdc.key AS VARCHAR)
+                ELSE c_name END AS name,
+           CAST(CASE WHEN op = 'U' THEN cents + total_cents
+                     WHEN op = 'I' THEN total_cents
+                     ELSE cents END AS BIGINT) AS cents,
+           CASE WHEN op = 'U' THEN 'updated'
+                WHEN op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS src
+         FROM base FULL JOIN cdc ON base.key = cdc.key
+         WHERE coalesce(op, '') != 'D'""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

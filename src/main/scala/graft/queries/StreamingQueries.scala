@@ -415,6 +415,29 @@ object StreamingQueries extends QueryPack {
       }
     }),
 
+    // Stream-STATIC broadcast enrichment join (the dimension-lookup
+    // surface next to the stream-stream joins): each event enriches
+    // against a static dim table inside the micro-batch — STATELESS
+    // (no watermark, no state store; the dim broadcasts into every
+    // batch), so rows append as they arrive and the replay runs at
+    // 3 files/trigger. At 100 TB/day this is the kafka→enrich→sink
+    // hop: the only per-event cost is a broadcast hash probe. The
+    // sentinels are dropped before the join (their user_id would
+    // otherwise hash into a real dim key). Gate output = the batch
+    // rollup of the enriched sink (exact per-nation totals).
+    "stream_enrich" -> ((s, dir) => {
+      drainAppend(s, "stream_enrich") { ss =>
+        val dim = Tables.load(ss, dir, "nation")
+          .selectExpr("cast(n_nationkey as bigint) as nk", "n_name")
+        dropSentinels(streamEvents(ss, dir, filesPerTrigger = 3), "ts_utc")
+          .withColumn("nk", pmod(col("user_id"), lit(25L)))
+          .join(broadcast(dim), "nk")
+          .select(col("event_id"), col("n_name"),
+            expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      }.groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_value_cents"))
+    }),
+
     // Sessionization, relational formulation: lag window over
     // (user_id, event time) + running sum of >1h gap breaks — the same
     // shape its oracle uses. One shuffle on user_id; the window sort is
@@ -477,6 +500,11 @@ object StreamingQueries extends QueryPack {
                 CAST(p.ptsu - c.ctsu AS BIGINT) AS gap_us
          FROM p LEFT JOIN c ON p.user_id = c.user_id
            AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu""",
+    "stream_enrich" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY n.n_name""",
     "evt_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
          s AS (SELECT user_id, tsu,

@@ -66,6 +66,15 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(state.last == 0, s"session state not drained: $state")
   }
 
+  test("stream_enrich: stream-static broadcast join is STATELESS") {
+    val (rows, state) = runTracked("stream_enrich")
+    assert(rows > 0)
+    // no watermark, no state store: a dimension lookup must never
+    // accumulate per-event state (the whole point of the stream-static
+    // shape vs a stream-stream join)
+    assert(state.forall(_ == 0), s"stateless join grew state: $state")
+  }
+
   test("stream_join: interval-join state holds the interval, not history") {
     val (_, state) = runTracked("stream_join")
     assert(state.length >= 4)
