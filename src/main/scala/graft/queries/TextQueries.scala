@@ -371,6 +371,33 @@ object TextQueries extends QueryPack {
           expr("""array_join(transform(sort_array(collect_list(pos0 + 1)),
                     x -> cast(x as string)), ',')""").as("positions"))),
 
+    // Phrase query over the POSITIONAL index (the consumer of
+    // txt_inverted_index's position lists — conjunctive term match is
+    // not enough for phrases, adjacency is): 4 two-token phrases (the
+    // first bigram of docs 1..4) matched by joining the two terms'
+    // position postings on (doc, pos+1 == pos2) — a composite-key
+    // equi-join Catalyst hashes in one shuffle per side, never a
+    // per-doc position scan. At 100 TB both sides are term-pruned
+    // posting lists (the broadcast phrase probe prunes before the
+    // join), which is exactly how a search engine executes "A B".
+    "txt_phrase_match" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
+      val ph = docs(s, dir).filter(col("doc_id").between(1, 4))
+        .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
+          s"element_at($toks, 2) as t2")
+      val p1 = post.join(broadcast(ph), col("term") === col("t1"))
+        .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+      p1.join(p2,
+          col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+            col("term2") === col("t2"))
+        .groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          (min(col("pos")) + 1).cast("long").as("first_pos"))
+    }),
+
     // BM25 top-k retrieval over the inverted-index machinery (the
     // RAG-side text counterpart of emb_ivfpq_search — judge r11 #5):
     // 8 query-by-example queries (terms drawn from fixed positions of
@@ -971,6 +998,21 @@ object TextQueries extends QueryPack {
                 CAST(min(pos) AS BIGINT) AS first_pos,
                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
          FROM e GROUP BY term, doc_id""",
+    "txt_phrase_match" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         post AS (SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos, toks[p] AS term
+                  FROM (SELECT doc_id, toks,
+                          unnest(generate_series(1, len(toks))) AS p
+                        FROM t)),
+         ph AS (SELECT doc_id AS q_id, toks[1] AS t1, toks[2] AS t2
+                FROM t WHERE doc_id BETWEEN 1 AND 4),
+         m AS (SELECT ph.q_id, p1.doc_id, p1.pos
+               FROM post p1 JOIN ph ON p1.term = ph.t1
+               JOIN post p2 ON p2.doc_id = p1.doc_id
+                 AND p2.pos = p1.pos + 1 AND p2.term = ph.t2)
+         SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(min(pos) + 1 AS BIGINT) AS first_pos
+         FROM m GROUP BY q_id, doc_id""",
     // HUGEINT (int128) mirrors the Spark side's decimal(38,0) exactly;
     // all-positive integer floor division, so // == div bit-for-bit
     "txt_bm25_topk" ->
