@@ -211,8 +211,12 @@ object TextQueries extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).selectExpr("doc_id", s"$toks as t")
       .selectExpr("doc_id", "t", "size(t) as dl")
-    val posting = d.selectExpr("doc_id", "dl", "explode(t) as term")
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    // materialized: read twice per query (df stats + probe side) and
+    // shared with txt_hybrid_rrf — at 100 TB the posting table and its
+    // df/len stats are INDEX artifacts built once, not per query
+    val posting = PackResources.checkpoint(s, dir, "bm25_posting")(
+      d.selectExpr("doc_id", "dl", "explode(t) as term")
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")))
     val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("l_tokens"))
     val qs = d.filter(col("doc_id").between(1, 8))
