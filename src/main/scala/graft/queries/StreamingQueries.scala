@@ -265,6 +265,26 @@ object StreamingQueries extends QueryPack {
     "stream_hourly" -> ((s, dir) =>
       drainAppend(s, "stream_hourly")(hourlyPlan(_, dir))),
 
+    // HOPPING (sliding) windows — the third window type next to
+    // tumbling (stream_hourly) and session (stream_sessions): 1-hour
+    // windows on a 30-minute slide, so every event lands in exactly 2
+    // overlapping windows (Spark expands the event, state = open
+    // windows within the watermark horizon — ×overlap the tumbling
+    // state, still horizon-bounded, never history). Append mode: a
+    // window's row emits once, when the watermark passes its end.
+    "stream_hopping" -> ((s, dir) => {
+      drainAppend(s, "stream_hopping") { ss =>
+        dropSentinels(
+            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+          .groupBy(window(col("ts_utc"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .selectExpr(
+            "cast(unix_timestamp(window.start) as bigint) as win_start",
+            "event_type", "n")
+      }
+    }),
+
     // Stateful streaming dedup: dropDuplicatesWithinWatermark appends the
     // first-seen copy of each event to the sink; its dedup state is
     // watermark-evicted (an id is remembered only for the watermark
@@ -500,6 +520,16 @@ object StreamingQueries extends QueryPack {
                 CAST(p.ptsu - c.ctsu AS BIGINT) AS gap_us
          FROM p LEFT JOIN c ON p.user_id = c.user_id
            AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu""",
+    // an event at micros tu belongs to the two 1800s-aligned window
+    // starts S with S <= tu < S+3600s (Spark hopping windows are
+    // epoch-aligned)
+    "stream_hopping" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
+         w AS (SELECT (tu // 1800000000 - k) * 1800 AS win_start, event_type
+               FROM ev, range(2) r(k))
+         SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM w GROUP BY win_start, event_type""",
     "stream_enrich" ->
       """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents

@@ -66,6 +66,17 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(state.last == 0, s"session state not drained: $state")
   }
 
+  test("stream_hopping: overlapping-window state is horizon-bounded and drains") {
+    val (emitted, state) = runTracked("stream_hopping")
+    assert(state.length >= 5, s"expected a multi-batch replay, got $state")
+    // every event opens 2 overlapping windows, but eviction still caps
+    // in-flight state at the watermark horizon — far below the total
+    // emitted window count (unbounded state would hold all of them)
+    assert(state.max < emitted / 2,
+      s"hopping state ${state.max} not bounded vs $emitted emitted windows")
+    assert(state.last == 0, s"hopping state not drained: $state")
+  }
+
   test("stream_enrich: stream-static broadcast join is STATELESS") {
     val (rows, state) = runTracked("stream_enrich")
     assert(rows > 0)
