@@ -30,7 +30,8 @@ object DatalogQueries extends QueryPack {
 
   /** Declarations shared by all programs. */
   private val db =
-    "database({arc(X:long, Y:long, C:long), edge(X:long, Y:long), node(X:long)})."
+    "database({arc(X:long, Y:long, C:long), edge(X:long, Y:long), " +
+      "sarc(X:long, Y:long), node(X:long)})."
 
   /** Weighted intra-block DAG edges from customer keys. */
   private[queries] def arcDF(s: SparkSession, dir: String): DataFrame = {
@@ -46,6 +47,24 @@ object DatalogQueries extends QueryPack {
     step.union(skip)
   }
 
+  /** CYCLIC directed edges for the SCC gate: the step chain k→k+1 plus
+    * a back edge from each EVEN block's last key to its first — even
+    * blocks become 16-cycles (one SCC each), odd blocks stay chains
+    * (singleton SCCs). Same block-local shape as `arcDF`, so closure
+    * size stays Θ(N·16²) — scale-linear. */
+  private[queries] def sarcDF(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(s, dir, "customer").select(col("c_custkey").as("k"))
+    val mx = keys.agg(max("k").as("m"))
+    val withMax = keys.crossJoin(broadcast(mx))
+    val step = withMax
+      .filter(col("k") % B =!= (B - 1) && col("k") + 1 <= col("m"))
+      .select(col("k").as("x"), (col("k") + 1).as("y"))
+    val back = withMax
+      .filter(col("k") % B === (B - 1) && expr(s"(k div $B) % 2 = 0"))
+      .select(col("k").as("x"), (col("k") - (B - 1)).as("y"))
+    step.union(back)
+  }
+
   /** Fresh context with arc (weighted DAG), edge (symmetric closure of
     * arc) and node registered. */
   private def buildCtx(s: SparkSession, dir: String, program: String): DatalogContext = {
@@ -53,6 +72,7 @@ object DatalogQueries extends QueryPack {
     c.loadProgram(db + program)
     val arc = arcDF(s, dir)
     c.registerTable("arc", arc)
+    c.registerTable("sarc", sarcDF(s, dir))
     val fwd = arc.select(col("x"), col("y"))
     c.registerTable("edge", fwd.union(arc.select(col("y").as("x"), col("x").as("y"))))
     c.registerTable("node",
@@ -259,6 +279,23 @@ object DatalogQueries extends QueryPack {
     // the symmetric edge relation; components = blocks of 16.
     "dl_cc" -> ((s, dir) =>
       ctx(s, dir, ccProgram).query("cc2(A,B).")),
+
+    // Strongly connected components of the CYCLIC sarc graph (graph
+    // condensation — the directed counterpart of dl_cc): scc_id(v) =
+    // min over {v} ∪ {u : v ⇄ u mutually reachable}. The closure runs
+    // through the engine's semi-naive fixpoint over a graph WITH CYCLES
+    // (PSN's new−seen delta terminates on cycles where naive iteration
+    // would not); the mutual-pair join and the min aggregate evaluate
+    // in the stratum above. Closure stays block-local (Θ(N·16²) rows),
+    // so the pair join never leaves the 16-key blocks — scale-linear.
+    "dl_scc" -> ((s, dir) => {
+      val c = ctx(s, dir,
+        "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
+          "mut(A,B) <- stc(A,B), stc(B,A). " +
+          "mut(A,B) <- node(A), B=A. " +
+          "sccid(A,min<B>) <- mut(A,B).")
+      c.query("sccid(A,B).")
+    }),
 
     // Stratified countd above the recursive clique: number of components.
     // Shares the cc3 fixpoint with dl_cc via the memoized context.
@@ -584,6 +621,27 @@ object DatalogQueries extends QueryPack {
                        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
              WHERE e1.src < e1.dst AND e1.dst < e2.dst)""",
       "dl_cc" -> ccSql,
+      "dl_scc" ->
+        s"""WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            sarc AS (
+              SELECT c_custkey AS src, c_custkey + 1 AS dst
+              FROM customer, mx
+              WHERE c_custkey % $B != ${B - 1} AND c_custkey + 1 <= m
+              UNION ALL
+              SELECT c_custkey, c_custkey - ${B - 1}
+              FROM customer
+              WHERE c_custkey % $B = ${B - 1} AND (c_custkey // $B) % 2 = 0),
+            stc(a,b) AS (
+              SELECT src, dst FROM sarc
+              UNION
+              SELECT stc.a, sarc.dst FROM stc JOIN sarc ON sarc.src = stc.b),
+            mut AS (
+              SELECT s1.a, s1.b FROM stc s1
+              JOIN stc s2 ON s2.a = s1.b AND s2.b = s1.a
+              UNION ALL
+              SELECT c_custkey, c_custkey FROM customer)
+            SELECT CAST(a AS BIGINT) AS a, CAST(min(b) AS BIGINT) AS b
+            FROM mut GROUP BY a""",
       "dl_cc_count" ->
         s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
             FROM customer""",

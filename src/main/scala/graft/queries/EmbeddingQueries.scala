@@ -624,6 +624,31 @@ object EmbeddingQueries extends QueryPack {
     "emb_ivfpq_bucketed" -> ((s, dir) => {
       val (ta, tc) = bucketedIndex(s, dir)
       adcSearch(s, dir, s.table(ta).join(s.table(tc), "vec_id"))
+    }),
+
+    // Two-stage retrieve-then-rerank — the production ANN answer path:
+    // the ADC shortlist (emb_ivfpq_search's top-5, scored from 4-byte
+    // PQ codes) is re-scored EXACTLY from the full vectors and cut to
+    // top-3. Stage 2 touches only |queries|·5 rows: the shortlist
+    // broadcasts into ONE corpus scan (semi-join prune — the full
+    // vectors are re-read for the ~25 shortlisted candidates only,
+    // never the corpus), so rerank cost is independent of corpus size
+    // — the property that makes exact reranking affordable at 100 TB.
+    "emb_ivfpq_rerank" -> ((s, dir) => {
+      val shortlist = adcSearch(s, dir,
+        ivfAssigned(s, dir).drop("q").join(pqCodesPivot(s, dir), "vec_id"))
+        .select(col("qid"), col("cid"))
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(desc("dot"), asc("cid"))
+      e.select(col("vec_id").as("cid"), col("q").as("cv"))
+        .join(broadcast(shortlist), "cid")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("cid"), dotI64(col("qv"), col("cv")).as("dot"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .selectExpr("qid", "cid", "dot", "cast(rk as bigint) as rk")
     })
   )
 
@@ -846,6 +871,21 @@ object EmbeddingQueries extends QueryPack {
           SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk
           FROM ranked WHERE rk <= 5""",
     "emb_ivfpq_search" -> ivfpqSearchSql,
+    "emb_ivfpq_rerank" ->
+      s"""WITH base AS ($ivfpqSearchSql),
+          e2 AS (SELECT vec_id, $quantD AS v FROM embeddings),
+          rer AS (SELECT b.qid, b.cid,
+              CAST(list_sum(list_transform(range(1, 65),
+                i -> q.v[i]*c.v[i])) AS BIGINT) AS dot
+            FROM base b
+            JOIN e2 q ON q.vec_id = b.qid
+            JOIN e2 c ON c.vec_id = b.cid),
+          rr AS (SELECT qid, cid, dot,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY dot DESC, cid ASC) AS rk
+            FROM rer)
+          SELECT qid, cid, dot, CAST(rk AS BIGINT) AS rk
+          FROM rr WHERE rk <= 3""",
     // same answers by construction — the bucketed gate differs only in
     // the storage layout of the index artifacts
     "emb_ivfpq_bucketed" -> ivfpqSearchSql

@@ -285,6 +285,33 @@ object StreamingQueries extends QueryPack {
       }
     }),
 
+    // Streaming TOP-K (trending items): the stream side is the plain
+    // watermarked hourly aggregation keyed by USER — finalized
+    // (window, user, count) partials append to the sink once per
+    // closed window — and the per-window top-3 rank runs as a batch
+    // pass over the sink (count DESC, user ASC tie-break). That split
+    // is the production shape: ranking inside the stream would need
+    // retractions (a later count can displace an earlier leader);
+    // ranking finalized partials downstream is exact, and the sink
+    // pass is WindowGroupLimit-pruned — no full sort, state stays
+    // watermark-horizon windows × active users, never history.
+    "stream_topk" -> ((s, dir) => {
+      val sink = drainAppend(s, "stream_topk") { ss =>
+        dropSentinels(
+            streamEvents(ss, dir).withWatermark("ts_utc", "1 hour"), "ts_utc")
+          .groupBy(window(col("ts_utc"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .selectExpr(
+            "cast(unix_timestamp(window.start) as bigint) as hour_epoch",
+            "user_id", "n")
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("hour_epoch").orderBy(desc("n"), asc("user_id"))
+      sink.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .selectExpr("hour_epoch", "user_id", "n", "cast(rk as bigint) as rk")
+    }),
+
     // Stateful streaming dedup: dropDuplicatesWithinWatermark appends the
     // first-seen copy of each event to the sink; its dedup state is
     // watermark-evicted (an id is remembered only for the watermark
@@ -490,6 +517,18 @@ object StreamingQueries extends QueryPack {
     "stream_user_state" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
          FROM events GROUP BY user_id""",
+    "stream_topk" ->
+      """WITH c AS (
+           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                  user_id, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT hour_epoch, user_id, n,
+                  ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                                     ORDER BY n DESC, user_id ASC) AS rk
+           FROM c)
+         SELECT hour_epoch, user_id, n, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
     "stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
          s AS (SELECT user_id, tsu,

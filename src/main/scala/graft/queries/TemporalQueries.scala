@@ -223,6 +223,35 @@ object TemporalQueries extends QueryPack {
           count(lit(1)).as("n"))
     }),
 
+    // Time-series GAP FILLING (the densify + forward-fill op every
+    // metrics pipeline runs before charting/joining regular series):
+    // per event type, the hourly value-sum series over the FULL hourly
+    // grid — missing hours materialize with the last observed sum
+    // carried forward (null before a type's first observation) and
+    // n_obs = 0. The grid generates from one broadcast min/max row
+    // (sequence + explode, calendar-bounded: types × hours, never
+    // event-volume); the forward-fill window runs over the AGGREGATED
+    // series, not the events — the evt_quantiles_hist discipline, so
+    // the plan is one groupBy shuffle + a sketch-sized window at any
+    // event volume.
+    "evt_gap_fill" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("event_type", s"(ts div 1000) div $Hour as bucket",
+          "cast(round(value * 100, 0) as bigint) as cents")
+      val obs = e.groupBy("event_type", "bucket")
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n_obs"))
+      val bounds = obs.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      val types = e.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("bucket"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          last("cents", ignoreNulls = true).over(w).as("filled_cents"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    }),
+
     // Events per overlapping promo window [anchor+4h*k, +6h): bucketed
     // range join (bucket = 2h = gcd(stride, width)).
     "evt_range_join" -> ((s, dir) => {
@@ -244,6 +273,27 @@ object TemporalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_gap_fill" ->
+      """WITH obs AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+                  COUNT(*) AS n_obs
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+         grid AS (
+           SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS bucket
+           FROM (SELECT DISTINCT event_type FROM events) t, b),
+         j AS (
+           SELECT grid.event_type, grid.bucket, obs.cents,
+                  CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs
+           FROM grid LEFT JOIN obs
+             ON obs.event_type = grid.event_type AND obs.bucket = grid.bucket)
+         SELECT event_type, bucket,
+                last_value(cents IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+                n_obs
+         FROM j""",
     "evt_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
                     FROM events WHERE event_type = 'purchase'),

@@ -645,6 +645,36 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
     }),
 
+    // PII scrub — the compliance pass every training corpus runs
+    // before anything else: detect + redact email / phone patterns,
+    // reporting per-doc match counts and the redacted length. Pure
+    // map-only codegen (regexp_extract_all + regexp_replace riding the
+    // scan — zero shuffles at any corpus size). The word-soup corpus
+    // has no natural PII, so deterministic PII is injected first
+    // (doc_id-keyed suffixes, reproduced identically by the oracle) —
+    // every scale gets true positives, and any accidental natural
+    // match is matched by both sides alike.
+    "txt_pii_redact" -> ((s, dir) =>
+      docs(s, dir).selectExpr(
+          "doc_id",
+          """concat(text,
+               case when doc_id % 7 = 0
+                    then concat(' contact user', cast(doc_id as string),
+                                '@example.com now')
+                    when doc_id % 11 = 3
+                    then concat(' call 555-',
+                                lpad(cast(doc_id % 10000 as string), 4, '0'),
+                                ' today')
+                    else '' end) as t""")
+        .selectExpr(
+          "doc_id",
+          """cast(size(regexp_extract_all(t,
+               '[a-z0-9]+@[a-z]+\\.[a-z]+', 0)) as bigint) as n_email""",
+          "cast(size(regexp_extract_all(t, '555-[0-9]{4}', 0)) as bigint) as n_phone",
+          """cast(length(regexp_replace(regexp_replace(t,
+               '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>'),
+               '555-[0-9]{4}', '<PHONE>')) as bigint) as red_len""")),
+
     // 32-bit SimHash per doc.
     "txt_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), simhash32(tokHashes).as("simhash"))),
@@ -1098,6 +1128,22 @@ object TextQueries extends QueryPack {
            CASE WHEN lang = 'en' THEN 80
                 WHEN lang IN ('es','de') THEN 50
                 ELSE 25 END""",
+    "txt_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+           text || CASE
+             WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             WHEN doc_id % 11 = 3
+               THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+             ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(length(regexp_replace(regexp_replace(t,
+             '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS red_len
+         FROM aug""",
     "txt_clean_corpus" ->
       """WITH base AS (SELECT doc_id, text,
            len(string_split(text,' ')) AS n_tokens,

@@ -22,7 +22,8 @@ object ScaleSweep {
     "q3_join_agg", "q31_salted_join", "txt_span_dedup", "evt_scd2",
     "txt_chunk_overlap", "txt_inverted_index", "evt_retention",
     "q33_bloom_join", "q34_grouping_sets", "txt_heavy_hitters_cms",
-    "txt_sample_weighted", "emb_rproj", "evt_quantiles_hist")
+    "txt_sample_weighted", "emb_rproj", "evt_quantiles_hist",
+    "dl_scc", "emb_ivfpq_rerank", "stream_topk", "txt_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp_sf1")

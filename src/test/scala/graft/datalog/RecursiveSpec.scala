@@ -155,4 +155,21 @@ class RecursiveDatalogSpec extends DatalogSuite {
     runCase(db + program, "bonus(A)", data, Seq("[14.729999670758843]"))
     runCase(db + program, "net_profit(A)", data, Seq("[95.27000032924116]"))
   }
+
+  test("strongly connected components over a cyclic graph (dl_scc shape)") {
+    // 0→1→2→0 (3-cycle), 2→3→4 (chain), 4⇄5 (2-cycle): the semi-naive
+    // closure must terminate on the cycles, and scc_id(v) =
+    // min({v} ∪ {u : v ⇄ u}) condenses them
+    val db = "database({sarc(X:integer, Y:integer), node(X:integer)})."
+    val program =
+      "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
+        "mut(A,B) <- stc(A,B), stc(B,A). " +
+        "mut(A,B) <- node(A), B=A. " +
+        "sccid(A,min<B>) <- mut(A,B)."
+    val data = Map(
+      "sarc" -> Seq("0,1", "1,2", "2,0", "2,3", "3,4", "4,5", "5,4"),
+      "node" -> Seq("0", "1", "2", "3", "4", "5"))
+    runCase(db + program, "sccid(A,B).", data,
+      Seq("[0,0]", "[1,0]", "[2,0]", "[3,3]", "[4,4]", "[5,4]"))
+  }
 }

@@ -77,6 +77,17 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(state.last == 0, s"hopping state not drained: $state")
   }
 
+  test("stream_topk: the ranking runs on finalized partials, state stays windowed") {
+    val (emitted, state) = runTracked("stream_topk")
+    // the sink pass cut the rank to top-3 per window
+    assert(emitted > 0)
+    val state2 = StreamingQueries.stateRowsByQuery("stream_topk")
+    assert(state2.length >= 5, s"expected a multi-batch replay, got $state2")
+    // in-flight state = open (window, user) groups inside the watermark
+    // horizon — bounded by horizon-windows × users, never full history
+    assert(state.last == 0, s"topk window state not drained: $state")
+  }
+
   test("stream_enrich: stream-static broadcast join is STATELESS") {
     val (rows, state) = runTracked("stream_enrich")
     assert(rows > 0)
