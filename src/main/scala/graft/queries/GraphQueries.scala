@@ -168,7 +168,38 @@ object GraphQueries extends QueryPack {
         val nodes = graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("x"))
         GraphQueries.lpaConverged(s, nodes, und)
-      }))
+      }),
+
+    // Link prediction via the resource-allocation index (the
+    // no-logarithm cousin of Adamic–Adar, chosen because 10^6 div deg
+    // is EXACT integer — the oracle hash-matches bit-for-bit where a
+    // float 1/log(deg) could not): for every non-adjacent pair (a,b)
+    // sharing ≥1 neighbor, score = Σ_{z∈N(a)∩N(b)} 10^6 div deg(z).
+    // Plan shape is the PYMK/triangle one: the pair space is generated
+    // ONLY through the shared-neighbor join n(z,a) ⋈ n(z,b) — never
+    // all-pairs — so candidate count is Σ_z deg(z)², bounded by the
+    // max-degree cap of the block-local graph (deg ≤ 4 here; at 100 TB
+    // a hub cap / top-degree exclusion bounds the same product). The
+    // existing-edge exclusion is a left_anti on the same und edge list
+    // (shared memoized artifact with the LPA gates), and deg(z) rides
+    // the exploded neighbor rows — one broadcast-sized join, one
+    // (a,b)-keyed aggregation shuffle.
+    "graph_ra_linkpred" -> ((s, dir) => {
+      val arc = DatalogQueries.arcDF(s, dir).select(col("x"), col("y"))
+      val und = PackResources.checkpoint(s, dir, "graph_lpa_edges")(
+        arc.union(arc.select(col("y").as("x"), col("x").as("y"))).distinct())
+      val deg = und.groupBy(col("x").as("z")).agg(count(lit(1)).as("d"))
+      val nb = und.select(col("x").as("z"), col("y").as("n")).join(deg, "z")
+      val cand = nb.select(col("z"), col("n").as("a"), col("d"))
+        .join(nb.select(col("z"), col("n").as("b")), "z")
+        .filter(col("a") < col("b"))
+      cand
+        .join(und.select(col("x").as("a"), col("y").as("b")),
+          Seq("a", "b"), "left_anti")
+        .groupBy("a", "b")
+        .agg(sum(expr("1000000 div d")).as("ra_score"),
+          count(lit(1)).as("n_common"))
+    }))
 
   /** Open-ended integer PageRank to the exact fixed point over
     * `nodes(x)` and out-degree-annotated `edges(x, y, d)`. On local[N]
@@ -537,6 +568,22 @@ object GraphQueries extends QueryPack {
             GROUP BY a.it),
           conv AS (SELECT min(it) AS k FROM diffs WHERE md = 0)
           SELECT CAST(lp.x AS BIGINT) AS x, CAST(lp.lbl AS BIGINT) AS lbl
-          FROM lp, conv WHERE lp.it = conv.k"""
+          FROM lp, conv WHERE lp.it = conv.k""",
+    "graph_ra_linkpred" ->
+      s"""WITH ${DatalogQueries.arcSql},
+          e AS (SELECT src AS x, dst AS y FROM arc
+                UNION SELECT dst, src FROM arc),
+          deg AS (SELECT x AS z, count(*) AS d FROM e GROUP BY x),
+          nb AS (SELECT e.x AS z, e.y AS n, deg.d
+                 FROM e JOIN deg ON deg.z = e.x),
+          cand AS (SELECT n1.z, n1.n AS a, n2.n AS b, n1.d
+                   FROM nb n1 JOIN nb n2 ON n1.z = n2.z
+                   WHERE n1.n < n2.n)
+          SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+                 CAST(sum(1000000 // c.d) AS BIGINT) AS ra_score,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.x = c.a AND e.y = c.b)
+          GROUP BY c.a, c.b"""
   )
 }

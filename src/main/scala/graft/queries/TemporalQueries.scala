@@ -269,6 +269,35 @@ object TemporalQueries extends QueryPack {
           ev("tsu") >= wb("lo") && ev("tsu") < wb("hi"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), cents(col("value")).as("sum_value_cents"))
+    }),
+
+    // Interval coalescing (merge overlapping per-user activity windows
+    // — the islands half of gaps-and-islands; evt_sessions is the
+    // gap-threshold dual): each event opens a 30-minute window
+    // [ts, ts+30m); windows that overlap or touch merge into one
+    // island. Classic running-max formulation: a row starts a new
+    // island iff its start exceeds the max end among ALL earlier rows
+    // (not just the previous row — an early long interval can swallow
+    // several short ones), then the island id is a running sum of the
+    // start flags. Both windows are frame-bounded over ONE user-keyed
+    // sort — spillable, no per-user buffering, and the user_id
+    // exchange is the only shuffle (the same scale discipline as
+    // evt_scd2). Deterministic: duplicate (lo,hi) rows are
+    // interchangeable under the (lo,hi) sort, so island ids are
+    // order-insensitive.
+    "evt_interval_merge" -> ((s, dir) => {
+      val HalfHour = 1800000000L
+      val iv = Tables.load(s, dir, "events")
+        .selectExpr("user_id", "ts div 1000 as lo")
+        .withColumn("hi", col("lo") + HalfHour)
+      val w = Window.partitionBy("user_id").orderBy("lo", "hi")
+      val pmax = max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("ni", when(col("lo") > pmax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum("ni").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min("lo").as("start_us"), max("hi").as("end_us"),
+          count(lit(1)).as("n_events"))
     })
   )
 
@@ -409,5 +438,25 @@ object TemporalQueries extends QueryPack {
                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                   AS sum_value_cents
          FROM w JOIN e ON e.tsu >= w.lo AND e.tsu < w.hi
-         GROUP BY k""")
+         GROUP BY k""",
+    "evt_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+                       epoch_us(ts) + 1800000000 AS hi FROM events),
+         m AS (SELECT user_id, lo, hi,
+                 max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM iv),
+         f AS (SELECT user_id, lo, hi,
+                 CASE WHEN pmax IS NOT NULL AND lo > pmax THEN 1 ELSE 0 END AS ni
+               FROM m),
+         g AS (SELECT user_id, lo, hi,
+                 sum(ni) OVER (PARTITION BY user_id ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM f)
+         SELECT CAST(user_id AS BIGINT) AS user_id,
+                CAST(island AS BIGINT) AS island,
+                CAST(min(lo) AS BIGINT) AS start_us,
+                CAST(max(hi) AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id, island""")
 }

@@ -402,6 +402,35 @@ object TextQueries extends QueryPack {
           (min(col("pos")) + 1).cast("long").as("first_pos"))
     }),
 
+    // Proximity (sloppy-phrase) query over the positional index: the
+    // two query terms must co-occur within 6 positions IN EITHER ORDER
+    // — the `"A B"~k` operator between exact-phrase matching and bag
+    // conjunction. Terms are drawn from fixed NON-adjacent positions
+    // (1 and 5) of docs 1..4 so exact-phrase would miss them. Same
+    // plan as txt_phrase_match — broadcast query probe prunes posting
+    // lists before a doc-keyed equi-join; the slop is a residual
+    // range filter on the join, never a per-doc position scan (posting
+    // rows per (term,doc) are tf-bounded, so the equi-join's per-key
+    // fanout is tf₁·tf₂ — skew-free at any corpus size).
+    "txt_proximity" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
+      val ph = docs(s, dir).filter(col("doc_id").between(1, 4))
+        .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
+          s"element_at($toks, 5) as t2")
+      val p1 = post.join(broadcast(ph), col("term") === col("t1"))
+        .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+      p1.join(p2,
+          col("d2") === col("doc_id") && col("term2") === col("t2") &&
+            col("pos2") =!= col("pos") &&
+            abs(col("pos2") - col("pos")) <= 6)
+        .groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          (min(least(col("pos"), col("pos2"))) + 1).cast("long").as("first_pos"))
+    }),
+
     // BM25 top-k retrieval over the inverted-index machinery (the
     // RAG-side text counterpart of emb_ivfpq_search — judge r11 #5):
     // 8 query-by-example queries (terms drawn from fixed positions of
@@ -562,6 +591,38 @@ object TextQueries extends QueryPack {
         .join(blocked.select(col("tok1"), col("doc_id").as("d2")), "tok1")
         .filter(col("d1") < col("d2")).select("d1", "d2")
       verifyPairs(cand, shingleDF(s, dir), 3, 10)
+    }),
+
+    // Shingle-CONTAINMENT near-dup (the asymmetric complement of
+    // Jaccard: a short doc embedded in a long one scores ~1 on
+    // containment |A∩B|/min(|A|,|B|) but near 0 on Jaccard, so the
+    // MinHash/LSH family is structurally blind to it — this is the
+    // quote/boilerplate-inclusion detector of a dedup stack). Blocking
+    // is by SHARED RARE SHINGLE (df ≤ 20, the decontam/span-dedup
+    // discipline): a containing pair shares every shingle of the
+    // shorter doc, so any of its rare shingles recalls the pair, while
+    // the df cap kills the boilerplate-gram quadratic blowup — the
+    // candidate space is Σ_g df(g)² over rare grams only, never
+    // all-pairs. Verification reuses the sorted-intersect codegen
+    // kernel on the memoized shingle sets; keep pairs with
+    // containment ≥ 9/10.
+    "txt_containment" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.sortedIntersectCount
+      val sh = shingleDF(s, dir)
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("ng"))
+      val rare = ex.groupBy("ng").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("ng")
+      val g = ex.join(rare, "ng")
+      val cand = g.select(col("ng"), col("doc_id").as("d1"))
+        .join(g.select(col("ng"), col("doc_id").as("d2")), "ng")
+        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
+        .select(col("d1"), col("d2"),
+          sortedIntersectCount(col("s1"), col("s2")).as("n_inter"),
+          least(size(col("s1")), size(col("s2"))).cast("long").as("n_min"))
+        .filter(col("n_inter") * 10 >= col("n_min") * 9)
     }),
 
     // TF-IDF-style distinctive terms: per-doc top-3 terms by
@@ -1047,6 +1108,22 @@ object TextQueries extends QueryPack {
          SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
                 CAST(min(pos) + 1 AS BIGINT) AS first_pos
          FROM m GROUP BY q_id, doc_id""",
+    "txt_proximity" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         post AS (SELECT doc_id, CAST(p AS BIGINT) - 1 AS pos, toks[p] AS term
+                  FROM (SELECT doc_id, toks,
+                          unnest(generate_series(1, len(toks))) AS p
+                        FROM t)),
+         ph AS (SELECT doc_id AS q_id, toks[1] AS t1, toks[5] AS t2
+                FROM t WHERE doc_id BETWEEN 1 AND 4),
+         m AS (SELECT ph.q_id, p1.doc_id,
+                 CASE WHEN p1.pos < p2.pos THEN p1.pos ELSE p2.pos END AS mpos
+               FROM post p1 JOIN ph ON p1.term = ph.t1
+               JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.term = ph.t2
+                 AND p2.pos != p1.pos AND abs(p2.pos - p1.pos) <= 6)
+         SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(min(mpos) + 1 AS BIGINT) AS first_pos
+         FROM m GROUP BY q_id, doc_id""",
     // HUGEINT (int128) mirrors the Spark side's decimal(38,0) exactly;
     // all-positive integer floor division, so // == div bit-for-bit
     "txt_bm25_topk" ->
@@ -1168,6 +1245,22 @@ object TextQueries extends QueryPack {
     "txt_lsh_pairs" ->
       s"""WITH $shCte, $sigCte, $lshCte
           ${verifyDuck(1, 2)}""",
+    "txt_containment" ->
+      s"""WITH $shCte,
+          ex AS (SELECT doc_id, unnest(s) AS ng FROM sh),
+          rare AS (SELECT ng FROM ex GROUP BY ng HAVING count(*) <= 20),
+          g AS (SELECT ex.doc_id, ex.ng FROM ex JOIN rare ON rare.ng = ex.ng),
+          cand AS (SELECT DISTINCT g1.doc_id AS d1, g2.doc_id AS d2
+            FROM g g1 JOIN g g2 ON g1.ng = g2.ng
+            WHERE g1.doc_id < g2.doc_id)
+          SELECT d1, d2,
+            CAST(len(list_filter(s1.s, x -> list_contains(s2.s, x)))
+                 AS BIGINT) AS n_inter,
+            CAST(least(len(s1.s), len(s2.s)) AS BIGINT) AS n_min
+          FROM cand JOIN sh s1 ON s1.doc_id = cand.d1
+                    JOIN sh s2 ON s2.doc_id = cand.d2
+          WHERE 10*len(list_filter(s1.s, x -> list_contains(s2.s, x))) >=
+                9*least(len(s1.s), len(s2.s))""",
     "txt_neardup_groups" ->
       s"""WITH RECURSIVE $shCte, $sigCte, $lshCte,
           pr AS (${verifyDuck(1, 2)}),
