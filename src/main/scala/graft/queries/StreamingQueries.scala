@@ -240,6 +240,16 @@ object StreamingQueries extends QueryPack {
     watermarkByQuery(name) = q.recentProgress.toSeq.map(p =>
       s"wm=${p.eventTime.get("watermark")} max=${p.eventTime.get("max")} rows=${p.numInputRows} " +
         p.sources.map(sp => s"src[${sp.numInputRows}:${Option(sp.endOffset).map(_.replaceAll("[^0-9]", "")).getOrElse("")}]").mkString(" "))
+    // Unload every state-store provider this drain registered (plus any
+    // left by earlier drains): a finished query's providers stay LOADED
+    // and the 60s maintenance tick keeps re-snapshotting them forever —
+    // by the 9th streaming gate in one JVM the tick was grinding dozens
+    // of dead providers, and a drain straddling a tick paid up to 4x
+    // wall (stream_user_state 20-25s → 3.5s once unloaded; measured at
+    // sf0.1/local[32]). The next streaming load() restarts the
+    // maintenance task automatically, so this is pure cleanup — the
+    // output is already on disk in the parquet sink.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.read.schema(df.schema).parquet(base.resolve("data").toString)
   }
 

@@ -27,6 +27,8 @@ object ScratchAB {
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"AB $name rep$rep: $t%.2fs rows=$n")
+      graft.queries.StreamingQueries.batchMillisByQuery.get(name).foreach(b =>
+        println(s"AB   batches(ms): ${b.mkString(",")}"))
       graft.queries.PackResources.releaseNewSince(snap)
     }
     spark.stop()

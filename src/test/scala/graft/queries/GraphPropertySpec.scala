@@ -173,4 +173,30 @@ class GraphPropertySpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
     assert(leaked.isEmpty, s"leaked persistent RDDs after releaseAll: $leaked")
   }
+
+  test("graph_ra_linkpred matches brute-force resource allocation") {
+    val dir = "/root/testdata/sf0.001"
+    val arc = DatalogQueries.arcDF(spark, dir).select("x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = (arc ++ arc.map(e => (e._2, e._1))).distinct
+    val undSet = und.toSet
+    val nbr = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbr.view.mapValues(_.size.toLong).toMap
+    val expected = (for {
+      (z, ns) <- nbr.toSeq
+      a <- ns; b <- ns if a < b && !undSet.contains((a, b))
+    } yield ((a, b), z))
+      .groupBy(_._1)
+      .map { case ((a, b), zs) =>
+        val common = zs.map(_._2).distinct
+        (a, b, common.map(z => 1000000L / deg(z)).sum, common.size.toLong)
+      }.toSet
+    val got = graft.SparkEntry.queries("graph_ra_linkpred")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("ra_score"), r.getAs[Long]("n_common"))).toSet
+    assert(got == expected)
+    // predicted links must be NON-edges that share >=1 neighbor
+    assert(got.nonEmpty && got.forall(p => !undSet.contains((p._1, p._2))))
+    PackResources.releaseAll()
+  }
 }

@@ -67,4 +67,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "range join must never degrade to a cartesian product")
   }
+
+  test("evt_interval_merge matches brute-force interval coalescing") {
+    val HalfHour = 1800000000L
+    val expected = events.groupBy(_._2).flatMap { case (uid, evs) =>
+      val ivs = evs.map(e => (e._3, e._3 + HalfHour)).sorted
+      // left fold over the sorted intervals: islands are disjoint and
+      // ordered, so the current island's end IS the running max the
+      // gate's window computes
+      var islands = List.empty[(Long, Long, Long)]
+      for ((lo, hi) <- ivs) islands match {
+        case (s0, e0, n0) :: rest if lo <= e0 =>
+          islands = (s0, math.max(e0, hi), n0 + 1) :: rest
+        case _ => islands = (lo, hi, 1L) :: islands
+      }
+      islands.reverse.zipWithIndex.map { case ((s0, e0, n0), i) =>
+        (uid, i.toLong, s0, e0, n0)
+      }
+    }.toSet
+    val got = run("evt_interval_merge").collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("island"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(got == expected)
+    // the merge must actually coalesce something (multi-event islands)
+    assert(got.exists(_._5 > 1))
+  }
 }
