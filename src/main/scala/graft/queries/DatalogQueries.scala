@@ -288,13 +288,30 @@ object DatalogQueries extends QueryPack {
     // would not); the mutual-pair join and the min aggregate evaluate
     // in the stratum above. Closure stays block-local (Θ(N·16²) rows),
     // so the pair join never leaves the 16-key blocks — scale-linear.
+    // The closure runs under the within-task local fixpoint: the cyclic
+    // graph needs 17 PSN rounds (cycle diameter 16 + the empty-delta
+    // probe) of SMALL deltas (~1 new pair per node per round), so the
+    // looped path is pure per-iteration scheduling floor — measured
+    // 9-24s at sf0.1 vs 1.8-2.7s under localiterate (pivot A keeps each
+    // source's paths in one partition; sarc broadcasts at any tested
+    // scale, 150k rows at sf1.0 vs the 4M-row cap; cycles terminate in
+    // the kernel's per-partition seen-set exactly like the cluster
+    // diff).
     "dl_scc" -> ((s, dir) => {
-      val c = ctx(s, dir,
-        "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
-          "mut(A,B) <- stc(A,B), stc(B,A). " +
-          "mut(A,B) <- node(A), B=A. " +
-          "sccid(A,min<B>) <- mut(A,B).")
-      c.query("sccid(A,B).")
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
+            "mut(A,B) <- stc(A,B), stc(B,A). " +
+            "mut(A,B) <- node(A), B=A. " +
+            "sccid(A,min<B>) <- mut(A,B).")
+        c.query("sccid(A,B).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }),
 
     // Stratified countd above the recursive clique: number of components.
