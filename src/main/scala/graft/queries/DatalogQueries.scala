@@ -314,6 +314,32 @@ object DatalogQueries extends QueryPack {
       }
     }),
 
+    // Condensation DAG (the graph OF the SCCs): edges between distinct
+    // components — two more strata composed over the same recursive
+    // closure (the sccid aggregate consumed TWICE in one rule body plus
+    // an inequality), i.e. the quotient-graph construction every
+    // SCC-based analysis (topological order over components, cycle-free
+    // reachability) runs next. Same localiterate closure as dl_scc;
+    // the cedge join is sarc ⋈ sccid ⋈ sccid on node keys — component
+    // ids never explode the key space (every SCC is block-local).
+    "dl_scc_dag" -> ((s, dir) => {
+      val key = "spark.datalog.recursion.localiterate"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val c = ctx(s, dir,
+          "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
+            "mut(A,B) <- stc(A,B), stc(B,A). " +
+            "mut(A,B) <- node(A), B=A. " +
+            "sccid(A,min<B>) <- mut(A,B). " +
+            "cedge(S,T) <- sccid(A,S), sarc(A,B), sccid(B,T), S ~= T.")
+        c.query("cedge(S,T).")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // Stratified countd above the recursive clique: number of components.
     // Shares the cc3 fixpoint with dl_cc via the memoized context.
     "dl_cc_count" -> ((s, dir) =>
@@ -659,6 +685,31 @@ object DatalogQueries extends QueryPack {
               SELECT c_custkey, c_custkey FROM customer)
             SELECT CAST(a AS BIGINT) AS a, CAST(min(b) AS BIGINT) AS b
             FROM mut GROUP BY a""",
+      "dl_scc_dag" ->
+        s"""WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            sarc AS (
+              SELECT c_custkey AS src, c_custkey + 1 AS dst
+              FROM customer, mx
+              WHERE c_custkey % $B != ${B - 1} AND c_custkey + 1 <= m
+              UNION ALL
+              SELECT c_custkey, c_custkey - ${B - 1}
+              FROM customer
+              WHERE c_custkey % $B = ${B - 1} AND (c_custkey // $B) % 2 = 0),
+            stc(a,b) AS (
+              SELECT src, dst FROM sarc
+              UNION
+              SELECT stc.a, sarc.dst FROM stc JOIN sarc ON sarc.src = stc.b),
+            mut AS (
+              SELECT s1.a, s1.b FROM stc s1
+              JOIN stc s2 ON s2.a = s1.b AND s2.b = s1.a
+              UNION ALL
+              SELECT c_custkey, c_custkey FROM customer),
+            sccid AS (SELECT a, min(b) AS sid FROM mut GROUP BY a)
+            SELECT DISTINCT CAST(i1.sid AS BIGINT) AS s,
+                   CAST(i2.sid AS BIGINT) AS t
+            FROM sarc JOIN sccid i1 ON i1.a = sarc.src
+                      JOIN sccid i2 ON i2.a = sarc.dst
+            WHERE i1.sid != i2.sid""",
       "dl_cc_count" ->
         s"""SELECT CAST(count(DISTINCT c_custkey - (c_custkey % $B)) AS BIGINT) AS a
             FROM customer""",

@@ -784,6 +784,49 @@ object TextQueries extends QueryPack {
         .withColumn("top_share_permille",
           expr("max_tok_freq * 1000 div n_tokens"))),
 
+    // Within-document repetition REMOVAL (txt_rep_ratio measures, this
+    // one cleans — the Gopher/MassiveText dedup-within-doc pass that
+    // precedes any cross-doc dedup): the doc is cut into 16-token
+    // windows and every window whose exact content already appeared
+    // EARLIER in the same doc is dropped; output is the per-doc
+    // keep-counts plus an md5 fingerprint of the cleaned text (both
+    // engines' md5 agree byte-for-byte, so the whole cleaned string is
+    // oracle-checked without shipping it). The word-soup corpus has no
+    // natural 16-token repeats, so docs with doc_id % 10 == 0 get their
+    // first 16 tokens REPEATED at the front — window-ALIGNED by
+    // construction, so windows 0 and 1 are identical and window 1
+    // provably drops (the deterministic-injection discipline of
+    // txt_pii_redact; raw self-concatenation was tried first and only
+    // produced drops for docs whose length happens to be a multiple of
+    // the window). Plan: windowing is scan-side codegen
+    // (sequence→explode→slice), first-occurrence is row_number over
+    // (doc, window-hash) — per-DOC state, spillable, no corpus-wide
+    // dedup structure — and the rebuild is one doc-keyed aggregation:
+    // two key-bounded exchanges at any corpus size.
+    "txt_rep_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .selectExpr("doc_id",
+          "case when doc_id % 10 = 0 then concat(" +
+            "array_join(slice(split(text, ' '), 1, 16), ' '), ' ', text) " +
+            "else text end as t2")
+        .selectExpr("doc_id", "split(t2, ' ') as tt")
+        .selectExpr("doc_id", "tt",
+          "explode(sequence(0L, (size(tt) - 1) div 16)) as idx")
+        .selectExpr("doc_id", "idx",
+          "array_join(slice(tt, cast(idx * 16 + 1 as int), 16), ' ') as w")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), expr("md5(w)")).orderBy("idx")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") === 1,
+            size(split(col("w"), " ")).cast("long"))).as("n_kept_tokens"),
+          expr("""md5(array_join(transform(array_sort(collect_list(
+                case when rn = 1 then struct(idx, w) end)),
+                x -> x.w), ' '))""").as("cleaned_fp"))
+    }),
+
     // Corpus-level n-gram statistics: top-20 bigrams by frequency.
     // Partial aggregation collapses per-partition counts before the one
     // vocabulary-keyed shuffle, and the global top-k compiles to
@@ -1322,6 +1365,29 @@ object TextQueries extends QueryPack {
                 CAST(m.max_tok_freq AS BIGINT) AS max_tok_freq,
                 CAST(m.max_tok_freq AS BIGINT) * 1000 // len(t) AS top_share_permille
          FROM d JOIN m ON d.doc_id = m.doc_id""",
+    "txt_rep_clean" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN
+               array_to_string(string_split(text, ' ')[1:16], ' ')
+                 || ' ' || text
+                  ELSE text END AS t2 FROM documents),
+         tk AS (SELECT doc_id, string_split(t2, ' ') AS tt FROM d),
+         win AS (SELECT doc_id, CAST(k AS BIGINT) AS idx,
+                   array_to_string(tt[k*16+1 : k*16+16], ' ') AS w
+                 FROM (SELECT doc_id, tt,
+                         unnest(generate_series(0, (len(tt)-1)//16)) AS k
+                       FROM tk)),
+         r AS (SELECT doc_id, idx, w,
+                 row_number() OVER (PARTITION BY doc_id, md5(w)
+                                    ORDER BY idx) AS rn
+               FROM win)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN rn=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN rn=1 THEN len(string_split(w,' ')) END)
+                  AS BIGINT) AS n_kept_tokens,
+                md5(string_agg(CASE WHEN rn=1 THEN w END, ' ' ORDER BY idx))
+                  AS cleaned_fp
+         FROM r GROUP BY doc_id""",
     "txt_top_ngrams" ->
       """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
          b AS (SELECT unnest(list_transform(range(len(t)-1),
