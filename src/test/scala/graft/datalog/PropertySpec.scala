@@ -87,6 +87,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SCC + condensation agree with mutual-reachability oracle on random cyclic digraphs") {
+    // scc_id(v) = min over {v} ∪ {u : v ⇄ u}; condensation = quotient
+    // edges between distinct components — derived here directly from
+    // the Warshall closure (implementation-independent), compared on
+    // BOTH the looped and the within-task localiterate paths (the
+    // dl_scc/dl_scc_dag gates run the latter)
+    forAllGraphs(1717L) { edges =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val tc = warshall(edges)
+      val sid = nodes.map(v => v ->
+        (nodes.filter(u => tc((v, u)) && tc((u, v))) :+ v).min).toMap
+      val sccExpected = sid.map { case (v, s) => (v, s) }.toSet
+      val dagExpected = edges.collect {
+        case (a, b) if sid(a) != sid(b) => (sid(a), sid(b))
+      }.toSet
+      for (localIter <- Seq(false, true)) {
+        val key = "spark.datalog.recursion.localiterate"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, localIter.toString)
+        try {
+          val ctx = new DatalogContext(spark)
+          ctx.loadProgram(
+            "database({sarc(X:integer, Y:integer), node(X:integer)})." +
+              "stc(A,B) <- sarc(A,B). stc(A,B) <- stc(A,C), sarc(C,B). " +
+              "mut(A,B) <- stc(A,B), stc(B,A). " +
+              "mut(A,B) <- node(A), B=A. " +
+              "sccid(A,min<B>) <- mut(A,B). " +
+              "cedge(S,T) <- sccid(A,S), sarc(A,B), sccid(B,T), S ~= T.")
+          ctx.registerData("sarc", edges.map { case (a, b) => s"$a,$b" })
+          ctx.registerData("node", nodes.map(_.toString))
+          val gotScc = ctx.query("sccid(A,B).").collect()
+            .map(r => (r.getInt(0), r.getInt(1))).toSet
+          assert(gotScc == sccExpected, s"sccid (localiterate=$localIter)")
+          val gotDag = ctx.query("cedge(S,T).").collect()
+            .map(r => (r.getInt(0), r.getInt(1))).toSet
+          assert(gotDag == dagExpected, s"cedge (localiterate=$localIter)")
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+  }
+
   private def forAllWeighted(seed: Long)(body: Seq[(Int, Int, Int)] => Unit): Unit = {
     val rnd = new Random(seed)
     (1 to cases).foreach { i =>
