@@ -329,6 +329,24 @@ object RelationalQueries extends QueryPack {
           .as("running_cents"))
     }),
 
+    // Value-based RANGE window frame (q22 is the ROWS dual): per
+    // customer, the trailing-30-DAY order-value sum — the frame bound
+    // is a value offset on the epoch-day sort key, so same-day orders
+    // see the SAME frame (range frames are tie-insensitive, which is
+    // what makes this deterministic without an order tiebreak). One
+    // customer-keyed exchange + spillable streaming frame evaluation —
+    // the rolling-metrics shape at any history length.
+    "q39_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("datediff(o_orderdate, date'1970-01-01')").cast("long").as("d"),
+          expr("cast(round(o_totalprice*100,0) as bigint)").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("d"),
+          sum(col("cents")).over(w).as("trail30_cents"))
+    }),
+
     // Ordered array aggregation (sort_array ∘ collect_list), emitted as
     // a joined string so the hash compare is list-order-exact.
     "q23_arrayagg" -> ((s, dir) => {
@@ -667,6 +685,16 @@ object RelationalQueries extends QueryPack {
               (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
                FROM supplier GROUP BY 1) s
          ON c.nk = s.nk""",
+    "q39_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+             CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey, d,
+           CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trail30_cents
+         FROM o""",
     "q22_running" ->
       """SELECT o_custkey, o_orderkey,
          CAST(sum(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) OVER

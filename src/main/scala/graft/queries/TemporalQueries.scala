@@ -285,6 +285,26 @@ object TemporalQueries extends QueryPack {
     // evt_scd2). Deterministic: duplicate (lo,hi) rows are
     // interchangeable under the (lo,hi) sort, so island ids are
     // order-insensitive.
+    // Per-user rate limiting (event-cap sampling — the ingestion
+    // throttle / per-user quota every telemetry pipeline applies before
+    // storage): keep the FIRST 5 events per (user, hour), ordered by
+    // (ts, event_id) so the pick is deterministic under duplicated
+    // timestamps. Compiles to WindowGroupLimit: the rank filter runs
+    // per-partition BELOW the (user, hour) exchange, so only ≤5 rows
+    // per key per partition move — a hot user costs a bounded partial,
+    // never a full sort of their history.
+    "evt_rate_limit" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts div 1000 as tsu")
+        .withColumn("hr", expr(s"tsu div $Hour"))
+      val w = Window.partitionBy("user_id", "hr")
+        .orderBy(col("tsu"), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("event_id"), col("user_id"), col("hr"),
+          col("rn").cast("long").as("rn"))
+    }),
+
     "evt_interval_merge" -> ((s, dir) => {
       val HalfHour = 1800000000L
       val iv = Tables.load(s, dir, "events")
@@ -439,6 +459,16 @@ object TemporalQueries extends QueryPack {
                   AS sum_value_cents
          FROM w JOIN e ON e.tsu >= w.lo AND e.tsu < w.hi
          GROUP BY k""",
+    "evt_rate_limit" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             epoch_us(ts) // 3600000000 AS hr FROM events),
+         r AS (SELECT event_id, user_id, hr,
+                 row_number() OVER (PARTITION BY user_id, hr
+                                    ORDER BY tsu, event_id) AS rn
+               FROM e)
+         SELECT event_id, user_id, CAST(hr AS BIGINT) AS hr,
+                CAST(rn AS BIGINT) AS rn
+         FROM r WHERE rn <= 5""",
     "evt_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
                        epoch_us(ts) + 1800000000 AS hi FROM events),
