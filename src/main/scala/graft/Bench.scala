@@ -169,20 +169,36 @@ object Bench {
     // the OS cache for the exact data the timed run measures). The pack
     // memos the warmup creates are released so every timed query still
     // evaluates its own data cold.
+    // A skipped warmup family is RECORDED (ADVICE r12 #3): on a box
+    // without the warm dirs the first streaming drain's ~7s JIT
+    // surcharge lands on whichever timed gate runs first, and without a
+    // trace in the artifact that surcharge reads as a code regression.
+    var warmupSkipped = Vector.empty[String]
     locally {
-      def dirOr(env: String, default: String): Option[String] = {
+      def dirOr(env: String, default: String, family: String): Option[String] = {
         val d = sys.env.getOrElse(env, default)
-        if (new java.io.File(d).isDirectory && d != sfDir) Some(d) else None
+        if (new java.io.File(d).isDirectory && d != sfDir) Some(d)
+        else {
+          warmupSkipped :+= family
+          System.err.println(s"graft.Bench: $family gate warmup SKIPPED " +
+            s"($d missing or == sfDir) — first-of-family JIT surcharge " +
+            "will land on a timed gate")
+          None
+        }
       }
       // stream/graph + relational/temporal families at the smallest scale
-      dirOr("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001").foreach { warmDir =>
+      dirOr("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001", "gates").foreach { warmDir =>
         Seq("stream_hourly", "stream_sessions", "stream_join",
           "graph_pagerank_conv",
           // relational/temporal family (judge r11 #2): agg, multi-join,
           // window, temporal funnel, decimal-agg datalog — one per
           // first-of-family JIT surcharge seen in BENCH_r11
           "q1_agg", "q4_join3", "q15_rank_per_group", "evt_funnel",
-          "dl_custsum_decimal").foreach { q =>
+          "dl_custsum_decimal",
+          // ANN index family (judge r12 #2): warm the ADC/codegen kernels
+          // at toy scale; the bench-scale index build itself is billed
+          // separately below as emb_ivfpq_build
+          "emb_ivfpq_search", "emb_ivfpq_bucketed").foreach { q =>
           try SparkEntry.queries(q)(spark, warmDir).count()
           catch { case _: Throwable => () }
         }
@@ -191,7 +207,7 @@ object Bench {
       // fixpoint twins one decade below bench scale: big enough that the
       // gate's own checkpoint/claim/bloom/localiterate hot loops reach
       // C2 thresholds on the real code paths
-      dirOr("SPARK_GRAFT_WARM_DL_DIR", "/root/testdata/sf0.01").foreach { dlDir =>
+      dirOr("SPARK_GRAFT_WARM_DL_DIR", "/root/testdata/sf0.01", "fixpoint").foreach { dlDir =>
         Seq("dl_tc", "dl_tc_nl", "dl_tc_diffflip", "dl_tc_bloom",
           "dl_apsp", "dl_apsp_localiter").foreach { q =>
           try SparkEntry.queries(q)(spark, dlDir).count()
@@ -199,6 +215,21 @@ object Bench {
         }
         graft.queries.PackResources.releaseAll()
       }
+    }
+    // Build-once ANN index artifacts at bench scale, billed as their own
+    // row (`emb_ivfpq_build`) instead of to whichever emb_ivfpq_* gate
+    // Map order runs first (judge r12 #2: the first-of-family position
+    // paid the ~7s IVF+PQ construction the siblings then shared via the
+    // pack memo — on a degraded episode that read as a 10x regression).
+    // This is the production billing: an ANN index is built in one pass
+    // and amortized over every search. The memos stay pinned through the
+    // timed loop (retry rollbacks only release memos newer than their
+    // own snapshot), so the timed gates measure SEARCH.
+    val ivfBuildSec = {
+      val t0 = System.nanoTime()
+      try graft.queries.EmbeddingQueries.prebuildIndexArtifacts(spark, sfDir)
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
     // Fixed-work calibration probes (judge r11 #7): constant work whose
     // wall depends only on the box, never on the benched code — drift
@@ -241,7 +272,14 @@ object Bench {
       if (sfOk && cpuOk)
         (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (k, v) => k != "total" && v > 0 }.toMap, true)
+          // drop the non-query decimal rows a full file carries
+          // (ADVICE r12 #2: `__alt` re-times, probe walls, the index
+          // build) — they are not baselines for any benched query and
+          // must never seed the retry/outlier map
+          .filter { case (k, v) =>
+            k != "total" && v > 0 && !k.endsWith("__alt") &&
+              !k.startsWith("probe_") && k != "emb_ivfpq_build" }
+          .toMap, true)
       else (Map.empty[String, Double], false)
     } catch { case _: Throwable => (Map.empty[String, Double], true) }
 
@@ -351,7 +389,11 @@ object Bench {
     val finalResults = results.map { case (k, v) =>
       k -> math.min(v, altTimes.getOrElse(k, v)) }
     val resultsMap = finalResults.toMap
-    val total = if (finalResults.nonEmpty) finalResults.map(_._2).sum else 0.0
+    // the total includes the untimed-per-gate index build — it is real
+    // work this run did, just billed under its own name
+    val total =
+      (if (finalResults.nonEmpty) finalResults.map(_._2).sum else 0.0) +
+        ivfBuildSec
     // Stall detection, three prongs: per-query 5x retry (isolated
     // spikes), median shared-query ratio >1.3 (uniform ~1.4x box
     // episodes), and >=3 heavy queries >2.5x (heavy-tail episodes the
@@ -362,8 +404,9 @@ object Bench {
       stallVerdict(finalResults, baseline, erroredSet)
     val envSuspect =
       suspects.nonEmpty || medianRatio > 1.3 || tailSuspects.size >= 3
-    val head = headline.filter(resultsMap.contains)
-      .map(k => s"\"$k\":" + fmt(resultsMap(k))).mkString("{", ",", "}")
+    val head = (headline.filter(resultsMap.contains)
+      .map(k => s"\"$k\":" + fmt(resultsMap(k))) :+
+      s""""emb_ivfpq_build":${fmt(ivfBuildSec)}""").mkString("{", ",", "}")
     // Keep the metric line short (the invoking harness tail-parses it):
     // errors carry truncated messages, suspects at most 5 names.
     val errJson =
@@ -377,25 +420,47 @@ object Bench {
       if (!envSuspect) ""
       else s""","env_suspect":true,"median_ratio":${fmt(medianRatio)},"n_suspect":${allSuspects.size},"suspect_queries":[${allSuspects.take(5).map("\"" + _ + "\"").mkString(",")}]"""
     // A suspect run — or one at a different sf/cpus than the committed
-    // baseline — is written ASIDE, never over BENCH_FULL.json: the
-    // committed baseline stays the last verified-clean run of its own
-    // config (promote a side file by hand after checking a control
-    // query like dl_sssp against it).
+    // baseline, or one whose own fixed-work probes say the box episode
+    // is degraded (judge r12 #1: a degraded episode must never become
+    // the committed baseline) — is written ASIDE, never over
+    // BENCH_FULL.json: the committed baseline stays the last
+    // verified-clean run of its own config (promote a side file by hand
+    // after checking its probes and a control query like dl_sssp).
+    // Probe ceilings calibrated on the clean r12 box (probe 0.12,
+    // probe_st 0.26-0.27; the degraded driver episode read 0.36/0.40);
+    // overridable per-box via env.
+    val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
+    val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
+    val probeDegraded = probeSec > probeMax || probeStSec > probeStMax
+    val baselineWrite =
+      if (envSuspect) "refused_suspect"
+      else if (!baselineConfigMatch) "refused_config"
+      else if (probeDegraded) "refused_probe"
+      else "ok"
     val fullTarget =
-      if (envSuspect || !baselineConfigMatch) "BENCH_FULL_SUSPECT.json"
-      else "BENCH_FULL.json"
+      if (baselineWrite == "ok") "BENCH_FULL.json" else "BENCH_FULL_SUSPECT.json"
+    // n_adjudicated = queries whose reported value is min-of-positions
+    // from the twin pass, not single-shot (ADVICE r12 #1 — downstream
+    // readers of the metric line can tell without opening the full file)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${finalResults.size},"probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${finalResults.size},"n_adjudicated":${altTimes.size},"probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per
     // round). Reported values are the adjudicated (min-of-positions)
     // numbers; `<name>__alt` rows carry the end-of-run re-time and
-    // `<name>__pos` the 0-based Map-order run position (ints, so the
-    // baseline's decimal regex never picks them up as query times).
+    // `<name>__pos` the 0-based Map-order run position. The `__alt`,
+    // `probe_*` and `emb_ivfpq_build` rows ARE decimals the baseline
+    // regex would harvest — the baseline parse excludes them by name
+    // (ADVICE r12 #2), so they never seed retry/outlier entries.
     val full = finalResults.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n") +
       altTimes.map { case (k, v) =>
         s"""  "${k}__alt": ${fmt(v)},\n  "${k}__pos": ${posOf(k)}""" }
         .mkString("", ",\n", if (altTimes.isEmpty) "" else ",\n") +
+      s"""  "emb_ivfpq_build": ${fmt(ivfBuildSec)},\n""" +
+      (if (warmupSkipped.isEmpty) ""
+       else warmupSkipped.map("\"" + _ + "\"")
+         .mkString("  \"warmup_skipped\": [", ", ", "],\n")) +
+      s"""  "baseline_write": "$baselineWrite",\n""" +
       s"""  "probe_seconds": ${fmt(probeSec)},\n""" +
       s"""  "probe_st_seconds": ${fmt(probeStSec)},\n"""
     val errFull =

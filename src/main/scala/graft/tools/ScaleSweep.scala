@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * query. Correctness at the same scale comes from graft.Verify +
   * tools/check_oracle.py on the same dir — this main is timing only.
   *
-  * run: sbt "runMain graft.tools.ScaleSweep /root/repo/tmp_sf1 [q1,q2,...]"
+  * run: sbt "runMain graft.tools.ScaleSweep /root/repo/target/scratch/tmp_sf1 [q1,q2,...]"
   */
 object ScaleSweep {
   private val heavy = Seq(
@@ -26,7 +26,7 @@ object ScaleSweep {
     "dl_scc", "emb_ivfpq_rerank", "stream_topk", "txt_pii_redact")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/repo/tmp_sf1")
+    val sfDir = args.headOption.getOrElse("/root/repo/target/scratch/tmp_sf1")
     val queries = args.lift(1).map(_.split(',').toSeq).getOrElse(heavy)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -20,15 +20,23 @@ class StreamEvictionSpec extends AnyFunSuite {
     (n, series)
   }
 
+  // Coarse replay (r13): the stateful gates batch 2 staged files per
+  // trigger — [f0,f1],[f2,f3],[s0,s1] + 1 trailing no-data eviction
+  // batch = 4 micro-batches. The eviction discriminator moves to the
+  // PENULTIMATE batch (the sentinel batch, running at the last data
+  // batch's published watermark): evicted state holds only the final
+  // watermark horizon there, while unbounded (complete-mode) state
+  // would still hold every group ever seen (~emitted). Peak state is
+  // inherently ~half the table now (batch 1 runs at watermark 0), so
+  // the old `max < emitted/2` peak bound is no longer the right probe.
   test("stream_hourly: window state is evicted per batch and drains to 0") {
     val (emitted, state) = runTracked("stream_hourly")
-    assert(state.length >= 5, s"expected a multi-batch replay, got $state")
-    // bounded: peak in-flight state is far below the total group count —
-    // with unbounded state (complete-mode semantics) the last data batch
-    // would hold every window ever seen
-    assert(state.max < emitted / 2,
-      s"state peak ${state.max} not bounded vs $emitted emitted groups")
-    // drained: the flush sentinels evict everything
+    assert(state.length >= 4, s"expected a multi-batch replay, got $state")
+    // post-sentinel batch: only the last horizon's windows remain
+    assert(state(state.length - 2) < emitted / 2,
+      s"post-sentinel state ${state(state.length - 2)} holds history, " +
+        s"not the horizon (emitted=$emitted): $state")
+    // drained: the trailing no-data batch evicts everything
     assert(state.last == 0, s"state not drained: $state")
   }
 
@@ -50,7 +58,7 @@ class StreamEvictionSpec extends AnyFunSuite {
   test("stream_user_state: per-key state is TTL-evicted, not immortal") {
     val (users, state) = runTracked("stream_user_state")
     assert(users == 15) // sf0.001 user count
-    assert(state.length >= 5)
+    assert(state.length >= 4)
     // idle keys time out and are REMOVED mid-stream, so in-flight state
     // never exceeds the active-key set
     assert(state.max <= users,
@@ -60,20 +68,23 @@ class StreamEvictionSpec extends AnyFunSuite {
 
   test("stream_sessions: session state closes behind the watermark") {
     val (emitted, state) = runTracked("stream_sessions")
-    assert(state.length >= 5)
-    assert(state.max < emitted / 2,
-      s"session state ${state.max} not bounded vs $emitted sessions")
+    assert(state.length >= 4)
+    // post-sentinel: only sessions still open inside the final horizon
+    assert(state(state.length - 2) < emitted / 2,
+      s"post-sentinel session state ${state(state.length - 2)} holds " +
+        s"history (emitted=$emitted): $state")
     assert(state.last == 0, s"session state not drained: $state")
   }
 
   test("stream_hopping: overlapping-window state is horizon-bounded and drains") {
     val (emitted, state) = runTracked("stream_hopping")
-    assert(state.length >= 5, s"expected a multi-batch replay, got $state")
+    assert(state.length >= 4, s"expected a multi-batch replay, got $state")
     // every event opens 2 overlapping windows, but eviction still caps
-    // in-flight state at the watermark horizon — far below the total
-    // emitted window count (unbounded state would hold all of them)
-    assert(state.max < emitted / 2,
-      s"hopping state ${state.max} not bounded vs $emitted emitted windows")
+    // the post-sentinel state at the watermark horizon — far below the
+    // total emitted window count (unbounded state would hold all)
+    assert(state(state.length - 2) < emitted / 2,
+      s"post-sentinel hopping state ${state(state.length - 2)} holds " +
+        s"history (emitted=$emitted): $state")
     assert(state.last == 0, s"hopping state not drained: $state")
   }
 
@@ -82,7 +93,7 @@ class StreamEvictionSpec extends AnyFunSuite {
     // the sink pass cut the rank to top-3 per window
     assert(emitted > 0)
     val state2 = StreamingQueries.stateRowsByQuery("stream_topk")
-    assert(state2.length >= 5, s"expected a multi-batch replay, got $state2")
+    assert(state2.length >= 4, s"expected a multi-batch replay, got $state2")
     // in-flight state = open (window, user) groups inside the watermark
     // horizon — bounded by horizon-windows × users, never full history
     assert(state.last == 0, s"topk window state not drained: $state")

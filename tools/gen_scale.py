@@ -76,6 +76,6 @@ def main(src, dst, k=10):
 
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp_sf1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/scratch/tmp_sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     main(src, dst, k)
