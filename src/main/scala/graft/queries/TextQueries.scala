@@ -254,6 +254,78 @@ object TextQueries extends QueryPack {
     PackResources.checkpoint(s, dir, "txt_shingles")(
       docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s")))
 
+  /** Phrase-match core over a (doc_id, text) frame (see the
+    * `txt_phrase_match` gate comment for the plan design — broadcast
+    * query probe pruning posting lists before a (doc, pos+1) equi-join).
+    * Query phrases are the first bigram of docs 1..4. Exposed for
+    * RetrievalPropertySpec's seeded random-corpus oracle. */
+  private[queries] def phraseMatch(d: DataFrame): DataFrame = {
+    val post = d.selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
+    val ph = d.filter(col("doc_id").between(1, 4))
+      .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
+        s"element_at($toks, 2) as t2")
+    val p1 = post.join(broadcast(ph), col("term") === col("t1"))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
+    val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+      col("term").as("term2"))
+    p1.join(p2,
+        col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+          col("term2") === col("t2"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+  }
+
+  /** Proximity (sloppy-phrase) core over a (doc_id, text) frame —
+    * query terms from fixed non-adjacent positions (1 and 5) of docs
+    * 1..4, matched within `slop` positions in either order. Same plan
+    * as phraseMatch with the adjacency equality relaxed to a residual
+    * range filter (see the `txt_proximity` gate comment). Exposed for
+    * RetrievalPropertySpec, which sweeps `slop` bands against an
+    * in-JVM position-scanning brute force. */
+  private[queries] def proximityMatch(d: DataFrame, slop: Int): DataFrame = {
+    val post = d.selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
+    val ph = d.filter(col("doc_id").between(1, 4))
+      .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
+        s"element_at($toks, 5) as t2")
+    val p1 = post.join(broadcast(ph), col("term") === col("t1"))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
+    val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+      col("term").as("term2"))
+    p1.join(p2,
+        col("d2") === col("doc_id") && col("term2") === col("t2") &&
+          col("pos2") =!= col("pos") &&
+          abs(col("pos2") - col("pos")) <= slop)
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min(least(col("pos"), col("pos2"))) + 1).cast("long").as("first_pos"))
+  }
+
+  /** Shingle-containment core over a (doc_id, s) sorted-shingle-set
+    * frame: rare-shingle blocking (global df ≤ `dfCap`), sorted-
+    * intersect verification, keep pairs with containment ≥
+    * thrNum/thrDen (see the `txt_containment` gate comment for the
+    * scale design). Exposed for RetrievalPropertySpec, which sweeps
+    * thresholds and df caps against a brute-force all-pairs oracle. */
+  private[queries] def containmentPairs(sh: DataFrame,
+      thrNum: Int, thrDen: Int, dfCap: Int): DataFrame = {
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("ng"))
+    val rare = ex.groupBy("ng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("ng")
+    val g = ex.join(rare, "ng")
+    val cand = g.select(col("ng"), col("doc_id").as("d1"))
+      .join(g.select(col("ng"), col("doc_id").as("d2")), "ng")
+      .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        sortedIntersectCount(col("s1"), col("s2")).as("n_inter"),
+        least(size(col("s1")), size(col("s2"))).cast("long").as("n_min"))
+      .filter(col("n_inter") * thrDen >= col("n_min") * thrNum)
+  }
+
   /** Span-level duplicate detection core over a (doc_id, text) frame —
     * see the `txt_span_dedup` gate comment for the design; exposed for
     * the property spec's independent brute-force oracle. Output:
@@ -384,23 +456,7 @@ object TextQueries extends QueryPack {
     // per-doc position scan. At 100 TB both sides are term-pruned
     // posting lists (the broadcast phrase probe prunes before the
     // join), which is exactly how a search engine executes "A B".
-    "txt_phrase_match" -> ((s, dir) => {
-      val post = docs(s, dir)
-        .selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
-      val ph = docs(s, dir).filter(col("doc_id").between(1, 4))
-        .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
-          s"element_at($toks, 2) as t2")
-      val p1 = post.join(broadcast(ph), col("term") === col("t1"))
-        .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
-      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
-        col("term").as("term2"))
-      p1.join(p2,
-          col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
-            col("term2") === col("t2"))
-        .groupBy("q_id", "doc_id")
-        .agg(count(lit(1)).as("n_hits"),
-          (min(col("pos")) + 1).cast("long").as("first_pos"))
-    }),
+    "txt_phrase_match" -> ((s, dir) => phraseMatch(docs(s, dir))),
 
     // Proximity (sloppy-phrase) query over the positional index: the
     // two query terms must co-occur within 6 positions IN EITHER ORDER
@@ -412,24 +468,7 @@ object TextQueries extends QueryPack {
     // range filter on the join, never a per-doc position scan (posting
     // rows per (term,doc) are tf-bounded, so the equi-join's per-key
     // fanout is tf₁·tf₂ — skew-free at any corpus size).
-    "txt_proximity" -> ((s, dir) => {
-      val post = docs(s, dir)
-        .selectExpr("doc_id", s"posexplode($toks) as (pos, term)")
-      val ph = docs(s, dir).filter(col("doc_id").between(1, 4))
-        .selectExpr("doc_id as q_id", s"element_at($toks, 1) as t1",
-          s"element_at($toks, 5) as t2")
-      val p1 = post.join(broadcast(ph), col("term") === col("t1"))
-        .select(col("q_id"), col("doc_id"), col("pos"), col("t2"))
-      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("pos2"),
-        col("term").as("term2"))
-      p1.join(p2,
-          col("d2") === col("doc_id") && col("term2") === col("t2") &&
-            col("pos2") =!= col("pos") &&
-            abs(col("pos2") - col("pos")) <= 6)
-        .groupBy("q_id", "doc_id")
-        .agg(count(lit(1)).as("n_hits"),
-          (min(least(col("pos"), col("pos2"))) + 1).cast("long").as("first_pos"))
-    }),
+    "txt_proximity" -> ((s, dir) => proximityMatch(docs(s, dir), slop = 6)),
 
     // BM25 top-k retrieval over the inverted-index machinery (the
     // RAG-side text counterpart of emb_ivfpq_search — judge r11 #5):
@@ -606,24 +645,8 @@ object TextQueries extends QueryPack {
     // all-pairs. Verification reuses the sorted-intersect codegen
     // kernel on the memoized shingle sets; keep pairs with
     // containment ≥ 9/10.
-    "txt_containment" -> ((s, dir) => {
-      import graft.functions.GraftFunctions.sortedIntersectCount
-      val sh = shingleDF(s, dir)
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("ng"))
-      val rare = ex.groupBy("ng").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select("ng")
-      val g = ex.join(rare, "ng")
-      val cand = g.select(col("ng"), col("doc_id").as("d1"))
-        .join(g.select(col("ng"), col("doc_id").as("d2")), "ng")
-        .filter(col("d1") < col("d2")).select("d1", "d2").distinct()
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
-        .select(col("d1"), col("d2"),
-          sortedIntersectCount(col("s1"), col("s2")).as("n_inter"),
-          least(size(col("s1")), size(col("s2"))).cast("long").as("n_min"))
-        .filter(col("n_inter") * 10 >= col("n_min") * 9)
-    }),
+    "txt_containment" -> ((s, dir) =>
+      containmentPairs(shingleDF(s, dir), thrNum = 9, thrDen = 10, dfCap = 20)),
 
     // TF-IDF-style distinctive terms: per-doc top-3 terms by
     // tf·10^6 div df (exact integers — no float log, so the oracle
