@@ -105,6 +105,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(tail2.isEmpty)
   }
 
+  test("committed-baseline writes are probe-gated (degraded episodes write aside)") {
+    def d(sus: Boolean, cfg: Boolean, p: Double, pst: Double) =
+      Bench.baselineWriteDecision(sus, cfg, p, pst, 0.25, 0.32)
+    // clean run on a clean box at the committed config → may commit
+    assert(d(false, true, 0.12, 0.27) == "ok")
+    // suspect verdict always wins (even with clean probes)
+    assert(d(true, true, 0.12, 0.27) == "refused_suspect")
+    // config mismatch next (a run at another sf/cpus never clobbers)
+    assert(d(false, false, 0.12, 0.27) == "refused_config")
+    // degraded probes refuse even a no-suspect run — judge r12 #1:
+    // the r12 driver episode (0.364/0.402) must land aside
+    assert(d(false, true, 0.364, 0.402) == "refused_probe")
+    assert(d(false, true, 0.12, 0.33) == "refused_probe")
+    assert(d(false, true, 0.26, 0.27) == "refused_probe")
+  }
+
   test("every headline name resolves to a registered query") {
     // the metric line filters headline through the results map, so a
     // typo or a renamed gate would silently vanish from BENCH_r{N}.json
