@@ -15,6 +15,21 @@ stripped and baseline_write set to "promoted". Never edits in place on
 failure. Usage:
 
   python3 tools/promote_baseline.py [BENCH_FULL_SUSPECT.json] [--new-config]
+
+--derive mode (the documented fallback when no clean episode is
+available before a baseline-coverage deadline): normalize EVERY query
+entry of a degraded-episode run into clean-box units by dividing by the
+run's median drift, where drift is estimated ONLY from shared >0.2s
+entries of gate families whose code did not change since the committed
+baseline (stream_*/emb_ivfpq_* are excluded — their ratios reflect code
+changes, not the box). Accepted only when the episode is UNIFORM
+(p75/p25 of the drift ratios <= 1.35): a heavy-tailed episode makes
+per-query normalization wrong and is refused. The output is marked
+baseline_write: "derived" with the drift factor and the measuring
+episode's probes recorded — it is a calibrated estimate, not a measured
+clean run, and the bench will replace it with a real measured file the
+first time a clean-probe run completes (degraded runs can never
+overwrite it, by the same probe gate).
 """
 import json, os, re, sys
 
@@ -32,11 +47,63 @@ def query_map(d):
             and not META.search(k)}
 
 
+CHANGED = re.compile(r"^(stream_|emb_ivfpq)")
+
+
+def derive(cand, cur):
+    cm, xm = query_map(cur), query_map(cand)
+    ratios = sorted(xm[k] / cm[k] for k in cm.keys() & xm.keys()
+                    if cm[k] > 0.2 and not CHANGED.match(k))
+    if len(ratios) < 12:
+        print(f"REFUSED: only {len(ratios)} unchanged shared entries "
+              ">0.2s — not enough to estimate drift")
+        sys.exit(1)
+    med = ratios[len(ratios) // 2]
+    p25, p75 = ratios[len(ratios) // 4], ratios[3 * len(ratios) // 4]
+    spread = p75 / p25
+    print(f"drift over {len(ratios)} unchanged entries: median {med:.3f}, "
+          f"p25 {p25:.3f}, p75 {p75:.3f} (spread {spread:.3f})")
+    if spread > 1.35:
+        print(f"REFUSED: episode is heavy-tailed (p75/p25 {spread:.3f} > "
+              "1.35) — per-query normalization would be wrong")
+        sys.exit(1)
+    out = {k: round(v / med, 3) for k, v in query_map(cand).items()}
+    out["total"] = round(sum(out.values()), 3)
+    for k in ("probe_seconds", "probe_st_seconds"):
+        if k in cand:
+            out[f"derived_{k}"] = cand[k]
+    out["baseline_write"] = "derived"
+    out["derived_median_drift"] = round(med, 3)
+    out["sf"] = cand.get("sf")
+    out["cpus"] = cand.get("cpus")
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    n = len(query_map(out))
+    print(f"DERIVED {n} query entries -> BENCH_FULL.json "
+          f"(normalized by {med:.3f}; measuring episode probes "
+          f"{cand.get('probe_seconds')}/{cand.get('probe_st_seconds')})")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     src = args[0] if args else "BENCH_FULL_SUSPECT.json"
     new_config = "--new-config" in sys.argv
     cand = json.load(open(src))
+    if "--derive" in sys.argv:
+        try:
+            cur = json.load(open("BENCH_FULL.json"))
+        except FileNotFoundError:
+            print("REFUSED: --derive needs a committed clean baseline "
+                  "to estimate drift against")
+            sys.exit(1)
+        if cand.get("sf") != cur.get("sf") or cand.get("cpus") != cur.get("cpus"):
+            print(f"REFUSED: config mismatch "
+                  f"{cand.get('sf')}/{cand.get('cpus')} vs "
+                  f"{cur.get('sf')}/{cur.get('cpus')}")
+            sys.exit(1)
+        derive(cand, cur)
+        return
     probs = []
 
     p, pst = cand.get("probe_seconds"), cand.get("probe_st_seconds")
