@@ -23,7 +23,9 @@ object Bench {
     "dl_tc_localiter", "emb_lsh_recall_mp", "emb_ivfpq_search", "graph_lpa",
     "dl_tc_diffflip", "emb_neardup_groups", "dl_tc_bloom",
     "txt_span_dedup", "evt_scd2", "txt_inverted_index", "q33_bloom_join",
-    "txt_bm25_topk", "txt_hybrid_rrf", "mm_phash_pairs", "dl_scc")
+    "txt_bm25_topk", "txt_hybrid_rrf", "mm_phash_pairs", "dl_scc",
+    "stream_topk", "txt_containment", "evt_quantile_digest",
+    "q40_cdc_bigdim")
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 
