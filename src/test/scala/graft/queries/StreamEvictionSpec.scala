@@ -146,4 +146,23 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(rocks == base, s"RocksDB diverged: $rocks vs $base")
     assert(base.nonEmpty)
   }
+
+  test("rocksdb invariance extends to typed state and windowed top-k") {
+    // the other state-operator CLASSES: flatMapGroupsWithState's typed
+    // per-key state + EventTimeTimeout (stream_user_state) and the
+    // windowed-aggregation state feeding the top-k sink pass
+    // (stream_topk) — each must be provider-invariant too, not just the
+    // dedup operator the original A/B covered (r13)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (g <- Seq("stream_user_state", "stream_topk")) {
+      val base = canon(graft.SparkEntry.queries(g)(spark, dir))
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.stream.stateStore", "rocksdb")
+      val rocks = canon(graft.SparkEntry.queries(g)(s2, dir))
+      assert(rocks == base, s"$g diverged under RocksDB: " +
+        s"${(rocks diff base).take(3)} vs ${(base diff rocks).take(3)}")
+      assert(base.nonEmpty)
+    }
+  }
 }
