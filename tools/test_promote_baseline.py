@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Self-test for promote_baseline.py (run: python3 tools/test_promote_baseline.py).
+
+Exercises the acceptance matrix in a temp directory: clean promotion,
+probe refusal, drift refusal, config refusal, uniform-episode derive,
+heavy-tail derive refusal, and the changed-gate exclusion in drift
+estimation. Not wired into sbt (pure python tool test); exits non-zero
+on any failure.
+"""
+import json, os, subprocess, sys, tempfile
+
+TOOL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "promote_baseline.py")
+
+
+def run(tmp, committed, candidate, args=()):
+    if committed is not None:
+        json.dump(committed, open(os.path.join(tmp, "BENCH_FULL.json"), "w"))
+    elif os.path.exists(os.path.join(tmp, "BENCH_FULL.json")):
+        os.remove(os.path.join(tmp, "BENCH_FULL.json"))
+    json.dump(candidate, open(os.path.join(tmp, "cand.json"), "w"))
+    p = subprocess.run([sys.executable, TOOL, "cand.json", *args],
+                       cwd=tmp, capture_output=True, text=True)
+    return p.returncode, p.stdout + p.stderr
+
+
+def committed_base(n=20, val=1.0):
+    d = {f"g{i:02d}": val for i in range(n)}
+    d.update(probe_seconds=0.12, probe_st_seconds=0.27, total=n * val,
+             sf="/root/testdata/sf0.1", cpus=32)
+    return d
+
+
+def candidate(scale=1.0, n=20, probes=(0.12, 0.27), extra=None):
+    d = {f"g{i:02d}": scale for i in range(n)}
+    d.update(probe_seconds=probes[0], probe_st_seconds=probes[1],
+             total=n * scale, sf="/root/testdata/sf0.1", cpus=32)
+    if extra:
+        d.update(extra)
+    return d
+
+
+def main():
+    fails = []
+
+    def check(name, want_rc, rc, out, want_sub=None):
+        ok = rc == want_rc and (want_sub is None or want_sub in out)
+        print(("PASS" if ok else "FAIL"), name)
+        if not ok:
+            fails.append(name)
+            print("  rc", rc, "out:", out.strip()[:400])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # 1. clean run promotes
+        rc, out = run(tmp, committed_base(), candidate(1.05))
+        check("clean promotion", 0, rc, out, "PROMOTED")
+        promoted = json.load(open(os.path.join(tmp, "BENCH_FULL.json")))
+        check("promoted marker", 0,
+              0 if promoted.get("baseline_write") == "promoted" else 1, "")
+
+        # 2. degraded probes refuse
+        rc, out = run(tmp, committed_base(), candidate(1.05, probes=(0.12, 0.40)))
+        check("probe refusal", 1, rc, out, "degraded episode")
+
+        # 3. drift refusal
+        rc, out = run(tmp, committed_base(), candidate(1.5))
+        check("drift refusal", 1, rc, out, "median drift")
+
+        # 4. config refusal
+        cand = candidate(1.0)
+        cand["cpus"] = 16
+        rc, out = run(tmp, committed_base(), cand)
+        check("config refusal", 1, rc, out, "config mismatch")
+
+        # 5. uniform degraded episode derives (1.5x everywhere)
+        rc, out = run(tmp, committed_base(), candidate(1.5), ["--derive"])
+        check("uniform derive", 0, rc, out, "DERIVED")
+        derived = json.load(open(os.path.join(tmp, "BENCH_FULL.json")))
+        v = derived.get("g00")
+        check("derived values normalized", 0,
+              0 if abs(v - 1.0) < 0.01 else 1, f"g00={v}")
+        check("derived marker", 0,
+              0 if derived.get("baseline_write") == "derived" else 1, "")
+
+        # 6. heavy-tailed episode refuses to derive (half 1.2x, half 2.2x)
+        cand = candidate(1.2)
+        for i in range(10):
+            cand[f"g{i:02d}"] = 2.2
+        rc, out = run(tmp, committed_base(), cand, ["--derive"])
+        check("heavy-tail derive refusal", 1, rc, out, "heavy-tailed")
+
+        # 7. changed-gate families are excluded from drift estimation:
+        # stream_* at wild ratios must not affect the uniform verdict
+        com = committed_base()
+        com.update({f"stream_x{i}": 1.0 for i in range(6)})
+        cand = candidate(1.5, extra={f"stream_x{i}": 8.0 for i in range(6)})
+        rc, out = run(tmp, com, cand, ["--derive"])
+        check("changed-gate exclusion", 0, rc, out, "DERIVED")
+
+    if fails:
+        print("FAILURES:", fails)
+        sys.exit(1)
+    print("all promote_baseline self-tests passed")
+
+
+if __name__ == "__main__":
+    main()
