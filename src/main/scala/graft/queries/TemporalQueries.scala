@@ -32,6 +32,29 @@ import graft.Tables
   */
 object TemporalQueries extends QueryPack {
 
+  /** Knuth multiplicative digest hash h = (event_id · 2654435761) mod
+    * 2³², in overflow-safe two-step form (ADVICE r13 #4): the naive
+    * product overflows int64 for event_id ≳ 3.47e9 — Spark (non-ANSI)
+    * wraps silently while DuckDB aborts on BIGINT overflow, so at very
+    * large scales the gate and its oracle would diverge. Split the
+    * multiplier K = 40503·65536 + 31153 and reduce the residue
+    * r = event_id mod 2³² first: every intermediate stays < 2⁴⁸
+    * (r·31153 < 2⁴⁷, (r·40503 mod 2³²)·65536 < 2⁴⁸), and
+    * (r·40503 mod 2³²)·65536 + r·31153 ≡ r·K (mod 2³²), so the value
+    * is bit-identical to the one-multiply form wherever that form
+    * didn't overflow. Domain: event_id ≥ 0 (pmod vs % differ below 0).
+    * Spark and DuckDB carry the SAME formula, [[digestHashDuck]]. */
+  private[queries] val digestHashSpark =
+    """pmod(pmod(event_id, 4294967296) * 31153 +
+       pmod(pmod(event_id, 4294967296) * 40503, 4294967296) * 65536,
+       4294967296)"""
+
+  /** DuckDB twin of [[digestHashSpark]] (% == pmod for event_id ≥ 0). */
+  private[queries] val digestHashDuck =
+    """(((event_id % 4294967296) * 31153 +
+       (((event_id % 4294967296) * 40503) % 4294967296) * 65536)
+       % 4294967296)"""
+
   private def cents(c: Column) = RelationalQueries.cents(c)
 
   /** 2024-01-01T00:00:00Z, microseconds — the generator's time origin. */
@@ -200,7 +223,7 @@ object TemporalQueries extends QueryPack {
       val e = Tables.load(s, dir, "events").selectExpr(
         "event_type", "event_id",
         "cast(round(value * 100, 0) as bigint) as c",
-        "pmod(event_id * 2654435761, 4294967296) as h")
+        s"$digestHashSpark as h")
       val wH = Window.partitionBy("event_type")
         .orderBy(col("h").asc, col("event_id").asc)
       val samp = e.withColumn("rk", row_number().over(wH))
@@ -482,9 +505,9 @@ object TemporalQueries extends QueryPack {
                 COUNT(*) AS n
          FROM d JOIN md USING (event_type) GROUP BY 1""",
     "evt_quantile_digest" ->
-      """WITH e AS (SELECT event_type, event_id,
+      s"""WITH e AS (SELECT event_type, event_id,
              CAST(round(value * 100, 0) AS BIGINT) AS c,
-             (event_id * 2654435761) % 4294967296 AS h
+             $digestHashDuck AS h
            FROM events),
          samp AS (SELECT event_type, event_id, c,
              row_number() OVER (PARTITION BY event_type

@@ -121,6 +121,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(d(false, true, 0.26, 0.27) == "refused_probe")
   }
 
+  test("end-of-run heavy adjudication band: >2x drift-scaled baseline AND >2s") {
+    // BENCH_r13's two unadjudicated spikes must both qualify now:
+    // graph_pagerank_conv 9.64s vs 4.355s baseline (2.21x, clean box)
+    assert(Bench.heavyRerunWorthy(9.64, Some(4.355), 1.0))
+    // emb_ivfpq_build 11.13s vs 3.034s baseline (3.7x, formerly exempt)
+    assert(Bench.heavyRerunWorthy(11.13, Some(3.034), 1.0))
+    // a sub-2s wall never qualifies however large the ratio (jitter)
+    assert(!Bench.heavyRerunWorthy(1.9, Some(0.2), 1.0))
+    // at-2x is NOT over-2x (band is strict, matching the judge's ask)
+    assert(!Bench.heavyRerunWorthy(8.0, Some(4.0), 1.0))
+    // drift-scaled: a 1.5x box widens the band so a uniformly slow run
+    // doesn't re-run every heavy gate
+    assert(!Bench.heavyRerunWorthy(9.64, Some(4.355), 1.5))
+    assert(Bench.heavyRerunWorthy(14.0, Some(4.355), 1.5))
+    // no baseline entry -> no adjudication (new gates bill raw until
+    // the next baseline promotion covers them)
+    assert(!Bench.heavyRerunWorthy(100.0, None, 1.0))
+  }
+
   test("every headline name resolves to a registered query") {
     // the metric line filters headline through the results map, so a
     // typo or a renamed gate would silently vanish from BENCH_r{N}.json

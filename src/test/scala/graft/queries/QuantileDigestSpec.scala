@@ -20,7 +20,7 @@ class QuantileDigestSpec extends AnyFunSuite {
     graft.Tables.load(spark, dir, "events").selectExpr(
       "event_type", "event_id",
       "cast(round(value * 100, 0) as bigint) as c",
-      "pmod(event_id * 2654435761, 4294967296) as h")
+      s"${TemporalQueries.digestHashSpark} as h")
 
   private def bottomK(df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -73,6 +73,35 @@ class QuantileDigestSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       "bottom-k sample must compile to WindowGroupLimit")
+  }
+
+  test("two-step hash == one-multiply hash below the overflow line, and stays safe above it") {
+    // ADVICE r13 #4: event_id * 2654435761 overflows int64 above
+    // ~3.47e9 — Spark wraps silently, DuckDB aborts. The two-step form
+    // must be bit-identical to the naive form wherever the naive form
+    // is exact, and must keep every intermediate below 2^63 for ALL
+    // event_id (checked here one decade past the old overflow line,
+    // where the wrapped naive product already disagrees with exact
+    // modular arithmetic).
+    val safe = spark.range(0, 2000000, 97)
+      .union(spark.range(3400000000L, 3474000000L, 1000003))
+      .selectExpr("id as event_id")
+      .selectExpr(s"${TemporalQueries.digestHashSpark} as two_step",
+        "pmod(event_id * 2654435761, 4294967296) as naive")
+      .filter("two_step != naive").count()
+    assert(safe == 0, "two-step hash diverged from the naive form in-domain")
+    // above the line: the two-step form equals BigInt ground truth
+    val big = spark.range(3500000000L, 40000000000L, 999999937L)
+      .selectExpr("id as event_id")
+      .selectExpr("event_id", s"${TemporalQueries.digestHashSpark} as h")
+      .collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      val id = BigInt(r.getAs[Long]("event_id"))
+      val want = (id * BigInt(2654435761L)).mod(BigInt(4294967296L))
+      assert(BigInt(r.getAs[Long]("h")) == want,
+        s"event_id $id: two-step ${r.getAs[Long]("h")} != exact $want")
+    }
   }
 
   test("digest degenerates to exact quantiles when the group fits in m") {

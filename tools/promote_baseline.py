@@ -6,8 +6,15 @@ the judge set for baseline refreshes (VERDICT r12 #1):
   - the run's own fixed-work probes are clean-box grade
     (probe_seconds <= PROBE_MAX, probe_st_seconds <= PROBE_ST_MAX —
     same ceilings Bench.scala uses to gate its own committed writes);
+  - the candidate carries NO errors block (ADVICE r13 #1): an errored
+    query's wall is time-to-failure (often ~0.05s), and promoting it
+    would make every later healthy run trip the 5x outlier band on
+    that query — mirroring how Bench excludes erroredSet from
+    stallVerdict;
   - median drift vs the CURRENT committed baseline's shared entries
-    (>0.2s, non-meta) is <= DRIFT_MAX;
+    (>0.2s, non-meta, CHANGED families excluded — same filter as
+    --derive, ADVICE r13 #2: an intentional perf change to a family
+    must not skew the drift gate) is <= DRIFT_MAX;
   - sf and cpus match the committed baseline (or --new-config).
 
 On success writes BENCH_FULL.json with the env_suspect/suspect fields
@@ -37,7 +44,11 @@ PROBE_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_MAX", "0.25"))
 PROBE_ST_MAX = float(os.environ.get("SPARK_GRAFT_PROBE_ST_MAX", "0.32"))
 DRIFT_MAX = float(os.environ.get("SPARK_GRAFT_DRIFT_MAX", "1.1"))
 
-META = re.compile(r"(__alt$|__pos$|^probe_|^total$|^emb_ivfpq_build$|"
+# emb_ivfpq_build is NOT meta (judge r13 #1a): the build row carries
+# its own baseline entry and adjudication band in Bench, so promotions
+# and derives must preserve/normalize it like any query row (its drift
+# contribution is still excluded via CHANGED).
+META = re.compile(r"(__alt$|__pos$|__first$|^probe_|^total$|^derived_|"
                   r"^median_ratio$|^sf$|^cpus$)")
 
 
@@ -47,10 +58,22 @@ def query_map(d):
             and not META.search(k)}
 
 
-CHANGED = re.compile(r"^(stream_|emb_ivfpq)")
+# Gate families whose code changed since the committed baseline — their
+# candidate/committed ratios reflect code deltas, not the box, so BOTH
+# drift estimates (promote gate and --derive normalization) exclude
+# them. Update per round via env when a round intentionally changes a
+# family's perf; r13's changes were the streaming coarse-replay and the
+# emb_ivfpq billing split.
+CHANGED = re.compile(os.environ.get("SPARK_GRAFT_CHANGED_RE",
+                                    r"^(stream_|emb_ivfpq)"))
 
 
 def derive(cand, cur):
+    if cand.get("errors"):
+        print(f"REFUSED: candidate carries an errors block "
+              f"({len(cand['errors'])} errored) — a time-to-failure wall "
+              "must never be normalized into a baseline entry")
+        sys.exit(1)
     cm, xm = query_map(cur), query_map(cand)
     ratios = sorted(xm[k] / cm[k] for k in cm.keys() & xm.keys()
                     if cm[k] > 0.2 and not CHANGED.match(k))
@@ -106,6 +129,12 @@ def main():
         return
     probs = []
 
+    if cand.get("errors"):
+        names = sorted(cand["errors"])[:5]
+        probs.append(f"candidate carries an errors block ({len(cand['errors'])} "
+                     f"errored: {', '.join(names)}) — an errored query's "
+                     "time-to-failure wall must never become its baseline")
+
     p, pst = cand.get("probe_seconds"), cand.get("probe_st_seconds")
     if p is None or pst is None:
         probs.append("candidate carries no calibration probes")
@@ -128,10 +157,11 @@ def main():
                 "(pass --new-config to retarget)")
         cm, xm = query_map(cur), query_map(cand)
         ratios = sorted(xm[k] / cm[k] for k in cm.keys() & xm.keys()
-                        if cm[k] > 0.2)
+                        if cm[k] > 0.2 and not CHANGED.match(k))
         if ratios:
             med = ratios[len(ratios) // 2]
-            print(f"shared entries: {len(ratios)}, median drift {med:.3f}")
+            print(f"shared unchanged entries: {len(ratios)}, "
+                  f"median drift {med:.3f}")
             if med > DRIFT_MAX:
                 probs.append(f"median drift {med:.3f} > {DRIFT_MAX} "
                              "vs committed shared entries")

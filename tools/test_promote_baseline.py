@@ -97,6 +97,45 @@ def main():
         rc, out = run(tmp, com, cand, ["--derive"])
         check("changed-gate exclusion", 0, rc, out, "DERIVED")
 
+        # 8. a candidate carrying an errors block is refused on both
+        # paths (ADVICE r13 #1): an errored query's time-to-failure wall
+        # must never become its committed baseline
+        cand = candidate(1.05, extra={
+            "errors": {"dl_tc": "SparkException: boom"}, "dl_tc": 0.05})
+        rc, out = run(tmp, committed_base(), cand)
+        check("errors-block promote refusal", 1, rc, out, "errors block")
+        rc, out = run(tmp, committed_base(), cand, ["--derive"])
+        check("errors-block derive refusal", 1, rc, out, "errors block")
+
+        # 9. the promote-path drift gate excludes CHANGED families too
+        # (ADVICE r13 #2): an intentional 3x change to stream_* must not
+        # push the unchanged-gate median over DRIFT_MAX
+        com = committed_base()
+        com.update({f"stream_x{i}": 1.0 for i in range(15)})
+        cand = candidate(1.02, extra={f"stream_x{i}": 3.0 for i in range(15)})
+        rc, out = run(tmp, com, cand)
+        check("promote drift ignores changed families", 0, rc, out, "PROMOTED")
+
+        # 10. emb_ivfpq_build is a first-class row: preserved by promote,
+        # normalized by derive (judge r13 #1a — no more baseline blind
+        # spot for the build row)
+        com = committed_base()
+        com["emb_ivfpq_build"] = 3.0
+        cand = candidate(1.05, extra={"emb_ivfpq_build": 3.1})
+        rc, out = run(tmp, com, cand)
+        check("build row promoted", 0, rc, out, "PROMOTED")
+        promoted = json.load(open(os.path.join(tmp, "BENCH_FULL.json")))
+        check("build row present after promote", 0,
+              0 if promoted.get("emb_ivfpq_build") == 3.1 else 1, "")
+        cand = candidate(1.5, extra={"emb_ivfpq_build": 4.5})
+        rc, out = run(tmp, com, cand, ["--derive"])
+        check("build row derive", 0, rc, out, "DERIVED")
+        derived = json.load(open(os.path.join(tmp, "BENCH_FULL.json")))
+        v = derived.get("emb_ivfpq_build")
+        check("build row normalized by derive", 0,
+              0 if v is not None and abs(v - 3.0) < 0.01 else 1,
+              f"emb_ivfpq_build={v}")
+
     if fails:
         print("FAILURES:", fails)
         sys.exit(1)
