@@ -25,7 +25,7 @@ object Bench {
     "txt_span_dedup", "evt_scd2", "txt_inverted_index", "q33_bloom_join",
     "txt_bm25_topk", "txt_hybrid_rrf", "mm_phash_pairs", "dl_scc",
     "stream_topk", "txt_containment", "evt_quantile_digest",
-    "q40_cdc_bigdim")
+    "q40_cdc_bigdim", "stream_dedup_lsh")
 
   private def fmt(v: Double): String = String.format(Locale.US, "%.3f", Double.box(v))
 

@@ -108,6 +108,25 @@ class StreamEvictionSpec extends AnyFunSuite {
     assert(state.forall(_ == 0), s"stateless join grew state: $state")
   }
 
+  test("stream_dedup_lsh: ingest-time dedup is STATELESS and equals the batch result") {
+    val got = graft.SparkEntry.queries("stream_dedup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // stateless: each new doc carries its own shingles through the
+    // broadcast band probe — nothing accumulates however long the
+    // ingest stream runs (the property that makes this the standing
+    // 100 TB/day shape)
+    val state = StreamingQueries.stateRowsByQuery("stream_dedup_lsh")
+    assert(state.nonEmpty && state.forall(_ == 0),
+      s"ingest dedup grew state: $state")
+    // and the multi-batch replay must land on EXACTLY the batch
+    // incremental-dedup result (same standing index, same verify)
+    val want = graft.SparkEntry.queries("txt_dedup_incr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want,
+      s"stream/batch diverged: extra=${(got diff want).take(3)} " +
+        s"missing=${(want diff got).take(3)}")
+  }
+
   test("stream_join: interval-join state holds the interval, not history") {
     val (_, state) = runTracked("stream_join")
     assert(state.length >= 4)
