@@ -374,6 +374,48 @@ object TextQueries extends QueryPack {
       .filter(col("n_inter") * den >= col("n_union") * num)
   }
 
+  /** CMS geometry: 4 rows × 256 buckets, bucket_r(h) = ((h·(2r+3) +
+    * 104729·r) mod P) mod 256. Shared by the gate and
+    * SketchPropertySpec's seeded random-stream bound checks. */
+  private[queries] val CmsRows = 4
+  private[queries] val CmsWidth = 256
+  private[queries] val cmsBucket = s"((h * (2*r+3) + 104729*r) % $P) % $CmsWidth"
+
+  /** Count-min sketch (r, b, c) cells over a token-hash column `h` —
+    * ONE partial-agg shuffle collapsing to ≤ rows·width cells per
+    * partition regardless of corpus size. */
+  private[queries] def cmsSketch(tok: DataFrame): DataFrame =
+    tok.select(col("h"), explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r"))
+      .withColumn("b", expr(cmsBucket))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  /** Probe frame (…, h) × sketch → one row per (probe, r) with that
+    * row's cell count `c`; the caller takes min(c) over r. */
+  private[queries] def cmsProbe(probe: DataFrame, sketch: DataFrame): DataFrame =
+    probe
+      .select((probe.columns.map(col) :+
+        explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r")): _*)
+      .withColumn("b", expr(cmsBucket))
+      .join(broadcast(sketch), Seq("r", "b"))
+
+  /** KMV (k-minimum-values) distinct estimate per group from a DISTINCT
+    * (source, h) frame: est = (k-1)·2³² div kth_min, exact when the
+    * group has fewer than k distinct hashes. WindowGroupLimit plan —
+    * only k rows per partition move. */
+  private[queries] def kmvEstimate(dh: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h").asc)
+    val sk = dh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_min"))
+    val exact = dh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    sk.join(exact, "source")
+      .select(col("source"), col("k_used"), col("kth_min"), col("exact_distinct"),
+        expr(s"case when k_used < $k then k_used " +
+          s"else (($k - 1) * 4294967296) div kth_min end").as("est_distinct"))
+  }
+
   /** LSH band-bucket rows (doc_id, band, key[, carry…]) from a
     * (doc_id, s) shingle-set frame: 16-hash minhash signature split
     * into 4 bands of 4. Extra columns in `sh` ride along — the
@@ -943,44 +985,26 @@ object TextQueries extends QueryPack {
     // overestimate-only bound, asserted in ChunkIndexSpec).
     "txt_heavy_hitters_cms" -> ((s, dir) => {
       import graft.functions.GraftFunctions.tokenHash64
-      val bExpr = s"((h * (2*r+3) + 104729*r) % $P) % 256"
       val tok = docs(s, dir).selectExpr(s"explode($toks) as t")
         .select(col("t"),
           element_at(tokenHash64(array(col("t"))), 1).as("h"))
-      val sketch = tok
-        .select(col("h"), explode(expr("sequence(0, 3)")).as("r"))
-        .withColumn("b", expr(bExpr))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val sketch = cmsSketch(tok)
       val top = tok.groupBy("t").agg(count(lit(1)).as("exact_n"))
         .orderBy(desc("exact_n"), asc("t")).limit(10)
-      top
-        .select(col("t"), col("exact_n"),
-          element_at(tokenHash64(array(col("t"))), 1).as("h"))
-        .select(col("t"), col("exact_n"), col("h"),
-          explode(expr("sequence(0, 3)")).as("r"))
-        .withColumn("b", expr(bExpr))
-        .join(broadcast(sketch), Seq("r", "b"))
+      cmsProbe(
+        top.select(col("t"), col("exact_n"),
+          element_at(tokenHash64(array(col("t"))), 1).as("h")),
+        sketch)
         .groupBy(col("t").as("token"), col("exact_n"))
         .agg(min("c").as("cms_est"))
     }),
 
-    "txt_kmv_distinct" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 64
-      val dh = docs(s, dir)
-        .select(col("source"), explode(tokHashes).as("h"))
-        .distinct()
-      val w = Window.partitionBy("source").orderBy(col("h").asc)
-      val sk = dh.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .groupBy("source")
-        .agg(count(lit(1)).as("k_used"), max("h").as("kth_min"))
-      val exact = dh.groupBy("source").agg(count(lit(1)).as("exact_distinct"))
-      sk.join(exact, "source")
-        .select(col("source"), col("k_used"), col("kth_min"), col("exact_distinct"),
-          expr(s"case when k_used < $k then k_used " +
-            s"else (($k - 1) * 4294967296) div kth_min end").as("est_distinct"))
-    }),
+    "txt_kmv_distinct" -> ((s, dir) =>
+      kmvEstimate(
+        docs(s, dir)
+          .select(col("source"), explode(tokHashes).as("h"))
+          .distinct(),
+        k = 64)),
 
     // Deterministic weighted sampling without replacement (the
     // token-proportional corpus draw): integer A-ES — per doc the sort
