@@ -140,6 +140,14 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.heavyRerunWorthy(100.0, None, 1.0))
   }
 
+  test("baseline files are sf-keyed; sf0.1 keeps the historical name") {
+    assert(Bench.baselineFileFor("/root/testdata/sf0.1") == "BENCH_FULL.json")
+    assert(Bench.baselineFileFor("/root/repo/target/scratch/tmp_sf1")
+      == "BENCH_FULL_sf1.json")
+    assert(Bench.baselineFileFor("/root/testdata/sf0.01")
+      == "BENCH_FULL_sf0.01.json")
+  }
+
   test("every headline name resolves to a registered query") {
     // the metric line filters headline through the results map, so a
     // typo or a renamed gate would silently vanish from BENCH_r{N}.json

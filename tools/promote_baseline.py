@@ -22,6 +22,12 @@ stripped and baseline_write set to "promoted". Never edits in place on
 failure. Usage:
 
   python3 tools/promote_baseline.py [BENCH_FULL_SUSPECT.json] [--new-config]
+                                    [--out BENCH_FULL.json]
+
+--out picks the committed-baseline file to check against and write
+(default BENCH_FULL.json) — the bench keys committed baselines per
+scale (BENCH_FULL_sf1.json for the sf1.0 fixture), and a promotion
+must target the matching file.
 
 --derive mode (the documented fallback when no clean episode is
 available before a baseline-coverage deadline): normalize EVERY query
@@ -68,7 +74,7 @@ CHANGED = re.compile(os.environ.get("SPARK_GRAFT_CHANGED_RE",
                                     r"^(stream_|emb_ivfpq)"))
 
 
-def derive(cand, cur):
+def derive(cand, cur, out_file):
     if cand.get("errors"):
         print(f"REFUSED: candidate carries an errors block "
               f"({len(cand['errors'])} errored) — a time-to-failure wall "
@@ -99,23 +105,29 @@ def derive(cand, cur):
     out["derived_median_drift"] = round(med, 3)
     out["sf"] = cand.get("sf")
     out["cpus"] = cand.get("cpus")
-    with open("BENCH_FULL.json", "w") as f:
+    with open(out_file, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     n = len(query_map(out))
-    print(f"DERIVED {n} query entries -> BENCH_FULL.json "
+    print(f"DERIVED {n} query entries -> {out_file} "
           f"(normalized by {med:.3f}; measuring episode probes "
           f"{cand.get('probe_seconds')}/{cand.get('probe_st_seconds')})")
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    out_file = "BENCH_FULL.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_file = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     src = args[0] if args else "BENCH_FULL_SUSPECT.json"
     new_config = "--new-config" in sys.argv
     cand = json.load(open(src))
     if "--derive" in sys.argv:
         try:
-            cur = json.load(open("BENCH_FULL.json"))
+            cur = json.load(open(out_file))
         except FileNotFoundError:
             print("REFUSED: --derive needs a committed clean baseline "
                   "to estimate drift against")
@@ -125,7 +137,7 @@ def main():
                   f"{cand.get('sf')}/{cand.get('cpus')} vs "
                   f"{cur.get('sf')}/{cur.get('cpus')}")
             sys.exit(1)
-        derive(cand, cur)
+        derive(cand, cur, out_file)
         return
     probs = []
 
@@ -145,7 +157,7 @@ def main():
             probs.append(f"probe_st_seconds {pst} > {PROBE_ST_MAX} (degraded episode)")
 
     try:
-        cur = json.load(open("BENCH_FULL.json"))
+        cur = json.load(open(out_file))
     except FileNotFoundError:
         cur = None
     if cur is not None:
@@ -175,11 +187,11 @@ def main():
     for k in ("env_suspect", "median_ratio", "suspect_queries"):
         cand.pop(k, None)
     cand["baseline_write"] = "promoted"
-    with open("BENCH_FULL.json", "w") as f:
+    with open(out_file, "w") as f:
         json.dump(cand, f, indent=1, sort_keys=False)
         f.write("\n")
     n = len(query_map(cand))
-    print(f"PROMOTED {src} -> BENCH_FULL.json ({n} query entries, "
+    print(f"PROMOTED {src} -> {out_file} ({n} query entries, "
           f"probes {p}/{pst}, sf={cand.get('sf')}, cpus={cand.get('cpus')})")
 
 
