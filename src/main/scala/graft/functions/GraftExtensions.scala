@@ -49,6 +49,15 @@ object GraftExtensions {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - common-element count of two sorted distinct array<bigint>"),
       { case Seq(l, r) => SortedIntersectCount(l, r) }),
+    ("sorted_jaccard_ge",
+      info("sorted_jaccard_ge",
+        "sorted_jaccard_ge(a, b, num, den) - early-exit test of Jaccard(a, b) >= num/den over sorted distinct array<bigint>"),
+      {
+        case Seq(l, r, Literal(n: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          SortedJaccardGe(l, r, n, d)
+        case args => throw new IllegalArgumentException(
+          s"sorted_jaccard_ge expects (array, array, int literal, int literal), got ${args.length} args")
+      }),
     ("token_hash64",
       info("token_hash64",
         "token_hash64(arr) - u32 polynomial hash per token of an array<string>"),

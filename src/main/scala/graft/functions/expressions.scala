@@ -237,6 +237,97 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Early-exit Jaccard threshold test over two sorted distinct
+  * array<bigint>: true iff |A∩B|·den ≥ |A∪B|·num, algebraically
+  * (den+num)·I ≥ num·(n+m) so the intersect count appears ONCE. Built
+  * for the pair-verify hot path (r14): the pushed-down join filter
+  * used to substitute `sorted_intersect_count` TWICE per candidate
+  * (once in each side of the inequality) and always walked both
+  * arrays to the end — at sf1.0 replica density that was 2 full merge
+  * walks × 42M first-token candidates for txt_ngram_jaccard's 73s
+  * verify stage. This kernel walks once and BAILS as soon as the
+  * verdict is decided either way: maxPossible = c + min(n−i, m−j)
+  * monotonically decreases, so `(den+num)·maxPossible < num·(n+m)`
+  * is a sound early reject (most of the 99.4% rejected candidates
+  * bail in the first fraction of the walk), and
+  * `(den+num)·c ≥ num·(n+m)` is a sound early accept. Survivor rows
+  * recompute the exact count for output columns — survivors are the
+  * answer-sized minority. */
+case class SortedJaccardGe(left: Expression, right: Expression,
+    num: Int, den: Int)
+    extends BinaryExpression {
+  require(num >= 0 && den > 0, "threshold must be num >= 0, den > 0")
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GraftFunctions.requireLongArray(prettyName, left)
+    if (l.isFailure) l else GraftFunctions.requireLongArray(prettyName, right)
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_jaccard_ge"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, la, GraftFunctions.elemNullable(left))
+    GraftFunctions.checkNulls(prettyName, ra, GraftFunctions.elemNullable(right))
+    val (n, m) = (la.numElements(), ra.numElements())
+    val needed = num.toLong * (n + m) // accept iff (den+num)*I >= needed
+    val k = (den + num).toLong
+    var (i, j) = (0, 0)
+    var c = 0L
+    var verdict = false
+    if (k * math.min(n, m) >= needed) { // size prefilter (maxPossible at start)
+      if (k * c >= needed) verdict = true // num == 0 accepts immediately
+      else {
+        var decided = false
+        while (!decided && i < n && j < m) {
+          val a = la.getLong(i); val b = ra.getLong(j)
+          if (a == b) { c += 1; i += 1; j += 1 }
+          else if (a < b) i += 1
+          else j += 1
+          if (k * c >= needed) { verdict = true; decided = true }
+          else if (k * (c + math.min(n - i, m - j)) < needed) decided = true
+        }
+      }
+    }
+    verdict
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val need = ctx.freshName("need")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val k = (den + num).toLong
+      s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, l, GraftFunctions.elemNullable(left))}
+        ${GraftFunctions.nullScanCode(ctx, prettyName, r, GraftFunctions.elemNullable(right))}
+        final int $n = $l.numElements();
+        final int $m = $r.numElements();
+        final long $need = ${num}L * ($n + $m);
+        int $i = 0; int $j = 0; long $c = 0L;
+        ${ev.value} = false;
+        if (${k}L * java.lang.Math.min($n, $m) >= $need) {
+          if (${k}L * $c >= $need) { ${ev.value} = true; }
+          else {
+            while ($i < $n && $j < $m) {
+              final long $a = $l.getLong($i);
+              final long $b = $r.getLong($j);
+              if ($a == $b) { $c++; $i++; $j++; }
+              else if ($a < $b) { $i++; } else { $j++; }
+              if (${k}L * $c >= $need) { ${ev.value} = true; break; }
+              if (${k}L * ($c + java.lang.Math.min($n - $i, $m - $j)) < $need) break;
+            }
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccardGe =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-token polynomial hash over an array of strings:
   * raw = fold over chars c of ((h*31 + code(c)) mod 1e9+7), then
   * th = (raw * 2654435761) mod 2^32 (Knuth multiplicative finalizer, so
@@ -636,6 +727,9 @@ object GraftFunctions {
   def sortedIntersectCount(l: Column, r: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(l), GraftColumnBridge.expression(r)))
+  def sortedJaccardGe(l: Column, r: Column, num: Int, den: Int): Column =
+    GraftColumnBridge.column(SortedJaccardGe(
+      GraftColumnBridge.expression(l), GraftColumnBridge.expression(r), num, den))
   def hyperplaneBucket(c: Column, bits: Int, dims: Int = 64): Column =
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(c), bits, dims))

@@ -362,16 +362,23 @@ object TextQueries extends QueryPack {
     * over distinct shingle sets, kept when num/den ≥ threshold. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
                           num: Int, den: Int): DataFrame = {
-    import graft.functions.GraftFunctions.sortedIntersectCount
+    import graft.functions.GraftFunctions.{sortedIntersectCount, sortedJaccardGe}
     val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    // The threshold test runs as the EARLY-EXIT kernel pushed into the
+    // join (r14): the old n_inter/n_union filter substituted the full
+    // merge-walk expression twice per candidate and always walked to
+    // the end — 2 complete walks x 42M first-token candidates at sf1.0
+    // (73s verify stage, SimhashProf). sortedJaccardGe decides most
+    // rejects in the first fraction of one walk; only the answer-sized
+    // survivor set recomputes the exact count for the output columns.
     cand.join(s1, "d1").join(s2, "d2")
+      .filter(sortedJaccardGe(col("s1"), col("s2"), num, den))
       .select(col("d1"), col("d2"),
         sortedIntersectCount(col("s1"), col("s2")).as("n_inter"),
         (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
       .select(col("d1"), col("d2"), col("n_inter"),
         (col("sz") - col("n_inter")).as("n_union"))
-      .filter(col("n_inter") * den >= col("n_union") * num)
   }
 
   /** CMS geometry: 4 rows × 256 buckets, bucket_r(h) = ((h·(2r+3) +
@@ -477,17 +484,17 @@ object TextQueries extends QueryPack {
     * `txt_dedup_incr`). */
   private[queries] def newDocMatches(newDocs: DataFrame,
       bandsOld: DataFrame, shOld: DataFrame): DataFrame = {
-    import graft.functions.GraftFunctions.sortedIntersectCount
+    import graft.functions.GraftFunctions.sortedJaccardGe
     lshBands(shingleSets(newDocs).withColumn("s_new", col("s")))
       .join(broadcast(bandsOld
           .select(col("band"), col("key"), col("doc_id").as("d_old"))),
         Seq("band", "key"))
       .join(shOld.select(col("doc_id").as("d_old"), col("s").as("s_old")),
         "d_old")
-      .select(col("doc_id"),
-        sortedIntersectCount(col("s_new"), col("s_old")).as("ni"),
-        (size(col("s_new")) + size(col("s_old"))).cast("long").as("sz"))
-      .filter(col("ni") * 2 >= col("sz") - col("ni")) // Jaccard ≥ 1/2
+      // Jaccard ≥ 1/2 via the early-exit kernel — only the verdict is
+      // needed here (the sink records the match event), so no exact
+      // count ever computes
+      .filter(sortedJaccardGe(col("s_new"), col("s_old"), 1, 2))
       .select(col("doc_id"))
   }
 
@@ -875,9 +882,17 @@ object TextQueries extends QueryPack {
       val b2 = bands.select(col("band"), col("bk"), col("doc_id").as("d2"), col("sim").as("sim2"))
       b1.join(b2, Seq("band", "bk"))
         .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), col("sim1"), col("sim2")).distinct()
+        // hamming filter BEFORE the dedup shuffle (r14): the ham test
+        // is free codegen inside the join stage, and at replica-dense
+        // scales the band join emits far more candidates than survive
+        // it (sf1.0: the distinct used to shuffle the full ~50M-row
+        // candidate set; filtering first shuffles only the ≤4 band
+        // copies of each of the 4.18M true pairs — same result set,
+        // the dedup now costs what the ANSWER costs, not what the
+        // blocking costs)
         .selectExpr("d1", "d2", "cast(bit_count(sim1 ^ sim2) as bigint) as ham")
         .filter(col("ham") <= 3)
+        .distinct()
     }),
 
     // Repetition / boilerplate quality signals (the dup-text heuristics

@@ -64,6 +64,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("SortedJaccardGe == the exact two-count filter on random sorted sets, both eval paths") {
+    import spark.implicits._
+    // seeded random sorted distinct pairs spanning the decision
+    // boundary (shared prefixes, disjoint, identical, empty, skewed
+    // sizes) — the early-exit kernel must agree EXACTLY with the
+    // n_inter/n_union formulation it replaced, at several thresholds
+    val r = new scala.util.Random(20260815L)
+    val rows = Seq((Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)), (Seq(4L), Seq(4L))) ++
+      (1 to 200).map { _ =>
+        val base = Seq.fill(r.nextInt(40) + 1)(r.nextInt(60).toLong)
+          .distinct.sorted
+        val b = (base.filter(_ => r.nextBoolean()) ++
+          Seq.fill(r.nextInt(20))(r.nextInt(90).toLong)).distinct.sorted
+        (base, b)
+      }
+    val df = rows.toDF("a", "b")
+    for ((num, den) <- Seq((1, 2), (3, 10), (9, 10), (0, 1), (1, 1))) {
+      val exact = df.select(
+        GraftFunctions.sortedIntersectCount(col("a"), col("b")).as("i"),
+        (size(col("a")) + size(col("b"))).cast("long").as("sz"))
+        .selectExpr(s"i * $den >= (sz - i) * $num as want")
+        .collect().map(_.getBoolean(0))
+      def run(): Array[Boolean] = df
+        .select(GraftFunctions.sortedJaccardGe(col("a"), col("b"), num, den).as("g"))
+        .collect().map(_.getBoolean(0))
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val interp = run()
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        val gen = run()
+        assert(interp.sameElements(exact), s"interpreted diverged at $num/$den")
+        assert(gen.sameElements(exact), s"codegen diverged at $num/$den")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
   test("SQL surface via GraftExtensions.register") {
     GraftExtensions.register(spark)
     val r = spark.sql(
