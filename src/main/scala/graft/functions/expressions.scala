@@ -660,6 +660,89 @@ case class HyperplaneBucket(child: Expression, bits: Int, dims: Int = 64)
     copy(child = newChild)
 }
 
+/** Nearest-IVF-cell assignment of a quantized vector against a small
+  * plan-time centroid table (the streaming-ingest encode kernel, r14):
+  * cells are (label, n, summed-vector) rows collected from the
+  * standing corpus half and embedded in the expression — the broadcast-
+  * codebook-in-the-kernel shape a 100 TB ingest path runs (the table is
+  * ≤ label-domain rows, a few KB). Score per cell is the same integer
+  * formula as the batch `ivfAssignedBuild` argmax:
+  * floor(dot(q, cvec)·10⁶ / n), ties to the SMALLEST label. Codegen'd
+  * tight loop — per-row cost k·dims multiplies, no join, no shuffle,
+  * no per-row state: the whole assignment is a map over the stream.
+  * Floor division on both engines (Math.floorDiv here, `//` in the
+  * DuckDB oracle) so negative dots round identically. Domain bound:
+  * |dot·10⁶| must stay under 2⁶³ — quantized components ≤10³ and
+  * cell sums grow with corpus/cells, safe through ~sf10. */
+case class NearestIvfCell(child: Expression,
+    labels: Seq[Long], ns: Seq[Long], cvecs: Seq[Seq[Long]], dims: Int = 64)
+    extends UnaryExpression {
+  require(labels.nonEmpty && labels.size == ns.size && ns.size == cvecs.size &&
+    cvecs.forall(_.size == dims), "malformed centroid table")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftFunctions.requireLongArray(prettyName, child)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_ivf_cell"
+
+  // flattened [label, n, v0..v(dims-1)]* for the generated loop
+  @transient private lazy val flat: Array[Long] =
+    labels.indices.flatMap(c =>
+      Seq(labels(c), ns(c)) ++ cvecs(c)).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    GraftFunctions.checkNulls(prettyName, a, GraftFunctions.elemNullable(child))
+    val stride = dims + 2
+    var best = Long.MinValue
+    var bestLabel = Long.MaxValue
+    var c = 0
+    while (c < labels.size) {
+      val base = c * stride
+      var dot = 0L
+      var i = 0
+      val lim = math.min(dims, a.numElements())
+      while (i < lim) { dot += a.getLong(i) * flat(base + 2 + i); i += 1 }
+      val score = Math.floorDiv(dot * 1000000L, flat(base + 1))
+      if (score > best || (score == best && flat(base) < bestLabel)) {
+        best = score; bestLabel = flat(base)
+      }
+      c += 1
+    }
+    bestLabel
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ivfCells", flat, "long[]")
+    val k = labels.size
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best"); val bl = ctx.freshName("bl")
+      val c = ctx.freshName("c"); val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim"); val sc = ctx.freshName("sc")
+      s"""
+        ${GraftFunctions.nullScanCode(ctx, prettyName, a, GraftFunctions.elemNullable(child))}
+        long $best = Long.MIN_VALUE; long $bl = Long.MAX_VALUE;
+        final int $lim = java.lang.Math.min($dims, $a.numElements());
+        for (int $c = 0; $c < $k; $c++) {
+          final int $base = $c * ${dims + 2};
+          long $dot = 0L;
+          for (int $i = 0; $i < $lim; $i++) {
+            $dot += $a.getLong($i) * $flatRef[$base + 2 + $i];
+          }
+          final long $sc = java.lang.Math.floorDiv($dot * 1000000L, $flatRef[$base + 1]);
+          if ($sc > $best || ($sc == $best && $flatRef[$base] < $bl)) {
+            $best = $sc; $bl = $flatRef[$base];
+          }
+        }
+        ${ev.value} = $bl;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestIvfCell =
+    copy(child = newChild)
+}
+
 /** Column-API helpers for the native expressions. */
 object GraftFunctions {
   private[functions] def requireLongArray(
@@ -733,4 +816,8 @@ object GraftFunctions {
   def hyperplaneBucket(c: Column, bits: Int, dims: Int = 64): Column =
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(c), bits, dims))
+  def nearestIvfCell(c: Column, labels: Seq[Long], ns: Seq[Long],
+      cvecs: Seq[Seq[Long]], dims: Int = 64): Column =
+    GraftColumnBridge.column(NearestIvfCell(
+      GraftColumnBridge.expression(c), labels, ns, cvecs, dims))
 }

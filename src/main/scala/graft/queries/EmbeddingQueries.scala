@@ -22,8 +22,10 @@ import graft.Tables
   */
 object EmbeddingQueries extends QueryPack {
 
-  /** int64-quantized embedding (float → double widen is exact). */
-  private val quant =
+  /** int64-quantized embedding (float → double widen is exact);
+    * exposed to the streaming ingest gate, which quantizes arriving
+    * vectors with the identical expression. */
+  private[queries] val quant =
     "transform(embedding, x -> cast(floor(cast(x as double) * 1000.0) as bigint))"
 
   // dot products use the native codegen'd DotI64 expression — a tight
@@ -107,6 +109,30 @@ object EmbeddingQueries extends QueryPack {
         max("n").as("n"))
       .selectExpr("cast(label as bigint) as clabel",
         "transform(cs, x -> x.sv) as cvec", "n"))
+
+  /** Standing-corpus (even vec_id) IVF centroid table, collected to
+    * the driver for the streaming-ingest kernel (r14): (labels, ns,
+    * summed-vectors), ordered by label. The collect is bounded by the
+    * LABEL DOMAIN (a dimension, ~tens of rows), never the corpus —
+    * the same table every IVF query broadcasts, here embedded in the
+    * codegen'd NearestIvfCell so arriving vectors assign with zero
+    * joins and zero state. */
+  private[queries] def standingIvfCentroids(
+      s: SparkSession, dir: String): (Seq[Long], Seq[Long], Seq[Seq[Long]]) = {
+    val rows = emb(s, dir).filter(col("vec_id") % 2 === 0)
+      .selectExpr("label", "posexplode(q) as (i, v)")
+      .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
+        max("n").as("n"))
+      .selectExpr("cast(label as bigint) as clabel",
+        "transform(cs, x -> x.sv) as cvec", "n")
+      .orderBy("clabel")
+      .collect()
+    (rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getLong(2)).toSeq,
+      rows.map(_.getSeq[Long](1).toSeq).toSeq)
+  }
 
   /** IVF assignment rows (vec_id → nearest coarse cell): broadcast
     * centroid cross + per-vector argmax as a `max(struct(...))` partial

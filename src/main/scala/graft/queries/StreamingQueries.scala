@@ -171,29 +171,32 @@ object StreamingQueries extends QueryPack {
     stage.toString
   }
 
-  /** Stage the documents table as a doc_id-ordered multi-file stream
-    * (the `stream_dedup_lsh` ingest replay). No sentinels: the dedup
-    * pipeline is STATELESS (no watermark, no state store), so nothing
-    * needs flushing — every file's rows emit in their own micro-batch. */
-  private def stageDocsDir(s: SparkSession, dir: String): String = synchronized {
+  /** Stage a dimension-keyed table as a key-ordered multi-file stream
+    * (the ingest replays: `stream_dedup_lsh` over documents,
+    * `stream_ivf_ingest` over embeddings). No sentinels: the ingest
+    * pipelines are STATELESS (no watermark, no state store), so
+    * nothing needs flushing — every file's rows emit in their own
+    * micro-batch. */
+  private def stageTableDir(s: SparkSession, dir: String,
+      table: String, orderCol: String): String = synchronized {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
-    val src = Paths.get(dir, "documents.parquet")
+    val src = Paths.get(dir, s"$table.parquet")
     val canon = src.toRealPath().getParent.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    val stage = Paths.get("/tmp/graft_stream_v2", canon, "documents")
+    val stage = Paths.get("/tmp/graft_stream_v2", canon, table)
     val marker = stage.resolve("_STAGED")
     val tag = s"${Files.size(src)}:${Files.getLastModifiedTime(src)}:$STAGE_PARTS"
     if (Files.exists(marker) && Files.readString(marker) == tag)
       return stage.toString
     deleteRecursively(stage)
     Files.createDirectories(stage)
-    val tmpData = stage.resolveSibling("documents_tmp")
+    val tmpData = stage.resolveSibling(s"${table}_tmp")
     deleteRecursively(tmpData)
-    Tables.load(s, dir, "documents")
-      .repartitionByRange(STAGE_PARTS, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+    Tables.load(s, dir, table)
+      .repartitionByRange(STAGE_PARTS, col(orderCol))
+      .sortWithinPartitions(orderCol)
       .write.mode("overwrite").parquet(tmpData.toString)
     val st = Files.list(tmpData)
     val parts = (try st.iterator().asScala.toList finally st.close())
@@ -210,15 +213,19 @@ object StreamingQueries extends QueryPack {
     stage.toString
   }
 
-  /** documents replayed as a stream, `filesPerTrigger` staged files per
-    * micro-batch. */
-  private def streamDocs(s: SparkSession, dir: String,
-      filesPerTrigger: Int): DataFrame = {
-    val schema = Tables.load(s, dir, "documents").schema
+  /** A staged table replayed as a stream, `filesPerTrigger` staged
+    * files per micro-batch. */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+      orderCol: String, filesPerTrigger: Int): DataFrame = {
+    val schema = Tables.load(s, dir, table).schema
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)
-      .parquet(stageDocsDir(s, dir))
+      .parquet(stageTableDir(s, dir, table, orderCol))
   }
+
+  private def streamDocs(s: SparkSession, dir: String,
+      filesPerTrigger: Int): DataFrame =
+    streamTable(s, dir, "documents", "doc_id", filesPerTrigger)
 
   /** events replayed as a stream: `filesPerTrigger` staged files per
     * micro-batch (default 1 — the finest replay), with `ts_utc`
@@ -596,6 +603,31 @@ object StreamingQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Streaming IVF index maintenance (the ingest twin of
+    // stream_dedup_lsh, r14): new embedding vectors (odd vec_ids)
+    // arrive as a vec_id-staged file stream and are ASSIGNED to their
+    // IVF coarse cell on arrival, against centroids trained on the
+    // standing (even) half — how an ANN index stays fresh under
+    // 100 TB/day ingest without rebuilds. The centroid table is
+    // collected once (bounded by the label domain, a few KB) and
+    // embedded in the codegen'd NearestIvfCell kernel, so the whole
+    // assignment is a stateless map over the stream: per-vector cost
+    // is k·64 multiplies, zero joins, zero shuffles, zero state rows
+    // (StreamEvictionSpec pins it). Scoring is the batch argmax
+    // formula (floor(dot·10⁶/n), ties to the smallest label), floor
+    // division on both engines.
+    "stream_ivf_ingest" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.nearestIvfCell
+      val (labels, ns, cvecs) = EmbeddingQueries.standingIvfCentroids(s, dir)
+      drainAppend(s, "stream_ivf_ingest") { ss =>
+        streamTable(ss, dir, "embeddings", "vec_id", filesPerTrigger = 2)
+          .filter(col("vec_id") % 2 === 1)
+          .selectExpr("vec_id", s"${EmbeddingQueries.quant} as q")
+          .select(col("vec_id"),
+            nearestIvfCell(col("q"), labels, ns, cvecs).as("alabel"))
+      }
+    }),
+
     // Sessionization, relational formulation: lag window over
     // (user_id, event time) + running sum of >1h gap breaks — the same
     // shape its oracle uses. One shuffle on user_id; the window sort is
@@ -620,6 +652,28 @@ object StreamingQueries extends QueryPack {
     // the stream gate must produce EXACTLY the batch incremental-dedup
     // result, so it shares txt_dedup_incr's oracle verbatim
     "stream_dedup_lsh" -> TextQueries.oracles("txt_dedup_incr"),
+    // even-half-trained centroids assign arriving odd vectors; floor
+    // division (//) matches the kernel's Math.floorDiv
+    "stream_ivf_ingest" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+           FROM embeddings),
+         comp AS (SELECT label, i, CAST(sum(v[i+1]) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+           FROM e, range(64) r(i) WHERE vec_id % 2 = 0 GROUP BY label, i),
+         cents AS (SELECT CAST(label AS BIGINT) AS clabel,
+             list(sv ORDER BY i) AS cvec, max(n) AS n
+           FROM comp GROUP BY label),
+         scored AS (SELECT o.vec_id, c.clabel,
+             (CAST(list_sum(list_transform(range(1, 65),
+                i -> o.v[i] * c.cvec[i])) AS BIGINT) * 1000000) // c.n AS score
+           FROM e o, cents c WHERE o.vec_id % 2 = 1),
+         ranked AS (SELECT vec_id, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, clabel ASC) AS rk
+           FROM scored)
+         SELECT vec_id, clabel AS alabel FROM ranked WHERE rk = 1""",
     "stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type, COUNT(*) AS n,

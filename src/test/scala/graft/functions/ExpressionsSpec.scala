@@ -102,6 +102,41 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestIvfCell == the max(struct) batch argmax, both eval paths") {
+    import spark.implicits._
+    // seeded random centroids + vectors; ground truth via the exact
+    // batch formulation (cross join + floor-div score + argmax with
+    // smallest-label tie-break)
+    val r = new scala.util.Random(20260815L)
+    val dims = 64
+    val k = 7
+    val labels = (0 until k).map(_.toLong * 3 + 1)
+    val ns = (0 until k).map(i => (r.nextInt(50) + 1).toLong)
+    val cvecs = (0 until k).map(_ =>
+      Seq.fill(dims)((r.nextInt(2000000) - 1000000).toLong))
+    val vecs = (1 to 60).map(id =>
+      (id.toLong, Seq.fill(dims)((r.nextInt(2001) - 1000).toLong)))
+    val df = vecs.toDF("vec_id", "q")
+    val want = vecs.map { case (id, q) =>
+      val best = (0 until k).map { c =>
+        val dot = q.zip(cvecs(c)).map { case (a, b) => a * b }.sum
+        (Math.floorDiv(dot * 1000000L, ns(c)), -labels(c))
+      }.max
+      id -> -best._2
+    }.toMap
+    def run(): Map[Long, Long] = df
+      .select(col("vec_id"),
+        GraftFunctions.nearestIvfCell(col("q"), labels, ns, cvecs, dims).as("a"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(run() == want, "interpreted diverged from the exact argmax")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(run() == want, "codegen diverged from the exact argmax")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("SQL surface via GraftExtensions.register") {
     GraftExtensions.register(spark)
     val r = spark.sql(

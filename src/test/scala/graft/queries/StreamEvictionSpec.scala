@@ -127,6 +127,27 @@ class StreamEvictionSpec extends AnyFunSuite {
         s"missing=${(want diff got).take(3)}")
   }
 
+  test("stream_ivf_ingest: assignment-on-arrival is STATELESS and equals the batch assignment") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("stream_ivf_ingest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val state = StreamingQueries.stateRowsByQuery("stream_ivf_ingest")
+    assert(state.nonEmpty && state.forall(_ == 0),
+      s"ingest assignment grew state: $state")
+    // batch twin: the same kernel over the same odd vectors, batch-read
+    val (labels, ns, cvecs) = EmbeddingQueries.standingIvfCentroids(spark, dir)
+    val want = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 1)
+      .selectExpr("vec_id", s"${EmbeddingQueries.quant} as q")
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.nearestIvfCell(
+          col("q"), labels, ns, cvecs).as("alabel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"stream/batch assignment diverged: extra=${(got diff want).take(3)} " +
+        s"missing=${(want diff got).take(3)}")
+  }
+
   test("stream_join: interval-join state holds the interval, not history") {
     val (_, state) = runTracked("stream_join")
     assert(state.length >= 4)
