@@ -73,10 +73,15 @@ object Bench {
     * committed baseline, even when no per-query suspect fires.
     * Exposed for BenchGuardSpec. */
   private[graft] def baselineWriteDecision(
-      envSuspect: Boolean, configMatch: Boolean,
+      envSuspect: Boolean, configMatch: Boolean, hasErrors: Boolean,
       probeSec: Double, probeStSec: Double,
       probeMax: Double, probeStMax: Double): String =
     if (envSuspect) "refused_suspect"
+    // an errored query's wall is time-to-failure, not work — a run
+    // carrying ANY error (incl. a failed index prebuild, recorded as a
+    // synthetic errors entry) must never self-commit those walls as
+    // baselines (r14; promote_baseline.py refuses the same way)
+    else if (hasErrors) "refused_errors"
     else if (!configMatch) "refused_config"
     else if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
     else "ok"
@@ -375,6 +380,10 @@ object Bench {
         baseline.get(name).exists(b => b > 1.0 && t > 2.5 * runningDrift * b)
 
     var errors = Vector.empty[(String, String)]
+    // a failed prebuild joins the errors block (r14): the promote tool
+    // and the self-commit gate both refuse error-carrying runs, so the
+    // build row's time-to-failure wall can never become its baseline
+    prebuildFailed.foreach(m => errors :+= ("emb_ivfpq_build" -> m))
     var suspects = Vector.empty[String]
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -486,12 +495,19 @@ object Bench {
     // memos; min-of-positions is billed, both walls land in the full
     // file. A failed prebuild is never re-timed (its wall is
     // time-to-failure, not work).
+    var prebuildAltFailed = false
     val ivfBuildAlt: Option[Double] =
       if (prebuildFailed.isEmpty &&
           heavyRerunWorthy(ivfBuildSecFirst,
             baseline.get("emb_ivfpq_build"), finalDrift)) {
         graft.queries.PackResources.releaseAll()
-        Some(timedPrebuild())
+        val t = timedPrebuild()
+        // a re-time that THROWS must neither bill its time-to-failure
+        // wall (min would fabricate a fast build) nor mark a run whose
+        // in-loop build succeeded as prebuild_failed — keep the first
+        // wall, roll the flag back, disclose the failed re-time
+        if (prebuildFailed.isEmpty) Some(t)
+        else { prebuildFailed = None; prebuildAltFailed = true; None }
       } else None
     val ivfBuildSec = ivfBuildAlt.fold(ivfBuildSecFirst)(math.min(ivfBuildSecFirst, _))
     // the total includes the untimed-per-gate index build — it is real
@@ -516,7 +532,10 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/target/scratch/tmp_sf1")
     val sf1Times: Seq[(String, Double)] =
-      if (Paths.get(sfDir).getFileName.toString == "sf0.1" &&
+      // same sf normalization as baselineFileFor (tmp_ strips), so the
+      // two sf-detection rules can't disagree about what the sf0.1
+      // loop is
+      if (Paths.get(sfDir).getFileName.toString.stripPrefix("tmp_") == "sf0.1" &&
           new java.io.File(sf1Dir).isDirectory) {
         graft.queries.PackResources.releaseAll()
         sf1Subset.flatMap { n =>
@@ -580,7 +599,7 @@ object Bench {
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
     val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
     val baselineWrite = baselineWriteDecision(envSuspect, baselineConfigMatch,
-      probeSec, probeStSec, probeMax, probeStMax)
+      errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax)
     val fullTarget =
       if (baselineWrite == "ok") baselineFile
       else baselineFile.replace(".json", "_SUSPECT.json")
@@ -623,6 +642,7 @@ object Bench {
         s"""  "emb_ivfpq_build__first": ${fmt(ivfBuildSecFirst)},\n""") +
       prebuildFailed.fold("")(m =>
         s"""  "prebuild_failed": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}",\n""") +
+      (if (prebuildAltFailed) "  \"prebuild_alt_failed\": true,\n" else "") +
       (if (warmupSkipped.isEmpty) ""
        else warmupSkipped.map("\"" + _ + "\"")
          .mkString("  \"warmup_skipped\": [", ", ", "],\n")) +

@@ -55,6 +55,9 @@ object GraftExtensions {
       {
         case Seq(l, r, Literal(n: Int, IntegerType), Literal(d: Int, IntegerType)) =>
           SortedJaccardGe(l, r, n, d)
+        case args if args.length == 4 => throw new IllegalArgumentException(
+          "sorted_jaccard_ge thresholds must be plain int LITERALS " +
+            s"(got ${args(2).sql}, ${args(3).sql})")
         case args => throw new IllegalArgumentException(
           s"sorted_jaccard_ge expects (array, array, int literal, int literal), got ${args.length} args")
       }),

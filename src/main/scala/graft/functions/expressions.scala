@@ -667,11 +667,13 @@ case class HyperplaneBucket(child: Expression, bits: Int, dims: Int = 64)
   * codebook-in-the-kernel shape a 100 TB ingest path runs (the table is
   * ≤ label-domain rows, a few KB). Score per cell is the same integer
   * formula as the batch `ivfAssignedBuild` argmax:
-  * floor(dot(q, cvec)·10⁶ / n), ties to the SMALLEST label. Codegen'd
+  * trunc(dot(q, cvec)·10⁶ / n), ties to the SMALLEST label. Codegen'd
   * tight loop — per-row cost k·dims multiplies, no join, no shuffle,
   * no per-row state: the whole assignment is a map over the stream.
-  * Floor division on both engines (Math.floorDiv here, `//` in the
-  * DuckDB oracle) so negative dots round identically. Domain bound:
+  * Division TRUNCATES toward zero on all three engines (Java `/`
+  * here, `//` in DuckDB — verified: (-7)//2 = -3 — and Spark's `div`
+  * in the batch argmax) so negative dots round identically;
+  * Math.floorDiv would round -3.5 to -4 and diverge. Domain bound:
   * |dot·10⁶| must stay under 2⁶³ — quantized components ≤10³ and
   * cell sums grow with corpus/cells, safe through ~sf10. */
 case class NearestIvfCell(child: Expression,
@@ -702,7 +704,7 @@ case class NearestIvfCell(child: Expression,
       var i = 0
       val lim = math.min(dims, a.numElements())
       while (i < lim) { dot += a.getLong(i) * flat(base + 2 + i); i += 1 }
-      val score = Math.floorDiv(dot * 1000000L, flat(base + 1))
+      val score = dot * 1000000L / flat(base + 1)
       if (score > best || (score == best && flat(base) < bestLabel)) {
         best = score; bestLabel = flat(base)
       }
@@ -729,7 +731,7 @@ case class NearestIvfCell(child: Expression,
           for (int $i = 0; $i < $lim; $i++) {
             $dot += $a.getLong($i) * $flatRef[$base + 2 + $i];
           }
-          final long $sc = java.lang.Math.floorDiv($dot * 1000000L, $flatRef[$base + 1]);
+          final long $sc = $dot * 1000000L / $flatRef[$base + 1];
           if ($sc > $best || ($sc == $best && $flatRef[$base] < $bl)) {
             $best = $sc; $bl = $flatRef[$base];
           }

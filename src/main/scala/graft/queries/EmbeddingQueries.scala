@@ -98,17 +98,23 @@ object EmbeddingQueries extends QueryPack {
 
   import org.apache.spark.sql.expressions.Window
 
-  /** IVF coarse-quantizer table (one row per label: summed vector +
-    * count), memoized — every IVF query broadcasts it. */
-  private def ivfCents(s: SparkSession, dir: String): DataFrame =
-    PackResources.checkpoint(s, dir, "emb_ivf_cents")(emb(s, dir)
-      .selectExpr("label", "posexplode(q) as (i, v)")
+  /** Per-label centroid table (clabel, cvec = summed vector, n) of any
+    * (label, q) frame — shared by the batch IVF quantizer and the
+    * streaming-ingest standing-half table, so the two can never
+    * desynchronize on the aggregation convention. */
+  private def centsOf(e: DataFrame): DataFrame =
+    e.selectExpr("label", "posexplode(q) as (i, v)")
       .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
       .groupBy("label")
       .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
         max("n").as("n"))
       .selectExpr("cast(label as bigint) as clabel",
-        "transform(cs, x -> x.sv) as cvec", "n"))
+        "transform(cs, x -> x.sv) as cvec", "n")
+
+  /** IVF coarse-quantizer table (one row per label: summed vector +
+    * count), memoized — every IVF query broadcasts it. */
+  private def ivfCents(s: SparkSession, dir: String): DataFrame =
+    PackResources.checkpoint(s, dir, "emb_ivf_cents")(centsOf(emb(s, dir)))
 
   /** Standing-corpus (even vec_id) IVF centroid table, collected to
     * the driver for the streaming-ingest kernel (r14): (labels, ns,
@@ -119,14 +125,7 @@ object EmbeddingQueries extends QueryPack {
     * joins and zero state. */
   private[queries] def standingIvfCentroids(
       s: SparkSession, dir: String): (Seq[Long], Seq[Long], Seq[Seq[Long]]) = {
-    val rows = emb(s, dir).filter(col("vec_id") % 2 === 0)
-      .selectExpr("label", "posexplode(q) as (i, v)")
-      .groupBy("label", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .groupBy("label")
-      .agg(sort_array(collect_list(struct(col("i"), col("sv")))).as("cs"),
-        max("n").as("n"))
-      .selectExpr("cast(label as bigint) as clabel",
-        "transform(cs, x -> x.sv) as cvec", "n")
+    val rows = centsOf(emb(s, dir).filter(col("vec_id") % 2 === 0))
       .orderBy("clabel")
       .collect()
     (rows.map(_.getLong(0)).toSeq,

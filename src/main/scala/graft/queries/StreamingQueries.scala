@@ -614,8 +614,9 @@ object StreamingQueries extends QueryPack {
     // assignment is a stateless map over the stream: per-vector cost
     // is k·64 multiplies, zero joins, zero shuffles, zero state rows
     // (StreamEvictionSpec pins it). Scoring is the batch argmax
-    // formula (floor(dot·10⁶/n), ties to the smallest label), floor
-    // division on both engines.
+    // formula (trunc(dot·10⁶/n), ties to the smallest label);
+    // division truncates toward zero on all three engines (Java /,
+    // DuckDB //, Spark div).
     "stream_ivf_ingest" -> ((s, dir) => {
       import graft.functions.GraftFunctions.nearestIvfCell
       val (labels, ns, cvecs) = EmbeddingQueries.standingIvfCentroids(s, dir)
@@ -652,8 +653,8 @@ object StreamingQueries extends QueryPack {
     // the stream gate must produce EXACTLY the batch incremental-dedup
     // result, so it shares txt_dedup_incr's oracle verbatim
     "stream_dedup_lsh" -> TextQueries.oracles("txt_dedup_incr"),
-    // even-half-trained centroids assign arriving odd vectors; floor
-    // division (//) matches the kernel's Math.floorDiv
+    // even-half-trained centroids assign arriving odd vectors;
+    // DuckDB // truncates toward zero, matching the kernel's Java /
     "stream_ivf_ingest" ->
       """WITH e AS (SELECT vec_id, label,
              list_transform(embedding,

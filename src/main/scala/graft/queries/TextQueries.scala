@@ -252,7 +252,7 @@ object TextQueries extends QueryPack {
     * near-dup queries share one shingling pass. */
   private def shingleDF(s: SparkSession, dir: String): DataFrame =
     PackResources.checkpoint(s, dir, "txt_shingles")(
-      docs(s, dir).select(col("doc_id"), shingle3SortedSet(tokHashes).as("s")))
+      shingleSets(docs(s, dir)))
 
   /** Phrase-match core over a (doc_id, text) frame (see the
     * `txt_phrase_match` gate comment for the plan design — broadcast

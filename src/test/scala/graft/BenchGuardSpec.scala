@@ -106,12 +106,17 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("committed-baseline writes are probe-gated (degraded episodes write aside)") {
-    def d(sus: Boolean, cfg: Boolean, p: Double, pst: Double) =
-      Bench.baselineWriteDecision(sus, cfg, p, pst, 0.25, 0.32)
+    def d(sus: Boolean, cfg: Boolean, p: Double, pst: Double,
+        err: Boolean = false) =
+      Bench.baselineWriteDecision(sus, cfg, err, p, pst, 0.25, 0.32)
     // clean run on a clean box at the committed config → may commit
     assert(d(false, true, 0.12, 0.27) == "ok")
     // suspect verdict always wins (even with clean probes)
     assert(d(true, true, 0.12, 0.27) == "refused_suspect")
+    // an errored run never self-commits (r14: a time-to-failure wall —
+    // incl. a failed prebuild's synthetic entry — must not become a
+    // baseline, mirroring promote_baseline.py's errors-block refusal)
+    assert(d(false, true, 0.12, 0.27, err = true) == "refused_errors")
     // config mismatch next (a run at another sf/cpus never clobbers)
     assert(d(false, false, 0.12, 0.27) == "refused_config")
     // degraded probes refuse even a no-suspect run — judge r12 #1:

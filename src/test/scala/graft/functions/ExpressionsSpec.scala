@@ -104,9 +104,10 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("NearestIvfCell == the max(struct) batch argmax, both eval paths") {
     import spark.implicits._
-    // seeded random centroids + vectors; ground truth via the exact
-    // batch formulation (cross join + floor-div score + argmax with
-    // smallest-label tie-break)
+    // seeded random centroids + vectors (negative components, so
+    // negative dots exercise the truncating division); ground truth
+    // via the exact batch formulation (truncating-div score + argmax
+    // with smallest-label tie-break)
     val r = new scala.util.Random(20260815L)
     val dims = 64
     val k = 7
@@ -120,7 +121,7 @@ class ExpressionsSpec extends AnyFunSuite {
     val want = vecs.map { case (id, q) =>
       val best = (0 until k).map { c =>
         val dot = q.zip(cvecs(c)).map { case (a, b) => a * b }.sum
-        (Math.floorDiv(dot * 1000000L, ns(c)), -labels(c))
+        (dot * 1000000L / ns(c), -labels(c))
       }.max
       id -> -best._2
     }.toMap

@@ -119,6 +119,9 @@ def main():
     out_file = "BENCH_FULL.json"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("REFUSED: --out needs a filename argument")
+            sys.exit(1)
         out_file = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
