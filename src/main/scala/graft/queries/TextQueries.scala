@@ -882,17 +882,24 @@ object TextQueries extends QueryPack {
       val b2 = bands.select(col("band"), col("bk"), col("doc_id").as("d2"), col("sim").as("sim2"))
       b1.join(b2, Seq("band", "bk"))
         .filter(col("d1") < col("d2"))
-        // hamming filter BEFORE the dedup shuffle (r14): the ham test
-        // is free codegen inside the join stage, and at replica-dense
-        // scales the band join emits far more candidates than survive
-        // it (sf1.0: the distinct used to shuffle the full ~50M-row
-        // candidate set; filtering first shuffles only the ≤4 band
-        // copies of each of the 4.18M true pairs — same result set,
-        // the dedup now costs what the ANSWER costs, not what the
-        // blocking costs)
-        .selectExpr("d1", "d2", "cast(bit_count(sim1 ^ sim2) as bigint) as ham")
+        // Dedup WITHOUT a shuffle (r14): a pair that matches in k
+        // bands would emit k times, and the old distinct() shuffled
+        // every emission (19.8s of the 65s sf1.0 wall, SimhashProf;
+        // the first fix filtered hamming before it, still ~17M rows).
+        // Instead emit each pair ONLY from its FIRST matching band —
+        // band b matches iff byte b of x = sim1^sim2 is zero, so the
+        // first match is a pure codegen CASE over x's low bytes and
+        // every surviving pair appears exactly once. Everything after
+        // the band join is now in-stage: the gate's only exchanges
+        // are the join inputs, at any corpus size.
+        .withColumn("x", expr("sim1 ^ sim2"))
+        .filter(col("band") === expr(
+          """case when (x & 255) = 0 then 0
+                  when (x & 65280) = 0 then 1
+                  when (x & 16711680) = 0 then 2
+                  else 3 end"""))
+        .selectExpr("d1", "d2", "cast(bit_count(x) as bigint) as ham")
         .filter(col("ham") <= 3)
-        .distinct()
     }),
 
     // Repetition / boilerplate quality signals (the dup-text heuristics
