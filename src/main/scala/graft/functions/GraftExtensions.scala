@@ -61,6 +61,10 @@ object GraftExtensions {
         case args => throw new IllegalArgumentException(
           s"sorted_jaccard_ge expects (array, array, int literal, int literal), got ${args.length} args")
       }),
+    ("dhash63",
+      info("dhash63",
+        "dhash63(payload) - 63-bit perceptual dHash of a string payload (8x9 sample grid)"),
+      { case Seq(c) => DHash63(c) }),
     ("token_hash64",
       info("token_hash64",
         "token_hash64(arr) - u32 polynomial hash per token of an array<string>"),

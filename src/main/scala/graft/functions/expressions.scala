@@ -660,6 +660,66 @@ case class HyperplaneBucket(child: Expression, bits: Int, dims: Int = 64)
     copy(child = newChild)
 }
 
+/** 63-bit dHash of a payload string (the multimodal perceptual-hash
+  * kernel, r14): sample 72 "pixels" g[i] = byte at position
+  * i·len div 72 (the decode/resize stub — ASCII corpus contract, byte
+  * == codepoint, same as TokenHash64), then bit j compares
+  * horizontally adjacent samples g[j + j div 8] > g[j + j div 8 + 1].
+  * Replaces the transform(sequence(0,71))/aggregate(sequence(0,62))
+  * HOF pipeline, which is INTERPRETED per lambda step (~135
+  * expression-tree evals per doc ≈ 4.8ms core-time — the dHash pass
+  * was 15 of mm_phash_pairs' 20s at the sf1.0 fixture). Bit-identical
+  * to the HOF and the DuckDB unicode(substr(...)) formulation on the
+  * ASCII corpus; empty text hashes to 0 (ascii('') = 0 in the HOF). */
+case class DHash63(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string payload, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dhash63"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numBytes
+    val g = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      g(i) = if (n == 0) 0 else s.getByte((i.toLong * n / 72).toInt) & 0xff
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 63) {
+      if (g(j + j / 8) > g(j + j / 8 + 1)) h += 1L << j
+      j += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n"); val g = ctx.freshName("g")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+        final int $n = $s.numBytes();
+        final int[] $g = new int[72];
+        for (int $i = 0; $i < 72; $i++) {
+          $g[$i] = $n == 0 ? 0
+            : $s.getByte((int) ((long) $i * $n / 72)) & 0xff;
+        }
+        ${ev.value} = 0L;
+        for (int $j = 0; $j < 63; $j++) {
+          if ($g[$j + $j / 8] > $g[$j + $j / 8 + 1]) ${ev.value} += 1L << $j;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DHash63 =
+    copy(child = newChild)
+}
+
 /** Nearest-IVF-cell assignment of a quantized vector against a small
   * plan-time centroid table (the streaming-ingest encode kernel, r14):
   * cells are (label, n, summed-vector) rows collected from the
@@ -822,4 +882,6 @@ object GraftFunctions {
       cvecs: Seq[Seq[Long]], dims: Int = 64): Column =
     GraftColumnBridge.column(NearestIvfCell(
       GraftColumnBridge.expression(c), labels, ns, cvecs, dims))
+  def dhash63(c: Column): Column =
+    GraftColumnBridge.column(DHash63(GraftColumnBridge.expression(c)))
 }

@@ -103,8 +103,23 @@ object MultimodalQueries extends QueryPack {
         col("doc_id").as("d2"), col("phash").as("p2"))
       b1.join(b2, Seq("band", "bk"))
         .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), col("p1"), col("p2")).distinct()
-        .selectExpr("d1", "d2", "cast(bit_count(p1 ^ p2) as bigint) as ham")
+        // Dedup without a shuffle (r14, the txt_simhash_pairs
+        // treatment): a ham<=3 pair emits once per intact band and the
+        // old distinct() shuffled every emission — at sf1.0 the
+        // replica/variant clusters share identical dHashes, so most
+        // pairs matched in all 4 bands and the distinct carried ~4x
+        // the 772,876-pair answer. Band b is intact iff bits
+        // [16b, 16b+16) of x = p1^p2 are zero; keeping only the FIRST
+        // intact band's emission (a codegen CASE over x) yields each
+        // pair exactly once — everything after the band join is
+        // in-stage at any corpus size.
+        .withColumn("x", expr("p1 ^ p2"))
+        .filter(col("band") === expr(
+          """case when (x & 65535) = 0 then 0
+                  when (x & 4294901760) = 0 then 1
+                  when (x & 281470681743360) = 0 then 2
+                  else 3 end"""))
+        .selectExpr("d1", "d2", "cast(bit_count(x) as bigint) as ham")
         .filter(col("ham") <= 3)
     }),
 
@@ -172,14 +187,14 @@ object MultimodalQueries extends QueryPack {
     * payload byte == char code, so ascii(substr) is the byte sample
     * both engines compute identically. */
   private def phashOf(docs: DataFrame): DataFrame =
-    docs
-      .selectExpr("doc_id",
-        "transform(sequence(0,71), i -> ascii(substr(text, cast(i * length(text) div 72 as int) + 1, 1))) as g")
-      .selectExpr("doc_id",
-        """aggregate(sequence(0,62), cast(0 as bigint),
-             (acc, j) -> acc + if(g[cast(j + j div 8 as int)] > g[cast(j + j div 8 + 1 as int)],
-                                  shiftleft(cast(1 as bigint), cast(j as int)),
-                                  cast(0 as bigint))) as phash""")
+    // codegen'd DHash63 kernel (r14): the former
+    // transform(sequence(0,71)) + aggregate(sequence(0,62)) HOF
+    // pipeline evaluated ~135 interpreted lambda steps per doc —
+    // 15s of mm_phash_pairs' 20s cold wall at the sf1.0 fixture was
+    // this map pass; the kernel is bit-identical (ExpressionsSpec
+    // pins it against the HOF formulation)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.dhash63(col("text")).as("phash"))
 
   private def phash(s: SparkSession, dir: String): DataFrame =
     phashOf(Tables.load(s, dir, "documents"))

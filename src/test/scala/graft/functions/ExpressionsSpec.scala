@@ -102,6 +102,39 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DHash63 matches the transform/aggregate HOF formulation, both eval paths") {
+    import spark.implicits._
+    val r = new scala.util.Random(20260815L)
+    // random ASCII payloads spanning the regimes: shorter than the 72
+    // sample grid, exact-72, long, single char, plus near-dup variants
+    // (first char flipped — the pairs-gate true-positive shape)
+    val base = (1 to 120).map { _ =>
+      val len = 1 + r.nextInt(400)
+      new String(Array.fill(len)((32 + r.nextInt(95)).toChar))
+    }
+    val texts = base ++ base.take(30).map(t => "z" + t.drop(1)) ++
+      Seq("a", "ab", new String(Array.fill(72)('q')))
+    val df = texts.toDF("text")
+    val hof = df.selectExpr(
+      "transform(sequence(0,71), i -> ascii(substr(text, cast(i * length(text) div 72 as int) + 1, 1))) as g")
+      .selectExpr(
+        """aggregate(sequence(0,62), cast(0 as bigint),
+             (acc, j) -> acc + if(g[cast(j + j div 8 as int)] > g[cast(j + j div 8 + 1 as int)],
+                                  shiftleft(cast(1 as bigint), cast(j as int)),
+                                  cast(0 as bigint))) as h""")
+      .collect().map(_.getLong(0))
+    def run(): Array[Long] = df
+      .select(GraftFunctions.dhash63(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(run().sameElements(hof), "interpreted diverged from the HOF")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(run().sameElements(hof), "codegen diverged from the HOF")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("NearestIvfCell == the max(struct) batch argmax, both eval paths") {
     import spark.implicits._
     // seeded random centroids + vectors (negative components, so
