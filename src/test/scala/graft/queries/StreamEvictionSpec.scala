@@ -148,6 +148,36 @@ class StreamEvictionSpec extends AnyFunSuite {
         s"missing=${(want diff got).take(3)}")
   }
 
+  test("ingest pipelines compile to their claimed scale shapes (plan assertions)") {
+    import org.apache.spark.sql.functions._
+    // IVF assignment-on-ingest: a pure map over the scan — the plan
+    // must contain NO Exchange and NO Join of any kind (the centroid
+    // table lives inside the codegen'd kernel)
+    val (labels, ns, cvecs) = EmbeddingQueries.standingIvfCentroids(spark, dir)
+    val assignPlan = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 1)
+      .selectExpr("vec_id", s"${EmbeddingQueries.quant} as q")
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.nearestIvfCell(
+          col("q"), labels, ns, cvecs).as("alabel"))
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange") && !assignPlan.contains("Join"),
+      s"ivf ingest must be map-only, got:\n$assignPlan")
+    // LSH dedup-on-ingest: the band probe must be a BROADCAST hash
+    // join (per-batch cost = a hash probe, never a corpus shuffle on
+    // the stream side) and nothing in the plan may be a cartesian
+    val (bandsOld, shOld) = TextQueries.standingLshIndex(spark, dir)
+    val dedupPlan = TextQueries.newDocMatches(
+        graft.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 1),
+        bandsOld, shOld)
+      .queryExecution.executedPlan.toString
+    assert(dedupPlan.contains("BroadcastHashJoin"),
+      s"band probe must broadcast the standing index, got:\n$dedupPlan")
+    assert(!dedupPlan.contains("Cartesian"),
+      s"no cartesian anywhere in the ingest path:\n$dedupPlan")
+  }
+
   test("stream_join: interval-join state holds the interval, not history") {
     val (_, state) = runTracked("stream_join")
     assert(state.length >= 4)
