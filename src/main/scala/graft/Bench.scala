@@ -75,7 +75,9 @@ object Bench {
   private[graft] def baselineWriteDecision(
       envSuspect: Boolean, configMatch: Boolean, hasErrors: Boolean,
       probeSec: Double, probeStSec: Double,
-      probeMax: Double, probeStMax: Double): String =
+      probeMax: Double, probeStMax: Double,
+      medianRatio: Double = 1.0,
+      committedProbes: Option[(Double, Double)] = None): String =
     if (envSuspect) "refused_suspect"
     // an errored query's wall is time-to-failure, not work — a run
     // carrying ANY error (incl. a failed index prebuild, recorded as a
@@ -84,6 +86,22 @@ object Bench {
     else if (hasErrors) "refused_errors"
     else if (!configMatch) "refused_config"
     else if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
+    // Relative probe prong (judge r14 #1): the absolute ceilings are
+    // calibrated for 1.8-2.3x throttle episodes and are blind to the
+    // ~1.3x drift class — BENCH_r14's final run (probes 0.116/0.288,
+    // per-gate median 1.275) slipped under 0.25/0.32 and overwrote the
+    // clean 138.67s baseline with a 191.9s map. A run may only REPLACE
+    // a committed file when its own fixed-work probes are within 1.15x
+    // of the probes recorded inside that file: the box must be at
+    // least as healthy as the one that measured the walls being
+    // retired. (Suspect flagging keeps the looser 1.3 median prong —
+    // this gate is write-only, mirroring promote_baseline's DRIFT_MAX.)
+    else if (committedProbes.exists { case (p, pst) =>
+      probeSec > 1.15 * p || probeStSec > 1.15 * pst }) "refused_probe_rel"
+    // Write-only median prong at 1.15 (vs 1.3 for env_suspect): a run
+    // whose shared-gate median sits >15% over the file it would
+    // replace is a worse measurement of the same code, not a baseline.
+    else if (medianRatio > 1.15) "refused_median"
     else "ok"
 
   /** Stall-episode verdict over a finished run: (medianRatio,
@@ -324,13 +342,23 @@ object Bench {
     // committed baseline (it did in r5 and r6 — the next cold reader of
     // the file then compared against a skewed or wrong-scale run).
     val baselineFile = baselineFileFor(sfDir)
-    val (baseline: Map[String, Double], baselineConfigMatch: Boolean) = try {
+    val (baseline: Map[String, Double], baselineConfigMatch: Boolean,
+         baselineProbes: Option[(Double, Double)]) = try {
       val txt = new String(Files.readAllBytes(Paths.get(baselineFile)),
         StandardCharsets.UTF_8)
       val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       val cpuOk = """"cpus":\s*(\d+)""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == cpus)
+      // the committed file's own fixed-work probes — the health of the
+      // box that measured it; a replacement run must match them
+      // (relative write prong, judge r14 #1)
+      def probeOf(key: String): Option[Double] =
+        (s""""$key":\\s*(\\d+\\.\\d+)""").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      val probes = for {
+        p <- probeOf("probe_seconds"); pst <- probeOf("probe_st_seconds")
+      } yield (p, pst)
       if (sfOk && cpuOk)
         (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
@@ -345,9 +373,10 @@ object Bench {
             k != "total" && v > 0 && !k.endsWith("__alt") &&
               !k.endsWith("__first") &&
               !k.startsWith("probe_") && !k.startsWith("derived_") }
-          .toMap, true)
-      else (Map.empty[String, Double], false)
-    } catch { case _: Throwable => (Map.empty[String, Double], true) }
+          .toMap, true, probes)
+      else (Map.empty[String, Double], false, probes)
+    } catch { case _: Throwable =>
+      (Map.empty[String, Double], true, None: Option[(Double, Double)]) }
 
     // >5x the committed baseline (and >2s absolute, so sub-second jitter
     // never trips it) = environment-suspect; retry once — a one-off
@@ -546,15 +575,6 @@ object Bench {
           } catch { case _: Throwable => None }
         }
       } else Nil
-    if (sf1Times.nonEmpty) {
-      val j = sf1Times.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
-        .mkString("{\n", ",\n", ",\n") +
-        s"""  "total": ${fmt(sf1Times.map(_._2).sum)},\n""" +
-        s"""  "sf": "$sf1Dir",\n  "cpus": $cpus\n}\n"""
-      try Files.write(Paths.get("BENCH_SF1_SUBSET.json"),
-        j.getBytes(StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
-    }
     val sf1Json =
       if (sf1Times.isEmpty) ""
       else s""","sf1_total":${fmt(sf1Times.map(_._2).sum)},"sf1_n":${sf1Times.size}"""
@@ -599,10 +619,30 @@ object Bench {
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
     val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
     val baselineWrite = baselineWriteDecision(envSuspect, baselineConfigMatch,
-      errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax)
+      errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
+      medianRatio, baselineProbes)
     val fullTarget =
       if (baselineWrite == "ok") baselineFile
       else baselineFile.replace(".json", "_SUSPECT.json")
+    // The sf1 subset tail shares the main run's box, so it shares the
+    // main run's write decision (ADVICE r14: an unconditional write let
+    // a degraded run silently overwrite this committed artifact) — a
+    // non-ok run lands aside, and the run's verdict rides in the file.
+    if (sf1Times.nonEmpty) {
+      val j = sf1Times.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+        .mkString("{\n", ",\n", ",\n") +
+        s"""  "total": ${fmt(sf1Times.map(_._2).sum)},\n""" +
+        s"""  "baseline_write": "$baselineWrite",\n""" +
+        s"""  "probe_seconds": ${fmt(probeSec)},\n""" +
+        s"""  "probe_st_seconds": ${fmt(probeStSec)},\n""" +
+        s"""  "sf": "$sf1Dir",\n  "cpus": $cpus\n}\n"""
+      val sf1Target =
+        if (baselineWrite == "ok") "BENCH_SF1_SUBSET.json"
+        else "BENCH_SF1_SUBSET_SUSPECT.json"
+      try Files.write(Paths.get(sf1Target),
+        j.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     // n_adjudicated = rows whose reported value is min-of-positions
     // from the twin/heavy/build re-time passes, not single-shot —
     // named (first 8) so downstream readers of the metric line can

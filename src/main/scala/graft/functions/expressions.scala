@@ -270,7 +270,9 @@ case class SortedJaccardGe(left: Expression, right: Expression,
     GraftFunctions.checkNulls(prettyName, la, GraftFunctions.elemNullable(left))
     GraftFunctions.checkNulls(prettyName, ra, GraftFunctions.elemNullable(right))
     val (n, m) = (la.numElements(), ra.numElements())
-    val needed = num.toLong * (n + m) // accept iff (den+num)*I >= needed
+    // widen BEFORE adding (ADVICE r14): n+m as int would wrap at ~2^31
+    // total elements before the long multiply sees it
+    val needed = num.toLong * (n.toLong + m) // accept iff (den+num)*I >= needed
     val k = (den + num).toLong
     var (i, j) = (0, 0)
     var c = 0L
@@ -304,7 +306,7 @@ case class SortedJaccardGe(left: Expression, right: Expression,
         ${GraftFunctions.nullScanCode(ctx, prettyName, r, GraftFunctions.elemNullable(right))}
         final int $n = $l.numElements();
         final int $m = $r.numElements();
-        final long $need = ${num}L * ($n + $m);
+        final long $need = ${num}L * ((long) $n + $m);
         int $i = 0; int $j = 0; long $c = 0L;
         ${ev.value} = false;
         if (${k}L * java.lang.Math.min($n, $m) >= $need) {

@@ -398,12 +398,19 @@ object TextQueries extends QueryPack {
 
   /** Probe frame (…, h) × sketch → one row per (probe, r) with that
     * row's cell count `c`; the caller takes min(c) over r. */
-  private[queries] def cmsProbe(probe: DataFrame, sketch: DataFrame): DataFrame =
+  private[queries] def cmsProbe(probe: DataFrame, sketch: DataFrame): DataFrame = {
+    // r/b are this helper's working columns (ADVICE r14): a caller
+    // frame already carrying either would silently join on the wrong
+    // thing — fail loudly instead
+    val reserved = probe.columns.toSet.intersect(Set("r", "b"))
+    require(reserved.isEmpty,
+      s"cmsProbe: probe frame carries reserved column(s) ${reserved.mkString(",")}")
     probe
       .select((probe.columns.map(col) :+
         explode(expr(s"sequence(0, ${CmsRows - 1})")).as("r")): _*)
       .withColumn("b", expr(cmsBucket))
       .join(broadcast(sketch), Seq("r", "b"))
+  }
 
   /** KMV (k-minimum-values) distinct estimate per group from a DISTINCT
     * (source, h) frame: est = (k-1)·2³² div kth_min, exact when the
@@ -429,6 +436,13 @@ object TextQueries extends QueryPack {
     * streaming incremental gate carries each new doc's own shingle set
     * through the band join (stateless verification). */
   private[queries] def lshBands(sh: DataFrame): DataFrame = {
+    // every non-(doc_id, s) column is treated as a deliberate carry and
+    // EXPLODED 4x through the band rows (ADVICE r14): reserve this
+    // helper's own working names so an unrelated extra column can't
+    // silently collide with the band join's outputs
+    val reserved = sh.columns.toSet.intersect(Set("band", "key", "sig", "bk"))
+    require(reserved.isEmpty,
+      s"lshBands: input carries reserved column(s) ${reserved.mkString(",")}")
     val carry = sh.columns.filter(c => c != "doc_id" && c != "s").toSeq
     sh.select((col("doc_id") +: carry.map(col) :+ minhashSig(col("s")).as("sig")): _*)
       .selectExpr(("doc_id" +: carry :+

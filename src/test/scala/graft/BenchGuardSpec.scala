@@ -126,6 +126,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(d(false, true, 0.26, 0.27) == "refused_probe")
   }
 
+  test("r14 near-miss: a ~1.3x-drifted run must not replace a cleaner baseline") {
+    // BENCH_r14's final run: probes 0.116/0.288 vs the committed clean
+    // file's own 0.071/0.273, per-gate median 1.275 — under the 0.25/
+    // 0.32 absolute ceilings AND the 1.3 env_suspect median, so it
+    // overwrote the 138.67s baseline with a 191.9s map. Both new
+    // write-only prongs must each refuse it independently.
+    def d(p: Double, pst: Double, median: Double,
+        committed: Option[(Double, Double)]) =
+      Bench.baselineWriteDecision(false, true, false, p, pst, 0.25, 0.32,
+        median, committed)
+    // relative probe prong alone (median below 1.15): 0.116 > 1.15*0.071
+    assert(d(0.116, 0.288, 1.0, Some((0.071, 0.273))) == "refused_probe_rel")
+    // median prong alone (probes match the committed file)
+    assert(d(0.071, 0.273, 1.275, Some((0.071, 0.273))) == "refused_median")
+    // the full r14 shape: refused (probe_rel fires first)
+    assert(d(0.116, 0.288, 1.275, Some((0.071, 0.273))) == "refused_probe_rel")
+    // a genuinely clean replacement run still commits
+    assert(d(0.075, 0.270, 1.02, Some((0.071, 0.273))) == "ok")
+    // probe_st degradation refuses even when the spark probe is fine
+    assert(d(0.071, 0.320, 1.0, Some((0.071, 0.273))) == "refused_probe_rel")
+    // a legacy baseline file without recorded probes: relative prong
+    // skips (no reference), median prong still guards
+    assert(d(0.116, 0.288, 1.275, None) == "refused_median")
+    assert(d(0.116, 0.288, 1.0, None) == "ok")
+  }
+
   test("end-of-run heavy adjudication band: >2x drift-scaled baseline AND >2s") {
     // BENCH_r13's two unadjudicated spikes must both qualify now:
     // graph_pagerank_conv 9.64s vs 4.355s baseline (2.21x, clean box)

@@ -163,6 +163,22 @@ def main():
         cur = json.load(open(out_file))
     except FileNotFoundError:
         cur = None
+    if cur is None and not new_config:
+        # First-time promotion (ADVICE r14): with no committed file to
+        # compare sf/cpus against, an sf0.1 candidate could land in
+        # BENCH_FULL_sf1.json. Validate the candidate's sf against the
+        # --out filename using Bench.baselineFileFor's convention
+        # (basename, tmp_ stripped; sf0.1 keeps the historical name).
+        base = os.path.basename(str(cand.get("sf", "")))
+        if base.startswith("tmp_"):
+            base = base[len("tmp_"):]
+        expected = ("BENCH_FULL.json" if base == "sf0.1"
+                    else f"BENCH_FULL_{base}.json")
+        if os.path.basename(out_file) != expected:
+            probs.append(
+                f"no committed baseline at {out_file} and the candidate's "
+                f"sf ({cand.get('sf')}) keys to {expected} — wrong-scale "
+                "first promotion (pass --new-config to override)")
     if cur is not None:
         if not new_config and (cand.get("sf") != cur.get("sf")
                                or cand.get("cpus") != cur.get("cpus")):
@@ -180,6 +196,18 @@ def main():
             if med > DRIFT_MAX:
                 probs.append(f"median drift {med:.3f} > {DRIFT_MAX} "
                              "vs committed shared entries")
+        # Relative probe prong (judge r14 #1, mirrored from
+        # Bench.baselineWriteDecision): the replacing run's box must be
+        # within 1.15x of the box that measured the file being retired —
+        # the CHANGED-filtered drift estimate can be blind when most
+        # shared families changed, the fixed-work probes never are.
+        for key in ("probe_seconds", "probe_st_seconds"):
+            cp, xp = cur.get(key), cand.get(key)
+            if cp is not None and xp is not None and xp > 1.15 * cp:
+                probs.append(
+                    f"{key} {xp} > 1.15x the committed file's own {cp} — "
+                    "the candidate's box is more degraded than the one "
+                    "that measured the baseline being replaced")
 
     if probs:
         print("REFUSED:")

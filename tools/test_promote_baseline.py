@@ -136,6 +136,40 @@ def main():
               0 if v is not None and abs(v - 3.0) < 0.01 else 1,
               f"emb_ivfpq_build={v}")
 
+        # 11. relative probe prong (judge r14 #1): probes under the
+        # absolute ceilings but >1.15x the committed file's own recorded
+        # probes refuse — the r14 final-run shape (0.116 vs 0.071)
+        rc, out = run(tmp, committed_base(), candidate(1.05, probes=(0.15, 0.27)))
+        check("relative probe refusal", 1, rc, out, "1.15x")
+        rc, out = run(tmp, committed_base(), candidate(1.05, probes=(0.12, 0.32)))
+        check("relative probe_st refusal", 1, rc, out, "1.15x")
+        # within 1.15x of the committed probes still promotes
+        rc, out = run(tmp, committed_base(), candidate(1.05, probes=(0.13, 0.28)))
+        check("within-band probes promote", 0, rc, out, "PROMOTED")
+
+        # 12. first-time promotion (no committed file) validates the
+        # candidate's sf against the --out filename (ADVICE r14): an
+        # sf0.1 candidate must not seed BENCH_FULL_sf1.json
+        rc, out = run(tmp, None, candidate(1.0),
+                      ["--out", "BENCH_FULL_sf1.json"])
+        check("first-promotion wrong-scale refusal", 1, rc, out,
+              "wrong-scale first promotion")
+        rc, out = run(tmp, None, candidate(1.0))
+        check("first-promotion matching scale ok", 0, rc, out, "PROMOTED")
+        sf1 = candidate(1.0)
+        sf1["sf"] = "/root/repo/target/scratch/tmp_sf1"
+        if os.path.exists(os.path.join(tmp, "BENCH_FULL.json")):
+            os.remove(os.path.join(tmp, "BENCH_FULL.json"))
+        json.dump(sf1, open(os.path.join(tmp, "cand.json"), "w"))
+        p = subprocess.run([sys.executable, TOOL, "cand.json",
+                            "--out", "BENCH_FULL_sf1.json"],
+                           cwd=tmp, capture_output=True, text=True)
+        check("first-promotion tmp_sf1 keys to sf1 file", 0, p.returncode,
+              p.stdout + p.stderr, "PROMOTED")
+        rc, out = run(tmp, None, candidate(1.0),
+                      ["--out", "BENCH_FULL_sf1.json", "--new-config"])
+        check("first-promotion --new-config override", 0, rc, out, "PROMOTED")
+
     if fails:
         print("FAILURES:", fails)
         sys.exit(1)
