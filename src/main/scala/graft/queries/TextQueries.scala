@@ -199,7 +199,7 @@ object TextQueries extends QueryPack {
   // Shingle3SortedSet / MinHashSig / SimHash32) — same formulas as the
   // DuckDB oracles, but tight generated loops instead of interpreted
   // higher-order-function lambdas (or md5 calls)
-  import graft.functions.GraftFunctions.{minhashSig, shingle3SortedSet, simhash32, tokenHash64}
+  import graft.functions.GraftFunctions.{minhashSig, shingle3SortedSet, simhash32, simhash63, tokenHash64}
 
   /** the token-hash array column for the current row's `text` */
   private def tokHashes = tokenHash64(split(col("text"), " "))
@@ -243,6 +243,105 @@ object TextQueries extends QueryPack {
         Window.partitionBy("q_id")
           .orderBy(col("score").desc, col("doc_id").asc)))
       .filter(col("rk") <= 10)
+  }
+
+  /** Two-level pigeonhole band geometry for banded-hamming pair gates:
+    * 4 near-equal contiguous bands over a `totalBits`-bit hash and,
+    * per band, its complement split into 4 near-equal contiguous
+    * sub-bands — masks in sim-bit space, so a band key is just
+    * `sim & mask`. Pigeonhole: ham ≤ 3 leaves some band intact AND,
+    * within that band's complement, some sub-band intact — blocking
+    * on the (band, sub-band) composite stays complete for ham ≤ 3
+    * while being band+sub-band bits selective. */
+  private[queries] def pigeonholeMasks(totalBits: Int)
+      : (IndexedSeq[Long], IndexedSeq[IndexedSeq[Long]]) = {
+    def chunks(bits: Seq[Int]): IndexedSeq[Long] = {
+      val q = bits.size / 4
+      val r = bits.size % 4
+      val sizes = (0 until 4).map(i => q + (if (i < r) 1 else 0))
+      val offsets = sizes.scanLeft(0)(_ + _)
+      (0 until 4).map { j =>
+        bits.slice(offsets(j), offsets(j) + sizes(j))
+          .map(1L << _).foldLeft(0L)(_ | _)
+      }.toIndexedSeq
+    }
+    val bands = chunks(0 until totalBits)
+    val subs = bands.map(bm =>
+      chunks((0 until totalBits).filter(k => (bm & (1L << k)) == 0L)))
+    (bands, subs)
+  }
+  // 63-bit geometry (txt_simhash64_pairs): 16+16+16+15-bit bands,
+  // ~12-bit sub-bands; 32-bit geometry (txt_simhash_pairs): 8-bit
+  // bands, 6-bit sub-bands
+  private[queries] val (simBandMask, simSubMask) = pigeonholeMasks(63)
+  private[queries] val (sim32BandMask, sim32SubMask) = pigeonholeMasks(32)
+
+  /** Canonicalize-then-join banded-hamming near-dup pairs, shared by
+    * the 32- and 63-bit simhash gates (r15; Sim64Prof measured every
+    * step at sf1.0). `groups` = (sim, sorted member doc_ids) — one
+    * corpus-skinny shuffle upstream. Identical-hash clusters emit
+    * their C(c,2) ham=0 pairs by map-side explode; the band join only
+    * ever sees one row per DISTINCT hash value (34,825 vs 100k docs at
+    * sf1.0 — join cost scales with distinct content volume, the
+    * property that matters on a dup-heavy crawl), blocked on the
+    * two-level (band, sub-band-of-complement) composite
+    * (157M → 2.5M candidates for the 63-bit gate, 190M → 11.1M for
+    * the 32-bit one); each surviving pair is emitted from the one
+    * combo that is a pure function of x = sim1^sim2 (first intact
+    * band, then its first intact sub-band) — in-stage CASE, no
+    * distinct shuffle; the expansion back to doc pairs is
+    * answer-sized. Complete for ham ≤ 3 by double pigeonhole. */
+  private[queries] def bandedHammingPairs(groups: DataFrame,
+      bandMask: IndexedSeq[Long],
+      subMask: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    // identical-hash clusters: all within-cluster pairs, ham = 0
+    // (ids sorted, so d1 < d2 by construction). NOTE the pair list is
+    // inherently quadratic in cluster size — a viral doc with 10^6
+    // copies makes the ANSWER itself quadratic; pipelines that only
+    // need representatives use the *_groups shape instead.
+    val intra = groups.filter(size(col("ids")) >= 2)
+      .selectExpr(
+        """explode(flatten(transform(sequence(0, size(ids)-2),
+             i -> transform(sequence(i+1, size(ids)-1),
+               j -> struct(ids[i] as d1, ids[j] as d2))))) as p""")
+      .selectExpr("p.d1 as d1", "p.d2 as d2", "cast(0 as bigint) as ham")
+    // distinct-value band join on the two-level composite: 16 keys per
+    // value, masked-value join keys (no bit compaction needed — equal
+    // masked values ⟺ equal band bits)
+    val combos = (for { b <- 0 to 3; j <- 0 to 3 } yield
+      s"struct(${b * 4 + j} as c, sim & ${bandMask(b)}L as bk, " +
+        s"sim & ${subMask(b)(j)}L as sk)").mkString(", ")
+    val keys = groups.selectExpr("sim", s"explode(array($combos)) as e")
+      .select(col("sim"), col("e.c").as("c"),
+        col("e.bk").as("bk"), col("e.sk").as("sk"))
+    val k1 = keys.select(col("c"), col("bk"), col("sk"), col("sim").as("sim1"))
+    val k2 = keys.select(col("c"), col("bk"), col("sk"), col("sim").as("sim2"))
+    def innerCase(b: Int): String = {
+      val j012 = (0 to 2).map(j =>
+        s"when (x & ${subMask(b)(j)}L) = 0 then ${b * 4 + j}").mkString(" ")
+      s"(case $j012 else ${b * 4 + 3} end)"
+    }
+    val comboCase =
+      s"""case when (x & ${bandMask(0)}L) = 0 then ${innerCase(0)}
+               when (x & ${bandMask(1)}L) = 0 then ${innerCase(1)}
+               when (x & ${bandMask(2)}L) = 0 then ${innerCase(2)}
+               else ${innerCase(3)} end"""
+    val interDistinct = k1.join(k2, Seq("c", "bk", "sk"))
+      .filter(col("sim1") < col("sim2"))
+      .withColumn("x", expr("sim1 ^ sim2"))
+      .filter(expr("bit_count(x) <= 3"))
+      .filter(col("c") === expr(comboCase))
+      .select(col("sim1"), col("sim2"),
+        expr("cast(bit_count(x) as bigint)").as("ham"))
+    // expand verified distinct-value pairs back to doc pairs
+    // (answer-sized cross products of the two clusters' id lists)
+    val inter = interDistinct
+      .join(groups.select(col("sim").as("sim1"), col("ids").as("ids1")), "sim1")
+      .join(groups.select(col("sim").as("sim2"), col("ids").as("ids2")), "sim2")
+      .select(explode(col("ids1")).as("da"), col("ids2"), col("ham"))
+      .select(col("da"), explode(col("ids2")).as("db"), col("ham"))
+      .selectExpr("least(da, db) as d1", "greatest(da, db) as d2", "ham")
+    intra.union(inter)
   }
 
   /** doc_id + distinct sorted shingle-hash set, materialized: Catalyst's
@@ -883,37 +982,65 @@ object TextQueries extends QueryPack {
     "txt_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), simhash32(tokHashes).as("simhash"))),
 
-    // SimHash near-dup pairs: 4×8-bit bit-band blocking (any pair with
-    // hamming ≤ 3 shares an intact band by pigeonhole), verify ham ≤ 3.
+    // SimHash near-dup pairs (the 32-bit compatibility row; the
+    // at-scale geometry is txt_simhash64_pairs). Same
+    // canonicalize-then-join machinery (r15): word-soup docs share a
+    // token distribution so simhash bits correlate across docs, and
+    // the old all-docs 4×8-bit band join had a 190M-candidate floor
+    // at sf1.0 (45.9s committed) — grouping identical hashes first
+    // (50k docs → 24,379 distinct values) and blocking the distinct
+    // values on the two-level 14-bit composite cuts that to 11.1M
+    // with the identical ham ≤ 3 answer (Sim64Prof).
     "txt_simhash_pairs" -> ((s, dir) => {
-      val sim = PackResources.checkpoint(s, dir, "txt_simhash")(
-        docs(s, dir) // materialize: reused by both join sides
-          .select(col("doc_id"), simhash32(tokHashes).as("sim")))
-      val bands = sim.selectExpr("doc_id", "sim",
-        "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(sim, 8*b) & 255 as bk))) as e")
-        .select(col("doc_id"), col("sim"), col("e.band").as("band"), col("e.bk").as("bk"))
-      val b1 = bands.select(col("band"), col("bk"), col("doc_id").as("d1"), col("sim").as("sim1"))
-      val b2 = bands.select(col("band"), col("bk"), col("doc_id").as("d2"), col("sim").as("sim2"))
-      b1.join(b2, Seq("band", "bk"))
-        .filter(col("d1") < col("d2"))
-        // Dedup WITHOUT a shuffle (r14): a pair that matches in k
-        // bands would emit k times, and the old distinct() shuffled
-        // every emission (19.8s of the 65s sf1.0 wall, SimhashProf;
-        // the first fix filtered hamming before it, still ~17M rows).
-        // Instead emit each pair ONLY from its FIRST matching band —
-        // band b matches iff byte b of x = sim1^sim2 is zero, so the
-        // first match is a pure codegen CASE over x's low bytes and
-        // every surviving pair appears exactly once. Everything after
-        // the band join is now in-stage: the gate's only exchanges
-        // are the join inputs, at any corpus size.
-        .withColumn("x", expr("sim1 ^ sim2"))
-        .filter(col("band") === expr(
-          """case when (x & 255) = 0 then 0
-                  when (x & 65280) = 0 then 1
-                  when (x & 16711680) = 0 then 2
-                  else 3 end"""))
-        .selectExpr("d1", "d2", "cast(bit_count(x) as bigint) as ham")
-        .filter(col("ham") <= 3)
+      val groups = PackResources.checkpoint(s, dir, "txt_simhash_groups")(
+        docs(s, dir)
+          .select(col("doc_id"), simhash32(tokHashes).as("sim"))
+          .groupBy("sim")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+      bandedHammingPairs(groups, sim32BandMask, sim32SubMask)
+    }),
+
+    // Wide-hash twin of txt_simhash_pairs (judge r14 #3): the 32-bit
+    // gate's 4×8-bit bands have only 256 buckets each — at sf1.0 that
+    // saturates into a 190M-candidate floor (45.9s, 13% of the sf1
+    // suite) however clean the plan. This gate runs the at-scale
+    // design; the 32-bit gate stays as the compatibility row. Three
+    // stacked ideas (Sim64Prof measured each at sf1.0):
+    //   1. 63-bit SimHash (bit 63 = BIGINT sign stays 0) — but wider
+    //      bands alone are NOT enough: word-soup docs share a token
+    //      distribution, so simhash bits correlate across docs and
+    //      naive 4×16-bit banding still yields 157M candidates.
+    //   2. CANONICALIZE FIRST: group docs by identical hash (one
+    //      corpus-skinny shuffle; 100k docs → 34,825 distinct values
+    //      at sf1.0). Identical-hash clusters emit their C(c,2) ham=0
+    //      pairs by map-side explode — the join never sees a
+    //      duplicate value, so join cost scales with DISTINCT content
+    //      volume, not corpus size (the property that matters on a
+    //      dup-heavy 100 TB crawl).
+    //   3. TWO-LEVEL PIGEONHOLE on the distinct values: ham ≤ 3
+    //      leaves some 16-bit band intact, and within that band's
+    //      47-bit complement some ~12-bit sub-band intact — blocking
+    //      on the 28-bit (band, sub-band) composite stays complete
+    //      and cuts distinct-level candidates 13.7M → 2.52M.
+    //   157M → 2.5M candidates overall; verify + first-match dedup
+    //   run in-stage after the key join, expansion is answer-sized.
+    // Input = corpus ∪ a doubled-text variant (doc_id+10^6,
+    // text·' '·text): SimHash majority votes are invariant under
+    // exact repetition, so each variant carries the IDENTICAL hash —
+    // a scale-independent ham=0 true-positive complement (natural
+    // ham≤3 collisions in 63 bits are ~zero below replica scale; the
+    // mm_phash_pairs device). The DuckDB oracle stays the one-level
+    // band-join spec: both blockings are complete for ham ≤ 3, so
+    // the verified answers are identical sets.
+    "txt_simhash64_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val aug = base.union(base.selectExpr("doc_id + 1000000 as doc_id",
+        "concat(text, ' ', text) as text"))
+      val groups = PackResources.checkpoint(s, dir, "txt_simhash64_groups")(
+        aug.select(col("doc_id"), simhash63(tokHashes).as("sim"))
+          .groupBy("sim")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+      bandedHammingPairs(groups, simBandMask, simSubMask)
     }),
 
     // Repetition / boilerplate quality signals (the dup-text heuristics
@@ -1486,6 +1613,32 @@ object TextQueries extends QueryPack {
           FROM documents),
           sim AS (SELECT doc_id, $simhashDuck AS sim FROM hs),
           bands AS (SELECT doc_id, sim, b, (sim >> (8*b)) & 255 AS bk
+            FROM sim, range(4) r(b)),
+          cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+              b1.sim AS sim1, b2.sim AS sim2
+            FROM bands b1 JOIN bands b2 ON b1.b = b2.b AND b1.bk = b2.bk
+            WHERE b1.doc_id < b2.doc_id)
+          SELECT d1, d2, CAST(bit_count(CAST(xor(sim1, sim2) AS BIT)) AS BIGINT) AS ham
+          FROM cand WHERE bit_count(CAST(xor(sim1, sim2) AS BIT)) <= 3""",
+    // per-token 63-bit fingerprint: two 32-bit multiplicative mixes of
+    // the token hash packed as hi32·2^31 + lo32>>1 — every intermediate
+    // < 2^63, so plain BIGINT arithmetic matches the Spark kernel
+    // bit-for-bit (SimHash63's doc has the derivation)
+    "txt_simhash64_pairs" ->
+      s"""WITH v AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' ' || text FROM documents),
+          hs AS (SELECT doc_id,
+            list_transform(string_split(text,' '), t -> ${thDuck("t")}) AS h
+          FROM v),
+          fp AS (SELECT doc_id, list_transform(h, x ->
+              ((x * 1540483477) % 4294967296) * 2147483648
+              + (((x * 663608941) % 4294967296) // 2)) AS f FROM hs),
+          sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(63), b ->
+              CASE WHEN 2 * len(list_filter(f, x -> (x >> b) & 1 = 1)) > len(f)
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+            AS BIGINT) AS sim FROM fp),
+          bands AS (SELECT doc_id, sim, b, (sim >> (16*b)) & 65535 AS bk
             FROM sim, range(4) r(b)),
           cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
               b1.sim AS sim1, b2.sim AS sim2

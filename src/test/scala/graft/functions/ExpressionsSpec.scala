@@ -39,6 +39,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("SimHash63 matches the HOF fingerprint formulation, both eval paths") {
+    // the per-token 63-bit fingerprint spelled out as HOF arithmetic —
+    // the same formula the DuckDB oracle runs (every term < 2^63)
+    val hof = hashesDF.selectExpr("id",
+      """aggregate(transform(sequence(0,62), b ->
+           if(aggregate(h, 0L, (acc, x) -> acc + if((shiftright(
+                ((x * 1540483477) % 4294967296) * 2147483648
+                + shiftright((x * 663608941) % 4294967296, 1), b) & 1) = 1, 1, -1)) > 0,
+              shiftleft(1L, b), 0L)),
+         0L, (acc, x) -> acc + x) as sim""")
+    def native() = hashesDF.select(col("id"),
+      GraftFunctions.simhash63(col("h")).as("sim"))
+    assert(native().exceptAll(hof).isEmpty && hof.exceptAll(native()).isEmpty)
+    // sign bit never set (63 bits), and the result is vote-majority so
+    // doubling the token list (exact repetition) is hash-invariant —
+    // the property txt_simhash64_pairs' variant corpus relies on
+    val rows = hashesDF.selectExpr("id", "h", "concat(h, h) as hh")
+      .select(GraftFunctions.simhash63(col("h")).as("s1"),
+        GraftFunctions.simhash63(col("hh")).as("s2")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) == r.getLong(1))
+    }
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = native().collect().map(_.toString)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(native().collect().map(_.toString).sameElements(interp))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("DotI64 matches zip_with/aggregate and handles sign/overflow range") {
     import spark.implicits._
     val df = Seq(
