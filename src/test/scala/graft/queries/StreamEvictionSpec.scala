@@ -127,6 +127,31 @@ class StreamEvictionSpec extends AnyFunSuite {
         s"missing=${(want diff got).take(3)}")
   }
 
+  test("stream_dedup_grow: state IS the band index — bounded by index size, not batches") {
+    import org.apache.spark.sql.functions.col
+    val kept = graft.SparkEntry.queries("stream_dedup_grow")(spark, dir).count()
+    assert(kept > 0)
+    val state = StreamingQueries.stateRowsByQuery("stream_dedup_grow")
+    assert(state.length >= 2, s"expected a multi-batch replay, got $state")
+    // a growing index never evicts: state rows (bucket groups) are
+    // monotone non-decreasing across batches...
+    assert(state.zip(state.tail).forall { case (a, b) => a <= b },
+      s"index state shrank mid-stream: $state")
+    // ...and the FINAL state is exactly the corpus' distinct band
+    // buckets — a function of index content, independent of stream
+    // length, batch count, or how many arrivals were duplicates
+    // (4x docs is the trivial ceiling; distinct buckets the exact law)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val buckets = TextQueries.lshBands(
+        TextQueries.shingleSets(docs))
+      .select("band", "key").distinct().count()
+    assert(state.last == buckets,
+      s"final state ${state.last} != ${buckets} distinct band buckets: $state")
+    val nDocs = docs.count()
+    assert(state.last <= 4 * nDocs)
+  }
+
   test("stream_ivf_ingest: assignment-on-arrival is STATELESS and equals the batch assignment") {
     import org.apache.spark.sql.functions._
     val got = graft.SparkEntry.queries("stream_ivf_ingest")(spark, dir)
