@@ -129,6 +129,33 @@ object Bench {
     (medianRatio, tailSuspects)
   }
 
+  /** Fixed-work calibration probes (judge r11 #7): constant work whose
+    * wall depends only on the box, never on the benched code — drift
+    * adjudication ratios against a constant instead of the benched
+    * queries themselves. Run twice, keep the second (JIT-settled) wall.
+    * probe_seconds = a 32-way Spark job (scheduler + codegen + CPU);
+    * probe_st_seconds = a single-thread scalar loop (pure core speed).
+    * Shared with ScaleBench so every committed walls file carries
+    * comparable box-health readings. */
+  private[graft] def fixedWorkProbes(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions.sum
+    def sparkProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L).selectExpr("id * 2654435761L % 1000003 as x")
+        .agg(sum("x")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def stProbe(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0L
+      while (i < 200000000L) { s += i * i % 1000003; i += 1 }
+      if (s == 42L) println(s) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    sparkProbe(); stProbe()
+    (sparkProbe(), stProbe())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -317,24 +344,7 @@ object Bench {
     // probe_seconds = a 32-way Spark job (scheduler + codegen + CPU);
     // probe_st_seconds = a single-thread scalar loop (pure core speed,
     // the python-probe shape used in past drift adjudications).
-    val (probeSec, probeStSec) = {
-      import org.apache.spark.sql.functions.sum
-      def sparkProbe(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(400000000L).selectExpr("id * 2654435761L % 1000003 as x")
-          .agg(sum("x")).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      def stProbe(): Double = {
-        val t0 = System.nanoTime()
-        var s = 0L; var i = 0L
-        while (i < 200000000L) { s += i * i % 1000003; i += 1 }
-        if (s == 42L) println(s) // defeat dead-code elimination
-        (System.nanoTime() - t0) / 1e9
-      }
-      sparkProbe(); stProbe()
-      (sparkProbe(), stProbe())
-    }
+    val (probeSec, probeStSec) = fixedWorkProbes(spark)
     // Committed per-query baseline (our own BENCH_FULL.json format) for
     // the outlier guard — only trusted when sf and cpus match this run.
     // `configMatch` additionally gates where this run's full map is
