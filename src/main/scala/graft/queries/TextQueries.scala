@@ -462,8 +462,40 @@ object TextQueries extends QueryPack {
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
                           num: Int, den: Int): DataFrame = {
     import graft.functions.GraftFunctions.{sortedIntersectCount, sortedJaccardGe}
-    val s1 = sh.select(col("doc_id").as("d1"), col("s").as("s1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("s").as("s2"))
+    // Verify-join shape (r15, measured at sf10): the shuffle
+    // formulation attaches two ~1.5KB sorted-shingle arrays to every
+    // candidate pair and shuffles that stream — at sf10 (500k docs,
+    // ~4.2B first-token candidates in txt_ngram_jaccard) the
+    // pair-with-arrays intermediate exceeded the box's 78GB of disk
+    // twice, while the sets frame itself is only ~750MB. Broadcasting
+    // the sets turns the verify into ONE map-side stage: candidates
+    // stream from their generating join straight through two
+    // broadcast-hash joins and the early-exit kernel — no row carrying
+    // an array ever hits a shuffle, and the stage's cost is pure
+    // kernel CPU (~0.2us/reject x candidates). Auto mode broadcasts
+    // when the MEASURED sets bytes fit well inside the driver heap
+    // (both aliases are resident at once, so 1/12 of max heap each);
+    // corpora beyond that keep the shuffle plan — at 100 TB the
+    // operator shards the candidate stream by d2-range and broadcasts
+    // one shard's sets at a time (SURVEY §2.7).
+    val spark = sh.sparkSession
+    val useBroadcast =
+      spark.conf.get("spark.graft.verify.broadcastSets", "auto") match {
+        case "true" => true
+        case "false" => false
+        case _ =>
+          // one cheap agg over the memoized sets checkpoint
+          val bytes = sh.select(
+            (sum(size(col("s"))) * 8L + count(lit(1)) * 32L).as("b"))
+            .head().getLong(0)
+          bytes < Runtime.getRuntime.maxMemory / 12
+      }
+    def side(d: String, s: String): DataFrame = {
+      val f = sh.select(col("doc_id").as(d), col("s").as(s))
+      if (useBroadcast) broadcast(f) else f
+    }
+    val s1 = side("d1", "s1")
+    val s2 = side("d2", "s2")
     // The threshold test runs as the EARLY-EXIT kernel pushed into the
     // join (r14): the old n_inter/n_union filter substituted the full
     // merge-walk expression twice per candidate and always walked to
