@@ -96,7 +96,16 @@ object Bench {
     // least as healthy as the one that measured the walls being
     // retired. (Suspect flagging keeps the looser 1.3 median prong —
     // this gate is write-only, mirroring promote_baseline's DRIFT_MAX.)
-    else if (committedProbes.exists { case (p, pst) =>
+    // EXCEPTION (r15): a run whose shared-gate median is STRICTLY
+    // under 1.0 measured the code faster than the committed walls on
+    // the gates themselves — it cannot be a worse measurement of the
+    // same code, and refusing it for a noisy probe reading froze a
+    // 123.8s/median-0.87 run behind a baseline whose 0.071 probe was
+    // an unusually healthy sample (two r15 refusals on a demonstrably
+    // fast box). A drifted box cannot produce median < 1.0 on
+    // unchanged code, so the r14 poison shape (median 1.275) still
+    // refuses; the absolute ceilings above stay unconditional.
+    else if (medianRatio >= 1.0 && committedProbes.exists { case (p, pst) =>
       probeSec > 1.15 * p || probeStSec > 1.15 * pst }) "refused_probe_rel"
     // Write-only median prong at 1.15 (vs 1.3 for env_suspect): a run
     // whose shared-gate median sits >15% over the file it would

@@ -150,6 +150,18 @@ class BenchGuardSpec extends AnyFunSuite {
     // skips (no reference), median prong still guards
     assert(d(0.116, 0.288, 1.275, None) == "refused_median")
     assert(d(0.116, 0.288, 1.0, None) == "ok")
+    // faster-than-baseline bypass (r15): a shared-gate median strictly
+    // under 1.0 proves the box measured the code faster than the walls
+    // being retired — a noisy probe sample must not freeze a strictly
+    // better run (the r15 shape: probes 0.086/0.224 vs a 0.071-probe
+    // file, median 0.869)
+    assert(d(0.086, 0.224, 0.869, Some((0.071, 0.273))) == "ok")
+    // ...but the bypass needs STRICT improvement: at exactly 1.0 the
+    // relative prong still applies
+    assert(d(0.086, 0.224, 1.0, Some((0.071, 0.273))) == "refused_probe_rel")
+    // ...and never overrides the absolute ceilings (a catastrophic
+    // probe episode refuses regardless of the per-gate median)
+    assert(d(0.30, 0.224, 0.869, Some((0.071, 0.273))) == "refused_probe")
   }
 
   test("end-of-run heavy adjudication band: >2x drift-scaled baseline AND >2s") {

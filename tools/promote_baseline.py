@@ -189,6 +189,7 @@ def main():
         cm, xm = query_map(cur), query_map(cand)
         ratios = sorted(xm[k] / cm[k] for k in cm.keys() & xm.keys()
                         if cm[k] > 0.2 and not CHANGED.match(k))
+        med = None
         if ratios:
             med = ratios[len(ratios) // 2]
             print(f"shared unchanged entries: {len(ratios)}, "
@@ -201,13 +202,20 @@ def main():
         # within 1.15x of the box that measured the file being retired —
         # the CHANGED-filtered drift estimate can be blind when most
         # shared families changed, the fixed-work probes never are.
-        for key in ("probe_seconds", "probe_st_seconds"):
-            cp, xp = cur.get(key), cand.get(key)
-            if cp is not None and xp is not None and xp > 1.15 * cp:
-                probs.append(
-                    f"{key} {xp} > 1.15x the committed file's own {cp} — "
-                    "the candidate's box is more degraded than the one "
-                    "that measured the baseline being replaced")
+        # Faster-than-baseline bypass (r15, mirrored from Bench): a
+        # shared-gate median STRICTLY under 1.0 cannot be a worse
+        # measurement of the same code — a noisy probe sample must not
+        # freeze a strictly better run. A drifted box cannot read
+        # median < 1.0 on unchanged code; the absolute ceilings above
+        # stay unconditional.
+        if med is None or med >= 1.0:
+            for key in ("probe_seconds", "probe_st_seconds"):
+                cp, xp = cur.get(key), cand.get(key)
+                if cp is not None and xp is not None and xp > 1.15 * cp:
+                    probs.append(
+                        f"{key} {xp} > 1.15x the committed file's own {cp} — "
+                        "the candidate's box is more degraded than the one "
+                        "that measured the baseline being replaced")
 
     if probs:
         print("REFUSED:")

@@ -146,6 +146,15 @@ def main():
         # within 1.15x of the committed probes still promotes
         rc, out = run(tmp, committed_base(), candidate(1.05, probes=(0.13, 0.28)))
         check("within-band probes promote", 0, rc, out, "PROMOTED")
+        # faster-than-baseline bypass (r15, mirrored from Bench): a
+        # shared-gate median strictly under 1.0 cannot be a worse
+        # measurement — out-of-band probes don't refuse it
+        rc, out = run(tmp, committed_base(), candidate(0.87, probes=(0.15, 0.27)))
+        check("median<1 bypasses relative probe prong", 0, rc, out, "PROMOTED")
+        # ...but absolute probe ceilings stay unconditional
+        rc, out = run(tmp, committed_base(), candidate(0.87, probes=(0.30, 0.27)))
+        check("absolute ceiling overrides bypass", 1, rc, out,
+              "degraded episode")
 
         # 12. first-time promotion (no committed file) validates the
         # candidate's sf against the --out filename (ADVICE r14): an
