@@ -93,34 +93,8 @@ object MultimodalQueries extends QueryPack {
     "mm_phash_pairs" -> ((s, dir) => {
       val ph = PackResources.checkpoint(s, dir, "mm_phash_pairs_base")(
         phashOf(withVariants(s, dir)))
-      val bands = ph.selectExpr("doc_id", "phash",
-        "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(phash, 16*b) & 65535 as bk))) as e")
-        .select(col("doc_id"), col("phash"),
-          col("e.band").as("band"), col("e.bk").as("bk"))
-      val b1 = bands.select(col("band"), col("bk"),
-        col("doc_id").as("d1"), col("phash").as("p1"))
-      val b2 = bands.select(col("band"), col("bk"),
-        col("doc_id").as("d2"), col("phash").as("p2"))
-      b1.join(b2, Seq("band", "bk"))
-        .filter(col("d1") < col("d2"))
-        // Dedup without a shuffle (r14, the txt_simhash_pairs
-        // treatment): a ham<=3 pair emits once per intact band and the
-        // old distinct() shuffled every emission — at sf1.0 the
-        // replica/variant clusters share identical dHashes, so most
-        // pairs matched in all 4 bands and the distinct carried ~4x
-        // the 772,876-pair answer. Band b is intact iff bits
-        // [16b, 16b+16) of x = p1^p2 are zero; keeping only the FIRST
-        // intact band's emission (a codegen CASE over x) yields each
-        // pair exactly once — everything after the band join is
-        // in-stage at any corpus size.
-        .withColumn("x", expr("p1 ^ p2"))
-        .filter(col("band") === expr(
-          """case when (x & 65535) = 0 then 0
-                  when (x & 4294901760) = 0 then 1
-                  when (x & 281470681743360) = 0 then 2
-                  else 3 end"""))
-        .selectExpr("d1", "d2", "cast(bit_count(x) as bigint) as ham")
-        .filter(col("ham") <= 3)
+      bandedHam3Pairs(ph, "doc_id")
+        .selectExpr("i1 as d1", "i2 as d2", "ham")
     }),
 
     // Image near-dup CLUSTERING (the multimodal SemDeDup shape,
@@ -133,25 +107,50 @@ object MultimodalQueries extends QueryPack {
     // verified pair graph runs the component fixpoint as ONE
     // localiterate wave.
     "mm_phash_groups" -> ((s, dir) => {
+      // Canonicalize-then-cluster (r15 — the txt_simhash_pairs
+      // treatment applied to the COMPONENT fixpoint): at sf10 the
+      // doc-level pair graph carries 68.6M edges, almost all inside
+      // identical-dHash cliques, and CC over it billed 196.8s — but
+      // the component structure lives at the VALUE level. Nodes are
+      // distinct dHash values (identified by their min-doc rep), edges
+      // are banded ham<=3 between VALUES, and every doc inherits its
+      // value's component label by one join at the end. Docs sharing a
+      // value are ham=0 connected, so the projected answer is
+      // IDENTICAL (same DuckDB oracle); the fixpoint's node/edge count
+      // now scales with distinct content volume, not corpus size — the
+      // property that matters on a dup-heavy crawl. A doc participates
+      // (the ph_n condition of the doc-level program) iff its value
+      // holds >=2 docs (an internal ham=0 pair) or touches any
+      // value-edge; mmin over reps = min doc_id over the component
+      // because each rep is already the min doc of its value.
       val key = "spark.datalog.recursion.localiterate"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
       try {
         PackResources.context(s, dir, "mm_phash_groups")({
-          val pairs = PackResources.checkpoint(s, dir, "mm_phash_pairs_v")(
-            defs("mm_phash_pairs")(s, dir).select(col("d1"), col("d2")))
+          val vals = phashVals(s, dir)
+          val ve = PackResources.checkpoint(s, dir, "mm_phash_vedges")(
+            bandedHam3Pairs(vals.select(col("rep").as("doc_id"), col("phash")),
+              "doc_id").select(col("i1").as("r1"), col("i2").as("r2")))
+          val vn = vals.filter(col("cnt") >= 2).select(col("rep").as("r"))
+            .union(ve.select(col("r1").as("r")))
+            .union(ve.select(col("r2").as("r")))
+            .distinct()
           val c = new graft.datalog.DatalogContext(s)
           c.loadProgram(
-            "database({ph_e(X:long, Y:long), ph_n(X:long)}). " +
-              "lbl(X, mmin<X>) <- ph_n(X). " +
-              "lbl(Y, mmin<L>) <- lbl(X, L), ph_e(X, Y). " +
+            "database({phv_e(X:long, Y:long), phv_n(X:long)}). " +
+              "lbl(X, mmin<X>) <- phv_n(X). " +
+              "lbl(Y, mmin<L>) <- lbl(X, L), phv_e(X, Y). " +
               "grp(X, min<L>) <- lbl(X, L).")
-          c.registerTable("ph_e",
-            pairs.union(pairs.select(col("d2"), col("d1"))))
-          c.registerTable("ph_n",
-            pairs.select(col("d1")).union(pairs.select(col("d2"))).distinct())
+          c.registerTable("phv_e",
+            ve.union(ve.select(col("r2"), col("r1"))))
+          c.registerTable("phv_n", vn)
           c
-        }).query("grp(D, G).")
+        }).query("grp(R, G).")
+          .join(phashVals(s, dir).select(col("rep").as("r"), col("phash")), "r")
+          .join(PackResources.checkpoint(s, dir, "mm_phash_pairs_base")(
+            phashOf(withVariants(s, dir))), "phash")
+          .select(col("doc_id").as("d"), col("g"))
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -198,6 +197,47 @@ object MultimodalQueries extends QueryPack {
 
   private def phash(s: SparkSession, dir: String): DataFrame =
     phashOf(Tables.load(s, dir, "documents"))
+
+  /** Banded-hamming ham<=3 pairs over an (id, phash) frame — 4 bands of
+    * 16 bits; any ham<=3 pair shares an intact band by pigeonhole, so
+    * the (band, key) equi-join finds all such pairs with one shuffle and
+    * no all-pairs anywhere. Dedup without a shuffle (r14): band b is
+    * intact iff bits [16b, 16b+16) of x = p1^p2 are zero, and keeping
+    * only the FIRST intact band's emission (a codegen CASE over x)
+    * yields each pair exactly once — everything after the band join is
+    * in-stage at any corpus size. Shared by the doc-level pairs gate
+    * and the groups gate's value-level edges. Output: (i1, i2, ham). */
+  private def bandedHam3Pairs(ph: DataFrame, idCol: String): DataFrame = {
+    val bands = ph.selectExpr(idCol, "phash",
+      "explode(transform(sequence(0,3), b -> struct(b as band, shiftright(phash, 16*b) & 65535 as bk))) as e")
+      .select(col(idCol), col("phash"),
+        col("e.band").as("band"), col("e.bk").as("bk"))
+    val b1 = bands.select(col("band"), col("bk"),
+      col(idCol).as("i1"), col("phash").as("p1"))
+    val b2 = bands.select(col("band"), col("bk"),
+      col(idCol).as("i2"), col("phash").as("p2"))
+    b1.join(b2, Seq("band", "bk"))
+      .filter(col("i1") < col("i2"))
+      .withColumn("x", expr("p1 ^ p2"))
+      .filter(col("band") === expr(
+        """case when (x & 65535) = 0 then 0
+                when (x & 4294901760) = 0 then 1
+                when (x & 281470681743360) = 0 then 2
+                else 3 end"""))
+      .selectExpr("i1", "i2", "cast(bit_count(x) as bigint) as ham")
+      .filter(col("ham") <= 3)
+  }
+
+  /** Distinct dHash values of the corpus+variants frame with their
+    * min-doc rep and doc count — the canonicalized node set the groups
+    * gate clusters over (memoized; scales with distinct content volume,
+    * not corpus size). */
+  private def phashVals(s: SparkSession, dir: String): DataFrame =
+    PackResources.checkpoint(s, dir, "mm_phash_vals")(
+      PackResources.checkpoint(s, dir, "mm_phash_pairs_base")(
+        phashOf(withVariants(s, dir)))
+        .groupBy("phash").agg(
+          min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
 
   /** corpus ∪ deterministic near-dup variants (doc_id+10^6, first char
     * 'z') — the scale-independent true-positive set for the pairs gate */
