@@ -77,7 +77,8 @@ object Bench {
       probeSec: Double, probeStSec: Double,
       probeMax: Double, probeStMax: Double,
       medianRatio: Double = 1.0,
-      committedProbes: Option[(Double, Double)] = None): String =
+      committedProbes: Option[(Double, Double)] = None,
+      p75Ratio: Double = 1.0): String =
     if (envSuspect) "refused_suspect"
     // an errored query's wall is time-to-failure, not work — a run
     // carrying ANY error (incl. a failed index prebuild, recorded as a
@@ -97,16 +98,22 @@ object Bench {
     // retired. (Suspect flagging keeps the looser 1.3 median prong —
     // this gate is write-only, mirroring promote_baseline's DRIFT_MAX.)
     // EXCEPTION (r15): a run whose shared-gate median is STRICTLY
-    // under 1.0 measured the code faster than the committed walls on
-    // the gates themselves — it cannot be a worse measurement of the
-    // same code, and refusing it for a noisy probe reading froze a
-    // 123.8s/median-0.87 run behind a baseline whose 0.071 probe was
-    // an unusually healthy sample (two r15 refusals on a demonstrably
-    // fast box). A drifted box cannot produce median < 1.0 on
-    // unchanged code, so the r14 poison shape (median 1.275) still
-    // refuses; the absolute ceilings above stay unconditional.
-    else if (medianRatio >= 1.0 && committedProbes.exists { case (p, pst) =>
-      probeSec > 1.15 * p || probeStSec > 1.15 * pst }) "refused_probe_rel"
+    // under 1.0 AND whose p75 is at most 1.05 measured the code faster
+    // than the committed walls across the bulk of the suite — it
+    // cannot be a worse measurement of the same code, and refusing it
+    // for a noisy probe reading froze a 123.8s/median-0.87 run behind
+    // a baseline whose 0.071 probe was an unusually healthy sample
+    // (two r15 refusals on a demonstrably fast box). The p75 prong
+    // closes the masking hole a bare median leaves: a round whose code
+    // speedups cover half the suite could drag an ALL-shared median
+    // under 1.0 on a genuinely 1.3x-drifted box, but the unchanged
+    // gates' 1.3x ratios then occupy the upper quartile and p75 reads
+    // >=1.3 — the bypass needs the improvement to be broad, not just
+    // median-deep. The r14 poison shape (median 1.275) still refuses;
+    // the absolute ceilings above stay unconditional.
+    else if (!(medianRatio < 1.0 && p75Ratio <= 1.05) &&
+      committedProbes.exists { case (p, pst) =>
+        probeSec > 1.15 * p || probeStSec > 1.15 * pst }) "refused_probe_rel"
     // Write-only median prong at 1.15 (vs 1.3 for env_suspect): a run
     // whose shared-gate median sits >15% over the file it would
     // replace is a worse measurement of the same code, not a baseline.
@@ -127,16 +134,24 @@ object Bench {
   private[graft] def stallVerdict(
       results: Seq[(String, Double)], baseline: Map[String, Double],
       errored: Set[String]): (Double, Seq[String]) = {
-    val ratios = results.flatMap { case (k, v) =>
-      if (errored(k)) None
-      else baseline.get(k).filter(_ > 0.2).map(b => v / b)
-    }.sorted
+    val ratios = sharedRatios(results, baseline, errored)
     val medianRatio = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     val tailSuspects = results.collect { case (k, v)
       if !errored(k) &&
         baseline.get(k).exists(b => b > 0.5 && v > 2.5 * b) => k }
     (medianRatio, tailSuspects)
   }
+
+  /** Sorted per-gate ratios vs the committed baseline (non-errored,
+    * baseline >0.2s) — shared by the stall verdict's median and the
+    * write-bypass's p75. */
+  private[graft] def sharedRatios(
+      results: Seq[(String, Double)], baseline: Map[String, Double],
+      errored: Set[String]): Seq[Double] =
+    results.flatMap { case (k, v) =>
+      if (errored(k)) None
+      else baseline.get(k).filter(_ > 0.2).map(b => v / b)
+    }.sorted
 
   /** Fixed-work calibration probes (judge r11 #7): constant work whose
     * wall depends only on the box, never on the benched code — drift
@@ -637,9 +652,12 @@ object Bench {
     // overridable per-box via env.
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
     val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
+    val writeRatios = sharedRatios(verdictRows, baseline, erroredSet)
+    val p75Ratio =
+      if (writeRatios.isEmpty) 1.0 else writeRatios(3 * writeRatios.size / 4)
     val baselineWrite = baselineWriteDecision(envSuspect, baselineConfigMatch,
       errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
-      medianRatio, baselineProbes)
+      medianRatio, baselineProbes, p75Ratio)
     val fullTarget =
       if (baselineWrite == "ok") baselineFile
       else baselineFile.replace(".json", "_SUSPECT.json")

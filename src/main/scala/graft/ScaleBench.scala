@@ -108,29 +108,58 @@ object ScaleBench {
           None
       }
     }
+    // Post-loop probe re-measure: a gate death (OOM, disk) can leave
+    // the box degraded for the gates that ran after it, and the
+    // pre-loop probes are blind to that. A run carrying errors whose
+    // post-loop probes fail the ceilings lands aside; both readings
+    // ride in the file either way.
+    val (probeSecAfter, probeStSecAfter) = Bench.fixedWorkProbes(spark)
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
     val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
     val write =
       if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
+      else if (errors.nonEmpty &&
+        (probeSecAfter > probeMax || probeStSecAfter > probeStMax))
+        "refused_post_error_probe"
       else "ok"
+    // Split/resume merge: a filtered run must not destroy the committed
+    // walls of the gates it did not run — carry the target file's rows
+    // forward for every subset gate outside this run (this run's rows,
+    // including a re-run of a previously-recorded gate, always win).
+    val target =
+      if (write == "ok") "BENCH_SF10_SUBSET.json"
+      else "BENCH_SF10_SUBSET_SUSPECT.json"
+    val carried: Seq[(String, Double)] =
+      if (wanted == subset) Nil
+      else try {
+        val txt = new String(Files.readAllBytes(Paths.get(target)),
+          StandardCharsets.UTF_8)
+        val prior = (""""([A-Za-z0-9_]+)":\s*(\d+\.\d+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+        subset.filterNot(wanted.contains)
+          .flatMap(g => prior.get(g).map(g -> _))
+      } catch { case _: Throwable => Nil }
+    val all = (carried ++ times).sortBy { case (k, _) => subset.indexOf(k) }
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, m) =>
         s"""  "err_$k": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
         .mkString("", ",\n", ",\n")
-    val json = times.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+    val json = all.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
       .mkString("{\n", ",\n", ",\n") + errJson +
-      s"""  "total": ${fmt(times.map(_._2).sum)},\n""" +
+      s"""  "total": ${fmt(all.map(_._2).sum)},\n""" +
       s"""  "baseline_write": "$write",\n""" +
       s"""  "probe_seconds": ${fmt(probeSec)},\n""" +
       s"""  "probe_st_seconds": ${fmt(probeStSec)},\n""" +
+      s"""  "probe_seconds_after": ${fmt(probeSecAfter)},\n""" +
+      s"""  "probe_st_seconds_after": ${fmt(probeStSecAfter)},\n""" +
+      (if (carried.isEmpty) ""
+       else s"""  "carried": "${carried.map(_._1).mkString(",")}",\n""") +
       s"""  "order": "fixed as listed; memos dropped once before the loop",\n""" +
       s"""  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
-    val target =
-      if (write == "ok") "BENCH_SF10_SUBSET.json"
-      else "BENCH_SF10_SUBSET_SUSPECT.json"
     Files.write(Paths.get(target), json.getBytes(StandardCharsets.UTF_8))
-    println(s"""{"metric":"sf10_total","value":${fmt(times.map(_._2).sum)},"unit":"sec","n":${times.size},"write":"$write","probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)},"file":"$target"}""")
+    println(s"""{"metric":"sf10_total","value":${fmt(all.map(_._2).sum)},"unit":"sec","n":${all.size},"write":"$write","probe_seconds":${fmt(probeSec)},"probe_st_seconds":${fmt(probeStSec)},"file":"$target"}""")
     SparkEntry.release()
     spark.stop()
   }

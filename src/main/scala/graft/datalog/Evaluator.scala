@@ -1813,11 +1813,12 @@ final class Evaluator(
     if (clique.preds.size > 1) return None
     if (clique.monotonic) {
       // monotonic cliques get the stable-position pushdown too (judge
-      // r14 #8): the adorned-program analog for AggregateRecursion
-      val r = boundMemo.get((p, bindings)).orElse(
-        monotonicBoundDF(p, clique, bindings).map { df =>
-          boundMemo((p, bindings)) = df; df
-        })
+      // r14 #8): the adorned-program analog for AggregateRecursion.
+      // Memoization lives inside monotonicBoundDF keyed by the STABLE
+      // binding subset — queries differing only in post-filtered
+      // positions share one restricted fixpoint (the caller applies
+      // every binding idempotently as a post-filter either way).
+      val r = monotonicBoundDF(p, clique, bindings)
       if (r.isDefined) lastBoundPushdown = true
       return r
     }
@@ -1898,6 +1899,15 @@ final class Evaluator(
     val recRules = clique.recursiveRules(p)
     val exitRules = clique.exitRules(p)
     if (recRules.isEmpty || exitRules.isEmpty) return None
+    // sort/limit guard (mirrors magicSetDF): the rewrite appends the
+    // binding comparison INSIDE the rule body, which would restrict
+    // BEFORE a sort/limit — limit(1) would then pick the cheapest row
+    // AMONG the binding instead of restricting the globally-limited
+    // seed, deriving facts the unrestricted program never derives.
+    // Fall back to post-filtering the full fixpoint.
+    if ((recRules ++ exitRules).exists(_.body.exists {
+      case _: SortSpec | _: LimitSpec => true; case _ => false
+    })) return None
     val stable = bindings.filter { case (i, _) =>
       i != aggIdx && recRules.forall { r =>
         val recAtoms = r.bodyAtoms.filter(a => clique.preds(a.pred))
@@ -1917,19 +1927,21 @@ final class Evaluator(
         case _ => false
       }))
     if (!attachable) return None
-    val restricted = exitRules.map { r =>
-      val extras = stable.toSeq.map { case (i, v) =>
-        val Some(PlainArg(TermExpr(hv: Variable))) = r.head.args.lift(i)
-        Comparison("=", TermExpr(hv), TermExpr(Constant(v)))
+    Some(boundMemo.getOrElseUpdate((p, stable), {
+      val restricted = exitRules.map { r =>
+        val extras = stable.toSeq.map { case (i, v) =>
+          val Some(PlainArg(TermExpr(hv: Variable))) = r.head.args.lift(i)
+          Comparison("=", TermExpr(hv), TermExpr(Constant(v)))
+        }
+        Rule(r.head, r.body ++ extras)
       }
-      Rule(r.head, r.body ++ extras)
-    }
-    val prog2 = Program(Nil, restricted ++ recRules)
-    val ev2 = new Evaluator(new Analysis(prog2), name => predDF(name), conf)
-    subEvaluators += ev2
-    val res = Some(ev2.predDF(p))
-    if (conf.collectStats) iterationStats ++= ev2.iterationStats
-    res
+      val prog2 = Program(Nil, restricted ++ recRules)
+      val ev2 = new Evaluator(new Analysis(prog2), name => predDF(name), conf)
+      subEvaluators += ev2
+      val res = ev2.predDF(p)
+      if (conf.collectStats) iterationStats ++= ev2.iterationStats
+      res
+    }))
   }
 
   /** Magic-set pushdown for bound queries whose bound positions are NOT

@@ -484,9 +484,11 @@ object TextQueries extends QueryPack {
         case "true" => true
         case "false" => false
         case _ =>
-          // one cheap agg over the memoized sets checkpoint
-          val bytes = sh.select(
-            (sum(size(col("s"))) * 8L + count(lit(1)) * 32L).as("b"))
+          // one cheap agg over the memoized sets checkpoint (coalesce:
+          // sum() over an empty frame is null — an empty corpus must
+          // size as 0, not NPE at plan construction)
+          val bytes = sh.select(coalesce(
+            sum(size(col("s"))) * 8L + count(lit(1)) * 32L, lit(0L)).as("b"))
             .head().getLong(0)
           bytes < Runtime.getRuntime.maxMemory / 12
       }

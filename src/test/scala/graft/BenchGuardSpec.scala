@@ -151,17 +151,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(d(0.116, 0.288, 1.275, None) == "refused_median")
     assert(d(0.116, 0.288, 1.0, None) == "ok")
     // faster-than-baseline bypass (r15): a shared-gate median strictly
-    // under 1.0 proves the box measured the code faster than the walls
-    // being retired — a noisy probe sample must not freeze a strictly
-    // better run (the r15 shape: probes 0.086/0.224 vs a 0.071-probe
-    // file, median 0.869)
-    assert(d(0.086, 0.224, 0.869, Some((0.071, 0.273))) == "ok")
+    // under 1.0 with p75 <= 1.05 proves the box measured the code
+    // faster than the walls being retired across the bulk of the suite
+    // — a noisy probe sample must not freeze a strictly better run
+    // (the r15 shape: probes 0.086/0.224 vs a 0.071-probe file,
+    // median 0.869, p75 1.03)
+    def db(p: Double, pst: Double, med: Double, cp: Option[(Double, Double)],
+           p75: Double): String =
+      Bench.baselineWriteDecision(false, true, false, p, pst, 0.25, 0.32,
+        med, cp, p75)
+    assert(db(0.086, 0.224, 0.869, Some((0.071, 0.273)), 1.03) == "ok")
     // ...but the bypass needs STRICT improvement: at exactly 1.0 the
     // relative prong still applies
-    assert(d(0.086, 0.224, 1.0, Some((0.071, 0.273))) == "refused_probe_rel")
+    assert(db(0.086, 0.224, 1.0, Some((0.071, 0.273)), 1.0)
+      == "refused_probe_rel")
+    // ...and the p75 prong closes the changed-gate masking hole: code
+    // speedups covering half the suite can drag the ALL-shared median
+    // under 1.0 on a 1.3x-drifted box, but the unchanged gates' 1.3x
+    // ratios occupy the upper quartile — no bypass
+    assert(db(0.116, 0.288, 0.95, Some((0.071, 0.273)), 1.30)
+      == "refused_probe_rel")
     // ...and never overrides the absolute ceilings (a catastrophic
     // probe episode refuses regardless of the per-gate median)
-    assert(d(0.30, 0.224, 0.869, Some((0.071, 0.273))) == "refused_probe")
+    assert(db(0.30, 0.224, 0.869, Some((0.071, 0.273)), 1.03)
+      == "refused_probe")
   }
 
   test("end-of-run heavy adjudication band: >2x drift-scaled baseline AND >2s") {

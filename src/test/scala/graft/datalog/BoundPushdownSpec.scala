@@ -173,6 +173,27 @@ class BoundPushdownSpec extends DatalogSuite {
     assert(rows == Set("[0,2,2]"))
   }
 
+  test("monotonic exit rule with sort/limit falls back to post-filter") {
+    // the pushdown appends the binding comparison INSIDE the rule body,
+    // which would restrict BEFORE the limit — limit(1) would pick the
+    // cheapest arc AMONG the binding instead of restricting the
+    // globally-limited seed, deriving facts the unrestricted program
+    // never derives. Fixture: global cheapest arc is (3,4,0), so the
+    // unrestricted exit seed is exactly that arc and the bound query
+    // mpl(0,B,D) is EMPTY; the unsound rewrite would answer
+    // {(0,1,5),(0,2,6)}.
+    val mp = "mpl(X,Z,mmin<D>) <- warc(X,Z,C), D=C, sort((C, asc)), limit(1). " +
+      "mpl(X,Z,mmin<D>) <- mpl(X,Y,D1), warc(Y,Z,C), D=D1+C."
+    val ctx = new DatalogContext(spark)
+    ctx.loadProgram(
+      "database({warc(X:integer, Y:integer, C:integer)}). " + mp)
+    ctx.registerData("warc", Seq("0,1,5", "1,2,1", "3,4,0"))
+    val rows = ctx.queryStrings("mpl(0,B,D).").toSet
+    assert(!ctx.lastBoundPushdown,
+      "sort/limit exit rules must not take the monotonic pushdown")
+    assert(rows.isEmpty, s"expected empty bound answer, got $rows")
+  }
+
   test("tiny-frontier bound fixpoint amortizes job latency (driver mode)") {
     // a 40-hop chain bound at its head: ~40 alternating magic/answer
     // iterations over 1-row frontiers. With the driver-resident frontier

@@ -203,12 +203,18 @@ def main():
         # the CHANGED-filtered drift estimate can be blind when most
         # shared families changed, the fixed-work probes never are.
         # Faster-than-baseline bypass (r15, mirrored from Bench): a
-        # shared-gate median STRICTLY under 1.0 cannot be a worse
-        # measurement of the same code — a noisy probe sample must not
-        # freeze a strictly better run. A drifted box cannot read
-        # median < 1.0 on unchanged code; the absolute ceilings above
-        # stay unconditional.
-        if med is None or med >= 1.0:
+        # shared-gate median STRICTLY under 1.0 with p75 <= 1.05 cannot
+        # be a worse measurement of the same code — a noisy probe
+        # sample must not freeze a strictly better run. The p75 prong
+        # closes the masking hole a bare median leaves (broad code
+        # speedups dragging the median under 1.0 on a drifted box whose
+        # unchanged gates read 1.3x in the upper quartile). Note this
+        # tool's ratios already EXCLUDE changed families, so its median
+        # is the stronger unchanged-gate estimate; the p75 prong is
+        # belt-and-braces parity with the in-bench gate. The absolute
+        # ceilings above stay unconditional.
+        p75 = ratios[3 * len(ratios) // 4] if ratios else None
+        if med is None or med >= 1.0 or p75 is None or p75 > 1.05:
             for key in ("probe_seconds", "probe_st_seconds"):
                 cp, xp = cur.get(key), cand.get(key)
                 if cp is not None and xp is not None and xp > 1.15 * cp:
