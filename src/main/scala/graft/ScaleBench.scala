@@ -134,11 +134,18 @@ object ScaleBench {
       else try {
         val txt = new String(Files.readAllBytes(Paths.get(target)),
           StandardCharsets.UTF_8)
-        val prior = (""""([A-Za-z0-9_]+)":\s*(\d+\.\d+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)).toMap
-        subset.filterNot(wanted.contains)
-          .flatMap(g => prior.get(g).map(g -> _))
+        // only carry rows measured at THIS run's fixture — a stale
+        // side file from another scale must not leak its walls in
+        val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Nil
+        else {
+          val prior = (""""([A-Za-z0-9_]+)":\s*(\d+\.\d+)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)).toMap
+          subset.filterNot(wanted.contains)
+            .flatMap(g => prior.get(g).map(g -> _))
+        }
       } catch { case _: Throwable => Nil }
     val all = (carried ++ times).sortBy { case (k, _) => subset.indexOf(k) }
     val errJson =
