@@ -56,6 +56,76 @@ object Bench {
     if (base == "sf0.1") "BENCH_FULL.json" else s"BENCH_FULL_$base.json"
   }
 
+  /** Gates whose code changed this round — builder-maintained list
+    * (one gate name per line, `#` comments, blank lines ignored).
+    * Judge r15 #1a: a legal self-commit no longer wholesale-replaces
+    * the committed walls file. For every gate NOT in this list the
+    * write takes min(committed, run) per row, so a drifted-but-legal
+    * run (r15: median 1.116, under every refusal prong) can no longer
+    * inflate unchanged rows into permanent cushions (q25_sql_corr rode
+    * in at 4.3x, dl_evenodd at 3.5x, with zero code change). Gates
+    * LISTED here keep replace-on-write, so an accepted perf trade on
+    * changed code still surfaces in the baseline instead of being
+    * frozen at the old number. Exposed for BenchGuardSpec. */
+  private[graft] def changedGates(
+      path: String = "bench_changed_gates.txt"): Set[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(Paths.get(path)).asScala.iterator
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    } catch { case _: Throwable => Set.empty }
+
+  /** Per-gate min-merge against the committed baseline (judge r15 #1a):
+    * unchanged gates take min(committed, run); changed gates and gates
+    * new to the file keep the run's measurement. Pure — exposed for
+    * BenchGuardSpec. */
+  private[graft] def minMergeRows(
+      rows: Seq[(String, Double)], committed: Map[String, Double],
+      changed: Set[String]): Seq[(String, Double)] =
+    rows.map { case (k, v) =>
+      k -> (if (changed(k)) v else math.min(v, committed.getOrElse(k, v)))
+    }
+
+  /** Parse a committed walls file into (per-gate rows, configMatch,
+    * recorded probes). Read failure (first promotion) → empty rows with
+    * configMatch=true so a first write is allowed; sf/cpus mismatch →
+    * empty rows with configMatch=false so a wrong-scale run can never
+    * clobber the file. Shared by the full-file baseline load and the
+    * subset tail's own-rows judgment (judge r15 #1b). */
+  private[graft] def parseCommitted(
+      file: String, sfDir: String, cpus: String
+  ): (Map[String, Double], Boolean, Option[(Double, Double)]) = try {
+    val txt = new String(Files.readAllBytes(Paths.get(file)),
+      StandardCharsets.UTF_8)
+    val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    val cpuOk = """"cpus":\s*(\d+)""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == cpus)
+    def probeOf(key: String): Option[Double] =
+      (s""""$key":\\s*(\\d+\\.\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+    val probes = for {
+      p <- probeOf("probe_seconds"); pst <- probeOf("probe_st_seconds")
+    } yield (p, pst)
+    if (sfOk && cpuOk)
+      (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        // drop the non-query decimal rows a full file carries
+        // (ADVICE r12 #2: `__alt` re-times, probe walls, derived-mode
+        // metadata) — they are not baselines for any benched query
+        // and must never seed the retry/outlier map. emb_ivfpq_build
+        // IS kept (judge r13 #1): the build row gets the same
+        // baseline-anchored adjudication as query rows; no timed
+        // query shares its name, so it can't seed a query band.
+        .filter { case (k, v) =>
+          k != "total" && v > 0 && !k.endsWith("__alt") &&
+            !k.endsWith("__first") &&
+            !k.startsWith("probe_") && !k.startsWith("derived_") }
+        .toMap, true, probes)
+    else (Map.empty[String, Double], false, probes)
+  } catch { case _: Throwable =>
+    (Map.empty[String, Double], true, None: Option[(Double, Double)]) }
+
   /** End-of-run adjudication band (judge r13 #1): a reported wall
     * >2x its drift-scaled baseline AND >2s absolute earns one alt-
     * position re-time — below the 5x retry band and the 2.5x tail
@@ -376,41 +446,12 @@ object Bench {
     // committed baseline (it did in r5 and r6 — the next cold reader of
     // the file then compared against a skewed or wrong-scale run).
     val baselineFile = baselineFileFor(sfDir)
+    // the committed file's own fixed-work probes — the health of the
+    // box that measured it; a replacement run must match them
+    // (relative write prong, judge r14 #1)
     val (baseline: Map[String, Double], baselineConfigMatch: Boolean,
-         baselineProbes: Option[(Double, Double)]) = try {
-      val txt = new String(Files.readAllBytes(Paths.get(baselineFile)),
-        StandardCharsets.UTF_8)
-      val sfOk = """"sf":\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      val cpuOk = """"cpus":\s*(\d+)""".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == cpus)
-      // the committed file's own fixed-work probes — the health of the
-      // box that measured it; a replacement run must match them
-      // (relative write prong, judge r14 #1)
-      def probeOf(key: String): Option[Double] =
-        (s""""$key":\\s*(\\d+\\.\\d+)""").r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-      val probes = for {
-        p <- probeOf("probe_seconds"); pst <- probeOf("probe_st_seconds")
-      } yield (p, pst)
-      if (sfOk && cpuOk)
-        (""""([A-Za-z0-9_]+)":\s*(-?\d+\.\d+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          // drop the non-query decimal rows a full file carries
-          // (ADVICE r12 #2: `__alt` re-times, probe walls, derived-mode
-          // metadata) — they are not baselines for any benched query
-          // and must never seed the retry/outlier map. emb_ivfpq_build
-          // IS kept (judge r13 #1): the build row gets the same
-          // baseline-anchored adjudication as query rows; no timed
-          // query shares its name, so it can't seed a query band.
-          .filter { case (k, v) =>
-            k != "total" && v > 0 && !k.endsWith("__alt") &&
-              !k.endsWith("__first") &&
-              !k.startsWith("probe_") && !k.startsWith("derived_") }
-          .toMap, true, probes)
-      else (Map.empty[String, Double], false, probes)
-    } catch { case _: Throwable =>
-      (Map.empty[String, Double], true, None: Option[(Double, Double)]) }
+         baselineProbes: Option[(Double, Double)]) =
+      parseCommitted(baselineFile, sfDir, cpus)
 
     // >5x the committed baseline (and >2s absolute, so sub-second jitter
     // never trips it) = environment-suspect; retry once — a one-off
@@ -661,20 +702,55 @@ object Bench {
     val fullTarget =
       if (baselineWrite == "ok") baselineFile
       else baselineFile.replace(".json", "_SUSPECT.json")
-    // The sf1 subset tail shares the main run's box, so it shares the
-    // main run's write decision (ADVICE r14: an unconditional write let
-    // a degraded run silently overwrite this committed artifact) — a
-    // non-ok run lands aside, and the run's verdict rides in the file.
+    // Builder-maintained changed-gate list (judge r15 #1a): on an ok
+    // write, gates NOT listed min-merge against the committed rows —
+    // a drifted-but-legal run can no longer inflate unchanged rows.
+    val changed = changedGates()
+    // The sf1 subset tail shares the main run's box (probes, suspect
+    // verdict, errors), but its write is judged against the SUBSET
+    // file's OWN shared rows (judge r15 #1b: the r15 subset rode the
+    // full run's median in while its own 13 shared gates read ~1.19,
+    // dl_tc 4.2x). A non-ok run lands aside with its verdict in the
+    // file. On an ok write, unchanged gates min-merge against the
+    // committed subset rows (judge r15 #1a) and gates this run failed
+    // to measure carry the committed row forward instead of vanishing.
     if (sf1Times.nonEmpty) {
-      val j = sf1Times.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
+      val (subBaseline, subCfg, subProbes) =
+        parseCommitted("BENCH_SF1_SUBSET.json", sf1Dir, cpus)
+      val subRatios = sharedRatios(sf1Times, subBaseline, Set.empty)
+      val subMedian =
+        if (subRatios.isEmpty) 1.0 else subRatios(subRatios.size / 2)
+      val subP75 =
+        if (subRatios.isEmpty) 1.0 else subRatios(3 * subRatios.size / 4)
+      val subWrite = baselineWriteDecision(envSuspect, subCfg,
+        errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
+        subMedian, subProbes, subP75)
+      val measured = sf1Times.toMap
+      val subRows: Seq[(String, Double)] =
+        if (subWrite == "ok")
+          sf1Subset.flatMap { g =>
+            measured.get(g) match {
+              case Some(v) =>
+                Some(g -> (if (changed(g)) v
+                           else math.min(v, subBaseline.getOrElse(g, v))))
+              case None => subBaseline.get(g).map(g -> _) // carry
+            }
+          }
+        else sf1Times
+      val carriedSub = sf1Subset.filterNot(measured.contains)
+        .filter(subBaseline.contains)
+      val j = subRows.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
         .mkString("{\n", ",\n", ",\n") +
-        s"""  "total": ${fmt(sf1Times.map(_._2).sum)},\n""" +
-        s"""  "baseline_write": "$baselineWrite",\n""" +
+        s"""  "total": ${fmt(subRows.map(_._2).sum)},\n""" +
+        s"""  "baseline_write": "$subWrite",\n""" +
+        s"""  "median_ratio_own": ${fmt(subMedian)},\n""" +
+        (if (subWrite == "ok" && carriedSub.nonEmpty)
+           s"""  "carried": "${carriedSub.mkString(",")}",\n""" else "") +
         s"""  "probe_seconds": ${fmt(probeSec)},\n""" +
         s"""  "probe_st_seconds": ${fmt(probeStSec)},\n""" +
         s"""  "sf": "$sf1Dir",\n  "cpus": $cpus\n}\n"""
       val sf1Target =
-        if (baselineWrite == "ok") "BENCH_SF1_SUBSET.json"
+        if (subWrite == "ok") "BENCH_SF1_SUBSET.json"
         else "BENCH_SF1_SUBSET_SUSPECT.json"
       try Files.write(Paths.get(sf1Target),
         j.getBytes(StandardCharsets.UTF_8))
@@ -708,12 +784,32 @@ object Bench {
     // (ADVICE r12 #2), so they never seed retry/outlier entries;
     // `emb_ivfpq_build` is harvested ON PURPOSE (judge r13 #1a) as the
     // build row's own adjudication baseline.
-    val full = finalResults.sortBy(_._1)
+    // Min-merge for the committed write (judge r15 #1a): unchanged
+    // gates take min(committed, run); changed gates replace. The side
+    // (_SUSPECT) write keeps raw measurements — it documents the run,
+    // not the baseline. The build row merges under the same rule. The
+    // file's `total` is recomputed from the merged rows (the metric
+    // line keeps this run's measured total — they differ by design
+    // when the merge kept committed rows).
+    val mergeBase =
+      if (baselineWrite == "ok") baseline else Map.empty[String, Double]
+    val mergedResults = minMergeRows(finalResults, mergeBase, changed)
+    val mergedBuild =
+      if (changed("emb_ivfpq_build")) ivfBuildSec
+      else math.min(ivfBuildSec,
+        mergeBase.getOrElse("emb_ivfpq_build", ivfBuildSec))
+    val nMinMerged = (mergedResults.map(_._2).zip(finalResults.map(_._2))
+      .count { case (m, r) => m < r }) +
+      (if (mergedBuild < ivfBuildSec) 1 else 0)
+    val fileTotal = mergedResults.map(_._2).sum + mergedBuild
+    val full = mergedResults.sortBy(_._1)
       .map { case (k, v) => s"  \"$k\": ${fmt(v)}" }.mkString("{\n", ",\n", ",\n") +
       altTimes.map { case (k, v) =>
         s"""  "${k}__alt": ${fmt(v)},\n  "${k}__pos": ${posOf(k)}""" }
         .mkString("", ",\n", if (altTimes.isEmpty) "" else ",\n") +
-      s"""  "emb_ivfpq_build": ${fmt(ivfBuildSec)},\n""" +
+      s"""  "emb_ivfpq_build": ${fmt(mergedBuild)},\n""" +
+      (if (nMinMerged == 0) ""
+       else s"""  "min_merged_rows": $nMinMerged,\n""") +
       ivfBuildAlt.fold("")(a =>
         s"""  "emb_ivfpq_build__alt": ${fmt(a)},\n""" +
         s"""  "emb_ivfpq_build__first": ${fmt(ivfBuildSecFirst)},\n""") +
@@ -737,7 +833,7 @@ object Bench {
         s"""  "env_suspect": true,\n  "median_ratio": ${fmt(medianRatio)},\n  "suspect_queries": [""",
         ", ", "],\n")
     val fullJson = full + errFull + suspectFull +
-      s"""  "total": ${fmt(total)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
+      s"""  "total": ${fmt(fileTotal)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
     try Files.write(Paths.get(fullTarget), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     // Silence shutdown-time logging (unpersist of localCheckpointed slices
