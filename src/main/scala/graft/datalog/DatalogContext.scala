@@ -259,6 +259,9 @@ final class DatalogContext(val spark: SparkSession) {
   def monotonicLocalRuns: Int =
     evaluator.map(_.monotonicLocalRuns).getOrElse(0)
 
+  def mutualLocalRuns: Int =
+    evaluator.map(_.mutualLocalRuns).getOrElse(0)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)
