@@ -148,7 +148,7 @@ object ScaleBench {
     // committed-file rows + probes for the relative prong, the carry,
     // and the min-merge — always read from the COMMITTED name (a
     // refused run writing aside still carries committed provenance)
-    val (committedRows, _, committedProbes) =
+    val (committedRows, _, committedProbes, _) =
       Bench.parseCommitted("BENCH_SF10_SUBSET.json", sfDir, cpus)
     val write = scaleWriteDecision(probeSec, probeStSec,
       probeSecAfter, probeStSecAfter, probeMax, probeStMax, committedProbes)

@@ -245,6 +245,48 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(d == "refused_median")
   }
 
+  test("measured-beats-derived: relative prongs waived against a --derive file") {
+    // r16: the twice-derived sf1 file read ~0.90x the measured-clean
+    // subset rows; a clean-probe measured run (0.072/0.305) refused on
+    // median 1.17 against it. Against a DERIVED file the median and
+    // probe_rel prongs are waived...
+    def d(med: Double, cp: Option[(Double, Double)], derived: Boolean) =
+      Bench.baselineWriteDecision(false, true, false, 0.072, 0.305,
+        0.25, 0.32, med, cp, p75Ratio = 1.25, committedDerived = derived)
+    assert(d(1.17, None, derived = true) == "ok")
+    assert(d(1.17, Some((0.05, 0.25)), derived = true) == "ok")
+    // ...but not against a measured file (the r15 protections hold)
+    assert(d(1.17, None, derived = false) == "refused_median")
+    // and the absolute ceilings/suspect/error prongs stay unconditional
+    assert(Bench.baselineWriteDecision(false, true, false, 0.30, 0.305,
+      0.25, 0.32, 1.0, None, 1.0, committedDerived = true) == "refused_probe")
+    assert(Bench.baselineWriteDecision(true, true, false, 0.072, 0.305,
+      0.25, 0.32, 1.0, None, 1.0, committedDerived = true) == "refused_suspect")
+    assert(Bench.baselineWriteDecision(false, true, true, 0.072, 0.305,
+      0.25, 0.32, 1.0, None, 1.0, committedDerived = true) == "refused_errors")
+  }
+
+  test("parseCommitted flags derived files and reports probes") {
+    val f = java.nio.file.Files.createTempFile("walls", ".json")
+    java.nio.file.Files.write(f,
+      """{
+        |  "dl_tc": 3.358,
+        |  "total": 271.430,
+        |  "baseline_write": "derived",
+        |  "sf": "/x/tmp_sf1",
+        |  "cpus": 32
+        |}""".stripMargin.getBytes)
+    val (rows, cfg, probes, derived) =
+      Bench.parseCommitted(f.toString, "/x/tmp_sf1", "32")
+    assert(cfg && derived && probes.isEmpty && rows == Map("dl_tc" -> 3.358))
+    val (_, _, _, notDerived) =
+      Bench.parseCommitted(f.toString, "/x/other", "32")
+    assert(notDerived, "derived flag is independent of config match")
+    java.nio.file.Files.delete(f)
+    val (e, okCfg, _, d0) = Bench.parseCommitted(f.toString, "/x", "32")
+    assert(e.isEmpty && okCfg && !d0, "missing file: first write allowed")
+  }
+
   test("ScaleBench write decision: post-loop ceiling unconditional + relative prong") {
     def d(p: Double, pst: Double, pa: Double, psta: Double,
         cp: Option[(Double, Double)]) =

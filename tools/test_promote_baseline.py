@@ -156,6 +156,26 @@ def main():
         check("absolute ceiling overrides bypass", 1, rc, out,
               "degraded episode")
 
+        # 11b. measured-beats-derived (r16): the drift-median gate is
+        # waived when the file being replaced is a --derive estimate
+        # (its rows are normalized guesses; r16 measured the sf1 derive
+        # at ~0.90x the measured-clean subset, so a real clean-probe run
+        # read median 1.17 against it and was wrongly frozen out)
+        com = committed_base()
+        com["baseline_write"] = "derived"
+        rc, out = run(tmp, com, candidate(1.17))
+        check("derived file: drift gate waived", 0, rc, out, "PROMOTED")
+        check("derived waiver is logged", 0, rc, out, "drift gate waived")
+        # the same 1.17 median against a MEASURED file still refuses
+        rc, out = run(tmp, committed_base(), candidate(1.17))
+        check("measured file keeps drift gate", 1, rc, out, "median drift")
+        # absolute probe ceilings still refuse against a derived file
+        com = committed_base()
+        com["baseline_write"] = "derived"
+        rc, out = run(tmp, com, candidate(1.0, probes=(0.30, 0.27)))
+        check("derived file: absolute ceiling holds", 1, rc, out,
+              "degraded episode")
+
         # 12. first-time promotion (no committed file) validates the
         # candidate's sf against the --out filename (ADVICE r14): an
         # sf0.1 candidate must not seed BENCH_FULL_sf1.json
