@@ -1986,6 +1986,12 @@ final class Evaluator(
     lastBoundPushdown = false
     if (bindings.isEmpty || !analysis.isIdb(p) || !analysis.isRecursive(p))
       return None
+    // Already-materialized clique: never re-derive a restricted
+    // fixpoint when the unrestricted one is memoized — the caller's
+    // post-filter over the memo is a narrow scan (r16: dl_evenodd_bound
+    // paid ~3s re-running the magic rewrite while dl_evenodd's full
+    // answer sat in the shared context's memo).
+    if (memo.contains(p)) return None
     val clique = analysis.cliqueOf(p)
     // mutual monotonic cliques are rejected by evaluation anyway; the
     // non-aggregate mutual case proceeds to the magic-set rewrite
