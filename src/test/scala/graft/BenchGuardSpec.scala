@@ -301,6 +301,13 @@ class BenchGuardSpec extends AnyFunSuite {
     // relative prong vs the committed file's own probes (1.15x)
     assert(d(0.12, 0.29, 0.12, 0.29, Some((0.098, 0.29)))
       == "refused_probe_rel")
+    // ...judged on the BETTER of the two samples: the r16 shape — a
+    // pre-loop JIT-churn reading (0.116) beside a clean post-loop
+    // sample (0.086) must not refuse freshly-measured walls
+    assert(d(0.116, 0.302, 0.086, 0.283, Some((0.098, 0.29))) == "ok")
+    // a box dirty on BOTH samples still refuses
+    assert(d(0.116, 0.302, 0.120, 0.301, Some((0.098, 0.29)))
+      == "refused_probe_rel")
     // no committed file yet: absolute ceilings alone govern
     assert(d(0.12, 0.29, 0.12, 0.29, None) == "ok")
   }
