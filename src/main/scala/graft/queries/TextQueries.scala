@@ -458,9 +458,17 @@ object TextQueries extends QueryPack {
   }
 
   /** verified near-dup pairs from a (d1, d2) candidate set: exact Jaccard
-    * over distinct shingle sets, kept when num/den ≥ threshold. */
+    * over distinct shingle sets, kept when num/den ≥ threshold.
+    * `candCheap` marks callers whose candidate GENERATOR is trivial to
+    * re-run (e.g. first-token blocking — a projection + self-join of a
+    * two-column frame): those gates auto-shard above the cache
+    * threshold below, where re-running the generator per shard costs
+    * less than probing a beyond-cache broadcast map per candidate. LSH
+    * callers (minhash signature + band join per shard) keep
+    * broadcast-first. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
-                          num: Int, den: Int): DataFrame = {
+                          num: Int, den: Int,
+                          candCheap: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.{sortedIntersectCount, sortedJaccardGe}
     // Verify-join shape (r15, measured at sf10): the shuffle
     // formulation attaches two ~1.5KB sorted-shingle arrays to every
@@ -519,6 +527,28 @@ object TextQueries extends QueryPack {
           cand.filter(pmod(col("d2"), lit(shards)) === j), s1, s2shard)
       }.reduce(_.union(_)) // shards are pmod-disjoint: no dedup needed
     }
+    // 2D grid verify for CHEAP-generator candidates (r16): shard BOTH
+    // doc-id sides into an s x s pmod grid; each branch broadcasts two
+    // bytes/s-sized shard maps and streams its candidate cell straight
+    // from the (re-run) generator — map-only, ZERO candidate shuffle.
+    // This is the cache-locality fix that the 1D shard could not give
+    // at scale: 1D keeps one whole-corpus side, so its d1 attach
+    // shuffles every bare candidate pair (67GB at sf10 — measured
+    // 633s vs 414s broadcast), while the grid's per-branch maps stay
+    // LLC-resident and nothing shuffles (sf1: 21.0s broadcast -> ~5s).
+    // Only candCheap callers use it: the generator re-runs s^2 times.
+    def gridVerify(s: Int): DataFrame = {
+      require(s >= 2, s"grid side must be >= 2, got $s")
+      def shard(d: String, sc: String, k: Int): DataFrame = broadcast(
+        sh.filter(pmod(col("doc_id"), lit(s)) === k)
+          .select(col("doc_id").as(d), col("s").as(sc)))
+      (for { i <- 0 until s; j <- 0 until s } yield
+        attachAndFilter(
+          cand.filter(pmod(col("d1"), lit(s)) === i &&
+            pmod(col("d2"), lit(s)) === j),
+          shard("d1", "s1", i), shard("d2", "s2", j))
+      ).reduce(_.union(_)) // grid cells are pmod-disjoint: no dedup
+    }
     // Broadcast budget (ADVICE r15 #4): the driver JVM's maxMemory is
     // the wrong JVM on a cluster deploy (the hash relations live in
     // executor heaps), so the auto sizing is additionally bounded by a
@@ -554,7 +584,26 @@ object TextQueries extends QueryPack {
           wholeSide("d1", "s1", bc = false), wholeSide("d2", "s2", bc = false))
       case _ =>
         val bytes = measuredBytes
-        if (bytes < budget)
+        // Cache-locality grid (r16, measured at sf1): once the
+        // broadcast hash maps outgrow LLC (raw sets estimate ~21MB at
+        // sf1 — the two alias relations' real footprint is several
+        // times that), every candidate probe becomes a memory stall:
+        // txt_ngram_jaccard's verify read 21.0s whole-broadcast vs
+        // ~5s gridded on the SAME 42M candidates (identical answers),
+        // while at sf0.1 (2MB sets) the plans tie, so the threshold
+        // keeps small corpora on the single-broadcast plan. Only
+        // candCheap callers take this branch: the generator re-runs
+        // s^2 times, which LSH-band generators can't afford
+        // (txt_neardup_groups measured 8.2s sharded vs 6.0s broadcast
+        // at sf1).
+        val shardMin = spark.conf.get(
+          "spark.graft.verify.shardMinBytes", "8388608").toLong
+        val shardTarget = math.max(1L, spark.conf.get(
+          "spark.graft.verify.shardTargetBytes", "4194304").toLong)
+        if (candCheap && bytes >= shardMin)
+          gridVerify(math.min(8L, math.max(2L,
+            math.ceil(math.sqrt(bytes.toDouble / shardTarget)).toLong)).toInt)
+        else if (bytes < budget)
           attachAndFilter(cand,
             wholeSide("d1", "s1", bc = true), wholeSide("d2", "s2", bc = true))
         else shardVerify(autoShards(bytes))
@@ -1021,7 +1070,7 @@ object TextQueries extends QueryPack {
       val cand = blocked.select(col("tok1"), col("doc_id").as("d1"))
         .join(blocked.select(col("tok1"), col("doc_id").as("d2")), "tok1")
         .filter(col("d1") < col("d2")).select("d1", "d2")
-      verifyPairs(cand, shingleDF(s, dir), 3, 10)
+      verifyPairs(cand, shingleDF(s, dir), 3, 10, candCheap = true)
     }),
 
     // Shingle-CONTAINMENT near-dup (the asymmetric complement of

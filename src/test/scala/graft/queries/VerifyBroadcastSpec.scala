@@ -92,6 +92,28 @@ class VerifyBroadcastSpec extends AnyFunSuite {
     graft.SparkEntry.release()
   }
 
+  test("candCheap gates auto-shard above the cache threshold; LSH gates stay broadcast") {
+    val s = spark.newSession()
+    // sf0.001 sets are tiny — drop the threshold to force the regime
+    s.conf.set("spark.graft.verify.shardMinBytes", "1")
+    s.conf.set("spark.graft.verify.shardTargetBytes", "1000")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ngram = TextQueries.defs("txt_ngram_jaccard")(s, dir)
+    assert(pairArrayExchanges(ngram).isEmpty,
+      "candCheap auto-shard must not shuffle pair-with-array rows")
+    val a = ngram.collect().map(_.toString).sorted
+    val b = TextQueries.defs("txt_ngram_jaccard")(spark.newSession(), dir)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "cache-shard answer parity")
+    // the LSH gate's generator is NOT cheap — same confs, still one
+    // whole-sets broadcast plan (no per-shard union branches): assert
+    // via the absence of pmod shard filters in the plan
+    val lsh = TextQueries.defs("txt_lsh_pairs")(s, dir)
+    assert(!lsh.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "LSH verify must not take the cache-shard branch")
+    graft.SparkEntry.release()
+  }
+
   test("auto mode falls back to shard (not array shuffle) past the byte budget") {
     val s = spark.newSession()
     // force the measured sets bytes over the ceiling: even sf0.001's
