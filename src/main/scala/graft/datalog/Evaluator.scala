@@ -156,6 +156,10 @@ final class Evaluator(
       sb ++= ": localiterate requested — a decomposable shape (linear " +
         "recursive ⨝ statics, stable pivot, broadcastable statics) runs " +
         "as ONE mapPartitions wave; otherwise the looped path below\n"
+    if (conf.mutualLocal != "false" && !clique.monotonic && preds.size > 1)
+      sb ++= ": mutuallocal=auto — linear mutual rules with seeds+statics " +
+        "under the local caps run the whole round-robin DRIVER-RESIDENT " +
+        "(zero jobs per iteration); otherwise the looped path below\n"
     if (conf.diffFlip != "false")
       sb ++= s": diffflip=${conf.diffFlip} — the per-iteration set " +
         "difference hash-builds candidate-sized sets (semi-join flip)" +
