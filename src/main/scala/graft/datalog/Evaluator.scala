@@ -1943,10 +1943,34 @@ final class Evaluator(
       delta = newDelta
     }
 
+    // A member that derived no facts and has no exit rules still needs
+    // a TYPED empty frame: derive its schema by compiling one of its
+    // recursive rules against empty placeholders of the members whose
+    // schemas are known — the explainRecursion/driverMutualFixpoint
+    // propagation (r16: an empty mutual fixpoint, e.g. even/odd over a
+    // graph without the seed node, threw NoSchemaException for the
+    // exit-less member; found by PropertySpec's random graphs).
+    val protoAll = mutable.Map[String, DataFrame](proto.toSeq: _*)
+    var protoGrew = true
+    while (protoGrew && protoAll.size < preds.size) {
+      protoGrew = false
+      for (p <- preds if !protoAll.contains(p);
+           r <- clique.recursiveRules(p).headOption) {
+        try {
+          val df = compileRule(r, (pred, _) =>
+            if (clique.preds(pred)) {
+              if (!protoAll.contains(pred)) throw new RuleCompiler.SkipRule
+              protoAll(pred).filter(lit(false))
+            } else predDF(pred))
+          protoAll(p) = df; protoGrew = true
+        } catch { case _: RuleCompiler.SkipRule => }
+      }
+    }
     preds.map { p =>
-      p -> allOf(p).getOrElse(proto.get(p).map(_.filter(lit(false))).getOrElse(
-        throw new NoSchemaException(
-          s"recursive predicate $p derived no facts and has no schema")))
+      p -> allOf(p).getOrElse(
+        protoAll.get(p).map(_.filter(lit(false))).getOrElse(
+          throw new NoSchemaException(
+            s"recursive predicate $p derived no facts and has no schema")))
     }.toMap
 
     } finally {

@@ -223,6 +223,85 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** In-memory oracle for alternating-parity reachability from source
+    * 0: node n is `even`-derivable iff reachable in an even number of
+    * steps (not necessarily the shortest path — any walk counts). */
+  private def parityReach(edges: Seq[(Int, Int)]): (Set[Int], Set[Int]) = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seen = mutable.Set[(Int, Int)]((0, 0)) // (node, parity)
+    var frontier = List((0, 0))
+    while (frontier.nonEmpty) {
+      frontier = for {
+        (n, p) <- frontier
+        m <- adj.getOrElse(n, Nil)
+        np = (m, 1 - p) if seen.add(np)
+      } yield np
+    }
+    (seen.collect { case (n, 0) => n }.toSet,
+      seen.collect { case (n, 1) => n }.toSet)
+  }
+
+  test("mutual even/odd agrees with parity BFS on random cyclic digraphs, both paths") {
+    // the driver-resident mutual fixpoint (r16) and the looped
+    // round-robin must agree with an independent parity-walk oracle on
+    // every instance — cycles included (odd cycles make nodes BOTH
+    // even and odd; the fixpoint must still dry up)
+    forAllGraphs(7777L) { edges =>
+      val (evenExp, _) = parityReach(edges)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      for (local <- Seq("auto", "false")) {
+        val prev = spark.conf.getOption("spark.datalog.recursion.mutuallocal")
+        spark.conf.set("spark.datalog.recursion.mutuallocal", local)
+        try {
+          val ctx = new DatalogContext(spark)
+          ctx.loadProgram(
+            "database({arc(X:integer, Y:integer), node(X:integer)})." +
+              "even(X) <- node(X), X=0. " +
+              "even(Y) <- odd(X), arc(X,Y). " +
+              "odd(Y) <- even(X), arc(X,Y).")
+          ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+          ctx.registerData("node", nodes.map(_.toString))
+          val got = ctx.query("even(A).").collect().map(_.getInt(0)).toSet
+          // the seed requires node(0): a graph without node 0 derives
+          // nothing (evenExp = {0} then, and 0 is not a node)
+          withClue(s"mutuallocal=$local (driver runs=${ctx.mutualLocalRuns}): ") {
+            assert(got == (evenExp & nodes.toSet))
+          }
+          if (local == "auto")
+            assert(ctx.mutualLocalRuns == 1, "driver path should engage")
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.datalog.recursion.mutuallocal", v)
+          case None => spark.conf.unset("spark.datalog.recursion.mutuallocal")
+        }
+      }
+    }
+  }
+
+  test("bound mutual magic agrees with the full evaluation post-filtered") {
+    // per-member magic rewrite (r16) on random graphs: for a random
+    // bound node K, even(K). through the rewrite (fresh context — no
+    // memo to post-filter) must equal membership in the full answer
+    forAllGraphs(9191L) { edges =>
+      val (evenExp, _) = parityReach(edges)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val rnd = new Random(edges.hashCode())
+      val k = nodes(rnd.nextInt(nodes.length))
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(
+        "database({arc(X:integer, Y:integer), node(X:integer)})." +
+          "even(X) <- node(X), X=0. " +
+          "even(Y) <- odd(X), arc(X,Y). " +
+          "odd(Y) <- even(X), arc(X,Y).")
+      ctx.registerData("arc", edges.map { case (a, b) => s"$a,$b" })
+      ctx.registerData("node", nodes.map(_.toString))
+      val got = ctx.query(s"even($k).").collect().map(_.getInt(0)).toSet
+      val want = if (evenExp(k)) Set(k) else Set.empty[Int]
+      withClue(s"bound node $k (pushdown=${ctx.lastBoundPushdown}): ") {
+        assert(got == want)
+      }
+    }
+  }
+
   test("CC via mmin agrees with union-find on random undirected graphs") {
     forAllGraphs(1234L) { edges =>
       {
