@@ -321,6 +321,16 @@ class BenchGuardSpec extends AnyFunSuite {
       .subsetOf(ScaleBench.subset.toSet))
   }
 
+  test("bench_changed_gates.txt names resolve to registered queries") {
+    // a typo'd name in the changed list is doubly wrong: the real gate
+    // silently keeps min-merge (hiding an accepted regression) and the
+    // phantom name matches nothing
+    val listed = Bench.changedGates()
+    val qs = SparkEntry.queries.keySet + "emb_ivfpq_build"
+    val unknown = listed.filterNot(qs)
+    assert(unknown.isEmpty, s"changed-gate names not in queries: $unknown")
+  }
+
   test("every headline name resolves to a registered query") {
     // the metric line filters headline through the results map, so a
     // typo or a renamed gate would silently vanish from BENCH_r{N}.json
