@@ -78,12 +78,39 @@ object Bench {
   /** Per-gate min-merge against the committed baseline (judge r15 #1a):
     * unchanged gates take min(committed, run); changed gates and gates
     * new to the file keep the run's measurement. Pure — exposed for
-    * BenchGuardSpec. */
+    * BenchGuardSpec. NOTE: callers must pass an EMPTY committed map
+    * when the committed file is a --derive estimate — min-merging
+    * against fabricated rows would keep them forever and stamp the
+    * result as a measurement (derived-row laundering; r16 review). */
   private[graft] def minMergeRows(
       rows: Seq[(String, Double)], committed: Map[String, Double],
       changed: Set[String]): Seq[(String, Double)] =
     rows.map { case (k, v) =>
       k -> (if (changed(k)) v else math.min(v, committed.getOrElse(k, v)))
+    }
+
+  /** Subset-file write rows: measured gates min-merge (unless listed
+    * changed, or the committed file is a derived estimate —
+    * measured-beats-derived must never keep fabricated rows);
+    * unmeasured gates carry the committed row forward so a partial run
+    * doesn't destroy measured provenance (derived rows are NOT carried
+    * — they'd launder into a measured-looking file). On a refused
+    * write the raw measurements pass through untouched (the side file
+    * documents the run, not the baseline). Pure — exposed for
+    * BenchGuardSpec; shared by the sf1 subset tail and ScaleBench. */
+  private[graft] def mergeSubsetRows(
+      gates: Seq[String], measured: Map[String, Double],
+      committed: Map[String, Double], changed: Set[String],
+      writeOk: Boolean, committedDerived: Boolean): Seq[(String, Double)] =
+    if (!writeOk) gates.flatMap(g => measured.get(g).map(g -> _))
+    else gates.flatMap { g =>
+      measured.get(g) match {
+        case Some(v) =>
+          Some(g -> (if (changed(g) || committedDerived) v
+                     else math.min(v, committed.getOrElse(g, v))))
+        case None =>
+          if (committedDerived) None else committed.get(g).map(g -> _)
+      }
     }
 
   /** Parse a committed walls file into (per-gate rows, configMatch,
@@ -126,7 +153,8 @@ object Bench {
         .filter { case (k, v) =>
           k != "total" && v > 0 && !k.endsWith("__alt") &&
             !k.endsWith("__first") &&
-            !k.startsWith("probe_") && !k.startsWith("derived_") }
+            !k.startsWith("probe_") && !k.startsWith("derived_") &&
+            !k.startsWith("median_ratio") }
         .toMap, true, probes, derived)
     else (Map.empty[String, Double], false, probes, derived)
   } catch { case _: Throwable =>
@@ -742,19 +770,11 @@ object Bench {
         errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
         subMedian, subProbes, subP75, subDerived)
       val measured = sf1Times.toMap
-      val subRows: Seq[(String, Double)] =
-        if (subWrite == "ok")
-          sf1Subset.flatMap { g =>
-            measured.get(g) match {
-              case Some(v) =>
-                Some(g -> (if (changed(g)) v
-                           else math.min(v, subBaseline.getOrElse(g, v))))
-              case None => subBaseline.get(g).map(g -> _) // carry
-            }
-          }
-        else sf1Times
-      val carriedSub = sf1Subset.filterNot(measured.contains)
-        .filter(subBaseline.contains)
+      val subRows = mergeSubsetRows(sf1Subset, measured, subBaseline,
+        changed, writeOk = subWrite == "ok", committedDerived = subDerived)
+      val carriedSub =
+        if (subDerived) Nil
+        else sf1Subset.filterNot(measured.contains).filter(subBaseline.contains)
       val j = subRows.map { case (k, v) => s"""  "$k": ${fmt(v)}""" }
         .mkString("{\n", ",\n", ",\n") +
         s"""  "total": ${fmt(subRows.map(_._2).sum)},\n""" +
@@ -807,8 +827,12 @@ object Bench {
     // file's `total` is recomputed from the merged rows (the metric
     // line keeps this run's measured total — they differ by design
     // when the merge kept committed rows).
+    // a derived committed file must be REPLACED, never min-merged:
+    // its rows are normalized estimates, and keeping their minimums
+    // would launder fabrications into a measured-looking file forever
     val mergeBase =
-      if (baselineWrite == "ok") baseline else Map.empty[String, Double]
+      if (baselineWrite == "ok" && !baselineDerived) baseline
+      else Map.empty[String, Double]
     val mergedResults = minMergeRows(finalResults, mergeBase, changed)
     val mergedBuild =
       if (changed("emb_ivfpq_build")) ivfBuildSec

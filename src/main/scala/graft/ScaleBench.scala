@@ -73,11 +73,16 @@ object ScaleBench {
     * mid-run degradation still refuses on the unconditional post
     * ceiling above. Pure; exposed for BenchGuardSpec. */
   private[graft] def scaleWriteDecision(
+      configMatch: Boolean,
       probeSec: Double, probeStSec: Double,
       probeSecAfter: Double, probeStSecAfter: Double,
       probeMax: Double, probeStMax: Double,
       committedProbes: Option[(Double, Double)]): String =
-    if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
+    // a run at another sf/cpus must never clobber the committed file
+    // (r16 review: parseCommitted's configMatch was computed and then
+    // discarded here — Bench refuses the same shape as refused_config)
+    if (!configMatch) "refused_config"
+    else if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
     else if (probeSecAfter > probeMax || probeStSecAfter > probeStMax)
       "refused_post_probe"
     else if (committedProbes.exists { case (p, pst) =>
@@ -156,10 +161,27 @@ object ScaleBench {
     // committed-file rows + probes for the relative prong, the carry,
     // and the min-merge — always read from the COMMITTED name (a
     // refused run writing aside still carries committed provenance)
-    val (committedRows, _, committedProbes, _) =
+    val (committedRows, committedCfg, committedProbes, committedDerived) =
       Bench.parseCommitted("BENCH_SF10_SUBSET.json", sfDir, cpus)
-    val write = scaleWriteDecision(probeSec, probeStSec,
-      probeSecAfter, probeStSecAfter, probeMax, probeStMax, committedProbes)
+    // symmetric probe comparison (r16 review): the committed file's
+    // headline probe fields may carry its own churned pre-loop sample
+    // (probe_seconds_after records the settled one) — judge the
+    // candidate's best sample against the committed file's best, not
+    // its worst, or the relative prong is nearly vacuous
+    val committedProbesMin: Option[(Double, Double)] =
+      committedProbes.map { case (p, pst) =>
+        def after(key: String): Option[Double] = try {
+          val txt = new String(Files.readAllBytes(
+            Paths.get("BENCH_SF10_SUBSET.json")), StandardCharsets.UTF_8)
+          (s""""$key":\\s*(\\d+\\.\\d+)""").r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        } catch { case _: Throwable => None }
+        (after("probe_seconds_after").fold(p)(math.min(p, _)),
+          after("probe_st_seconds_after").fold(pst)(math.min(pst, _)))
+      }
+    val write = scaleWriteDecision(committedCfg, probeSec, probeStSec,
+      probeSecAfter, probeStSecAfter, probeMax, probeStMax,
+      committedProbesMin)
     val target =
       if (write == "ok") "BENCH_SF10_SUBSET.json"
       else "BENCH_SF10_SUBSET_SUSPECT.json"
@@ -171,16 +193,18 @@ object ScaleBench {
     // write (judge r15 #1a), matching Bench.
     val measured = times.toMap
     val changed = Bench.changedGates()
-    val carried = subset.filterNot(measured.contains)
-      .filter(committedRows.contains)
-    val all: Seq[(String, Double)] = subset.flatMap { g =>
-      measured.get(g) match {
-        case Some(v) =>
-          Some(g -> (if (write != "ok" || changed(g)) v
-                     else math.min(v, committedRows.getOrElse(g, v))))
-        case None => committedRows.get(g).map(g -> _)
-      }
-    }
+    // shared merge semantics with Bench's subset tail (r16 review: the
+    // three write paths had drifted — this one min-merged even on
+    // refused writes and ignored the derived flag): an ok write
+    // min-merges unchanged gates and carries unmeasured ones; a
+    // refused write passes raw measurements to the side file; a
+    // derived committed file is never min-merged or carried.
+    val all: Seq[(String, Double)] = Bench.mergeSubsetRows(
+      subset, measured, committedRows, changed,
+      writeOk = write == "ok", committedDerived = committedDerived)
+    val carried =
+      if (write != "ok" || committedDerived) Nil
+      else subset.filterNot(measured.contains).filter(committedRows.contains)
     if (all.isEmpty) {
       // nothing measured and nothing to carry — never write a
       // rows-free file over committed provenance (ADVICE r15 #1/#2)

@@ -130,7 +130,7 @@ final class Evaluator(
     while (progress && schemas.size < preds.size) {
       progress = false
       for (q <- preds if !schemas.contains(q);
-           r <- clique.recursiveRules(q).headOption) {
+           r <- clique.recursiveRules(q) if !schemas.contains(q)) {
         try {
           val df = compileRule(r, (pred, _) =>
             if (clique.preds(pred)) {
@@ -1185,7 +1185,7 @@ final class Evaluator(
     while (progress && schemas.size < preds.size) {
       progress = false
       for (q <- preds if !schemas.contains(q);
-           r <- clique.recursiveRules(q).headOption) {
+           r <- clique.recursiveRules(q) if !schemas.contains(q)) {
         try {
           val df = compileRule(r, (pred, _) =>
             if (clique.preds(pred)) {
@@ -1955,7 +1955,7 @@ final class Evaluator(
     while (protoGrew && protoAll.size < preds.size) {
       protoGrew = false
       for (p <- preds if !protoAll.contains(p);
-           r <- clique.recursiveRules(p).headOption) {
+           r <- clique.recursiveRules(p) if !protoAll.contains(p)) {
         try {
           val df = compileRule(r, (pred, _) =>
             if (clique.preds(pred)) {

@@ -564,8 +564,13 @@ object TextQueries extends QueryPack {
       sh.select(coalesce(
         sum(size(col("s"))) * 8L + count(lit(1)) * 32L, lit(0L)).as("b"))
         .head().getLong(0)
+    // shard count sized so each shard's broadcast fits the budget;
+    // capped by conf (plan size grows per branch) — past the cap even
+    // sharding can't respect the budget and the caller falls back to
+    // the legacy shuffle formulation (correct at any scale, disk-heavy)
+    val maxShards = spark.conf.get("spark.graft.verify.maxShards", "256").toInt
     def autoShards(bytes: Long): Int =
-      math.min(64L, bytes / math.max(budget, 1L) + 1).toInt
+      math.min(maxShards.toLong, bytes / math.max(budget, 1L) + 1).toInt
     def wholeSide(d: String, s: String, bc: Boolean): DataFrame = {
       val f = sh.select(col("doc_id").as(d), col("s").as(s))
       if (bc) broadcast(f) else f
@@ -600,13 +605,28 @@ object TextQueries extends QueryPack {
           "spark.graft.verify.shardMinBytes", "8388608").toLong
         val shardTarget = math.max(1L, spark.conf.get(
           "spark.graft.verify.shardTargetBytes", "4194304").toLong)
-        if (candCheap && bytes >= shardMin)
-          gridVerify(math.min(8L, math.max(2L,
-            math.ceil(math.sqrt(bytes.toDouble / shardTarget)).toLong)).toInt)
+        val gridSide = math.min(8L, math.max(2L,
+          math.ceil(math.sqrt(bytes.toDouble / shardTarget)).toLong)).toInt
+        // the grid's per-cell broadcasts are bytes/side each — past the
+        // broadcast budget (side is capped at 8, so sets beyond
+        // 8x budget) the cheap-generator gate takes the beyond-heap
+        // paths like everyone else (r16 review: the grid previously
+        // ignored the budget and would OOM exactly where the fallback
+        // machinery exists to prevent it)
+        if (candCheap && bytes >= shardMin && bytes / gridSide <= budget)
+          gridVerify(gridSide)
         else if (bytes < budget)
           attachAndFilter(cand,
             wholeSide("d1", "s1", bc = true), wholeSide("d2", "s2", bc = true))
-        else shardVerify(autoShards(bytes))
+        else {
+          val n = autoShards(bytes)
+          if (bytes / n > budget)
+            // beyond maxShards x budget: the only correct-by-
+            // construction plan left is the legacy shuffle formulation
+            attachAndFilter(cand,
+              wholeSide("d1", "s1", bc = false), wholeSide("d2", "s2", bc = false))
+          else shardVerify(n)
+        }
     }
   }
 

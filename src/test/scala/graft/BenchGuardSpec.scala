@@ -289,9 +289,12 @@ class BenchGuardSpec extends AnyFunSuite {
 
   test("ScaleBench write decision: post-loop ceiling unconditional + relative prong") {
     def d(p: Double, pst: Double, pa: Double, psta: Double,
-        cp: Option[(Double, Double)]) =
-      ScaleBench.scaleWriteDecision(p, pst, pa, psta, 0.25, 0.32, cp)
+        cp: Option[(Double, Double)], cfg: Boolean = true) =
+      ScaleBench.scaleWriteDecision(cfg, p, pst, pa, psta, 0.25, 0.32, cp)
     assert(d(0.10, 0.29, 0.10, 0.29, Some((0.098, 0.29))) == "ok")
+    // config prong first (r16 review: a wrong-scale/cpus run must
+    // never clobber the committed sf10 walls — Bench refuses the same)
+    assert(d(0.10, 0.29, 0.10, 0.29, None, cfg = false) == "refused_config")
     // pre-loop ceiling
     assert(d(0.30, 0.29, 0.10, 0.29, None) == "refused_probe")
     // post-loop ceiling now fires even with zero errors (ADVICE r15
@@ -310,6 +313,41 @@ class BenchGuardSpec extends AnyFunSuite {
       == "refused_probe_rel")
     // no committed file yet: absolute ceilings alone govern
     assert(d(0.12, 0.29, 0.12, 0.29, None) == "ok")
+  }
+
+  test("mergeSubsetRows: min-merge, carry, derived laundering guard, refused passthrough") {
+    val gates = Seq("a", "b", "c", "d")
+    val committed = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)
+    val measured = Map("a" -> 1.5, "b" -> 1.5, "d" -> 0.4)
+    // ok write vs a MEASURED file: unchanged min-merge, changed
+    // replace, unmeasured carry, new gate raw
+    val ok = Bench.mergeSubsetRows(gates, measured, committed,
+      changed = Set("b"), writeOk = true, committedDerived = false).toMap
+    assert(ok == Map("a" -> 1.0, "b" -> 1.5, "c" -> 3.0, "d" -> 0.4))
+    // ok write vs a DERIVED file: never min-merge (a fabricated 1.0
+    // would launder into a measured-looking file forever) and never
+    // carry fabricated rows
+    val der = Bench.mergeSubsetRows(gates, measured, committed,
+      changed = Set.empty, writeOk = true, committedDerived = true).toMap
+    assert(der == Map("a" -> 1.5, "b" -> 1.5, "d" -> 0.4))
+    // refused write: raw measurements only (side file documents the
+    // run, not the baseline)
+    val ref = Bench.mergeSubsetRows(gates, measured, committed,
+      changed = Set.empty, writeOk = false, committedDerived = false).toMap
+    assert(ref == measured)
+  }
+
+  test("full-file min-merge base is empty against a derived committed file") {
+    // the full-file write computes mergeBase = baseline only when the
+    // committed file is NOT derived; pin the laundering scenario at
+    // the minMergeRows level: merging against fabricated rows keeps
+    // them, merging against empty keeps the measurement
+    val fabricated = Map("g" -> 0.9) // derive-normalized, ~0.90x truth
+    val run = Seq("g" -> 1.0) // clean-probe measured truth
+    assert(Bench.minMergeRows(run, fabricated, Set.empty).toMap
+      .apply("g") == 0.9, "min-merge WOULD launder — callers must gate")
+    assert(Bench.minMergeRows(run, Map.empty, Set.empty).toMap
+      .apply("g") == 1.0)
   }
 
   test("ScaleBench subset names resolve and the fixpoint family is probed") {

@@ -480,6 +480,29 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(local == looped && local.nonEmpty)
   }
 
+  test("empty mutual fixpoint types exit-less members whose FIRST rule is self-recursive") {
+    // r16 review: the schema-propagation loops tried only each
+    // member's first recursive rule — for q below that rule is
+    // self-referential and can never resolve, while the second (via p)
+    // can. On an empty seed (no node 0) both evaluation paths must
+    // return a typed empty frame, not NoSchemaException.
+    val prog = mutualDb +
+      "p(X) <- mnode(X), X=0. " +
+      "p(Y) <- q(X), marc(X,Y). " +
+      "q(Y) <- q(X), marc(X,Y). " +
+      "q(Y) <- p(X), marc(X,Y)."
+    for (local <- Seq("auto", "false")) {
+      val rows = withConf("spark.datalog.recursion.mutuallocal" -> local) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(prog)
+        ctx.registerData("marc", Seq("5,6", "6,7"))
+        ctx.registerData("mnode", Seq("5", "6", "7")) // no node 0
+        ctx.queryStrings("q(A).").toSet
+      }
+      assert(rows.isEmpty, s"mutuallocal=$local: expected typed empty, got $rows")
+    }
+  }
+
   test("non-linear mutual rule (two recursive atoms) bails to the looped path") {
     val (rows, runs) = withConf() {
       val ctx = new DatalogContext(spark)

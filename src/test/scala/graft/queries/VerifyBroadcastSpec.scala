@@ -116,9 +116,10 @@ class VerifyBroadcastSpec extends AnyFunSuite {
 
   test("auto mode falls back to shard (not array shuffle) past the byte budget") {
     val s = spark.newSession()
-    // force the measured sets bytes over the ceiling: even sf0.001's
-    // corpus exceeds a 1-byte budget, so auto must pick the shard plan
-    s.conf.set("spark.graft.verify.broadcastMaxBytes", "1")
+    // force the measured sets bytes over the ceiling with a budget a
+    // few shards can still satisfy (bytes/n <= budget): auto must pick
+    // the 1D shard plan
+    s.conf.set("spark.graft.verify.broadcastMaxBytes", "100000")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val df = TextQueries.defs("txt_ngram_jaccard")(s, dir)
     assert(pairArrayExchanges(df).isEmpty,
@@ -130,6 +131,27 @@ class VerifyBroadcastSpec extends AnyFunSuite {
     val b = TextQueries.defs("txt_ngram_jaccard")(spark.newSession(), dir)
       .collect().map(_.toString).sorted
     assert(a.sameElements(b), "auto-shard answer parity")
+    graft.SparkEntry.release()
+  }
+
+  test("beyond maxShards x budget: the legacy shuffle plan is the last resort") {
+    // budget so small that even maxShards shards can't fit a shard in
+    // it (r16 review: the grid/shard paths previously ignored the
+    // budget past their caps and would broadcast-OOM at exactly the
+    // scale the fallback machinery exists for) — the only correct-by-
+    // construction plan left is the shuffle formulation, and the
+    // answer must still match
+    val s = spark.newSession()
+    s.conf.set("spark.graft.verify.broadcastMaxBytes", "1")
+    s.conf.set("spark.graft.verify.maxShards", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = TextQueries.defs("txt_ngram_jaccard")(s, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "no broadcast may survive a 1-byte budget")
+    val a = df.collect().map(_.toString).sorted
+    val b = TextQueries.defs("txt_ngram_jaccard")(spark.newSession(), dir)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "legacy-shuffle answer parity")
     graft.SparkEntry.release()
   }
 }

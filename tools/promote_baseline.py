@@ -55,7 +55,7 @@ DRIFT_MAX = float(os.environ.get("SPARK_GRAFT_DRIFT_MAX", "1.1"))
 # and derives must preserve/normalize it like any query row (its drift
 # contribution is still excluded via CHANGED).
 META = re.compile(r"(__alt$|__pos$|__first$|^probe_|^total$|^derived_|"
-                  r"^median_ratio$|^sf$|^cpus$)")
+                  r"^median_ratio|^sf$|^cpus$)")
 
 
 def query_map(d):
