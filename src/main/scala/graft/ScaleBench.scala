@@ -57,7 +57,10 @@ object ScaleBench {
     // fixpoint family two decades up (judge r15 #6): the copart path's
     // one-delta-shuffle-per-iteration claim, measured — monotonic
     // (sssp), mmin-CC, and accumulator-convergence pagerank
-    "dl_sssp", "dl_cc", "graph_pagerank_conv")
+    "dl_sssp", "dl_cc", "graph_pagerank_conv",
+    // the flagship MinHash+LSH dedup pair (r16): signature pass +
+    // band-bucket join + early-exit verify, first measured at sf10
+    "txt_minhash", "txt_lsh_pairs")
 
   /** Write decision for the sf10 walls file (ADVICE r15 #3): the
     * pre-loop absolute probe ceilings, the post-loop ceilings applied
