@@ -157,8 +157,19 @@ object Bench {
             !k.startsWith("median_ratio") }
         .toMap, true, probes, derived)
     else (Map.empty[String, Double], false, probes, derived)
-  } catch { case _: Throwable =>
-    (Map.empty[String, Double], true, None: Option[(Double, Double)], false) }
+  } catch {
+    // Only a genuinely MISSING file is "first promotion" (write
+    // allowed, nothing to merge against). Any other failure — a
+    // present-but-corrupted or unreadable committed file — must
+    // surface, not be silently replaced with unmerged walls (ADVICE
+    // r16 #3): configMatch=false routes the write to the _SUSPECT
+    // side file, so the damaged committed file stays on disk for a
+    // human to inspect/restore from git.
+    case _: java.nio.file.NoSuchFileException =>
+      (Map.empty[String, Double], true, None: Option[(Double, Double)], false)
+    case _: Throwable =>
+      (Map.empty[String, Double], false, None: Option[(Double, Double)], false)
+  }
 
   /** End-of-run adjudication band (judge r13 #1): a reported wall
     * >2x its drift-scaled baseline AND >2s absolute earns one alt-
@@ -258,12 +269,19 @@ object Bench {
 
   /** Sorted per-gate ratios vs the committed baseline (non-errored,
     * baseline >0.2s) — shared by the stall verdict's median and the
-    * write-bypass's p75. */
+    * write-bypass's p75. `exclude` drops gates from the ratio set
+    * (ADVICE r16 #2: WRITE adjudication excludes the changed-gate
+    * list, matching promote_baseline's CHANGED exclusion — an accepted
+    * perf trade on changed code must not skew the replace/refuse
+    * median, and a broad changed-gate speedup must not mask real
+    * drift on the unchanged rows. The stall/suspect verdict keeps the
+    * full set: it measures the BOX, and changed gates run on the same
+    * box as everyone else). */
   private[graft] def sharedRatios(
       results: Seq[(String, Double)], baseline: Map[String, Double],
-      errored: Set[String]): Seq[Double] =
+      errored: Set[String], exclude: Set[String] = Set.empty): Seq[Double] =
     results.flatMap { case (k, v) =>
-      if (errored(k)) None
+      if (errored(k) || exclude(k)) None
       else baseline.get(k).filter(_ > 0.2).map(b => v / b)
     }.sorted
 
@@ -737,19 +755,27 @@ object Bench {
     // overridable per-box via env.
     val probeMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX", "0.25").toDouble
     val probeStMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_ST_MAX", "0.32").toDouble
-    val writeRatios = sharedRatios(verdictRows, baseline, erroredSet)
-    val p75Ratio =
-      if (writeRatios.isEmpty) 1.0 else writeRatios(3 * writeRatios.size / 4)
-    val baselineWrite = baselineWriteDecision(envSuspect, baselineConfigMatch,
-      errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
-      medianRatio, baselineProbes, p75Ratio, baselineDerived)
-    val fullTarget =
-      if (baselineWrite == "ok") baselineFile
-      else baselineFile.replace(".json", "_SUSPECT.json")
     // Builder-maintained changed-gate list (judge r15 #1a): on an ok
     // write, gates NOT listed min-merge against the committed rows —
     // a drifted-but-legal run can no longer inflate unchanged rows.
     val changed = changedGates()
+    // Write adjudication runs on the UNCHANGED shared gates only
+    // (ADVICE r16 #2, matching promote_baseline's CHANGED exclusion):
+    // an accepted perf trade on listed gates must not push the write
+    // median over the refusal bar, and a broad changed-gate speedup
+    // must not drag it under while the unchanged rows drift. The
+    // envSuspect median above stays all-shared — it measures the box.
+    val writeRatios = sharedRatios(verdictRows, baseline, erroredSet, changed)
+    val writeMedian =
+      if (writeRatios.isEmpty) 1.0 else writeRatios(writeRatios.size / 2)
+    val p75Ratio =
+      if (writeRatios.isEmpty) 1.0 else writeRatios(3 * writeRatios.size / 4)
+    val baselineWrite = baselineWriteDecision(envSuspect, baselineConfigMatch,
+      errors.nonEmpty, probeSec, probeStSec, probeMax, probeStMax,
+      writeMedian, baselineProbes, p75Ratio, baselineDerived)
+    val fullTarget =
+      if (baselineWrite == "ok") baselineFile
+      else baselineFile.replace(".json", "_SUSPECT.json")
     // The sf1 subset tail shares the main run's box (probes, suspect
     // verdict, errors), but its write is judged against the SUBSET
     // file's OWN shared rows (judge r15 #1b: the r15 subset rode the
@@ -761,7 +787,10 @@ object Bench {
     if (sf1Times.nonEmpty) {
       val (subBaseline, subCfg, subProbes, subDerived) =
         parseCommitted("BENCH_SF1_SUBSET.json", sf1Dir, cpus)
-      val subRatios = sharedRatios(sf1Times, subBaseline, Set.empty)
+      // same CHANGED exclusion as the full-file write above (ADVICE
+      // r16 #2: 2 of the 13 subset gates were listed in r16 — a small
+      // subset's median swings hard on two accepted trades)
+      val subRatios = sharedRatios(sf1Times, subBaseline, Set.empty, changed)
       val subMedian =
         if (subRatios.isEmpty) 1.0 else subRatios(subRatios.size / 2)
       val subP75 =

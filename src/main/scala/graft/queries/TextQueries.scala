@@ -607,13 +607,28 @@ object TextQueries extends QueryPack {
           "spark.graft.verify.shardTargetBytes", "4194304").toLong)
         val gridSide = math.min(8L, math.max(2L,
           math.ceil(math.sqrt(bytes.toDouble / shardTarget)).toLong)).toInt
-        // the grid's per-cell broadcasts are bytes/side each — past the
-        // broadcast budget (side is capped at 8, so sets beyond
-        // 8x budget) the cheap-generator gate takes the beyond-heap
-        // paths like everyone else (r16 review: the grid previously
-        // ignored the budget and would OOM exactly where the fallback
-        // machinery exists to prevent it)
-        if (candCheap && bytes >= shardMin && bytes / gridSide <= budget)
+        // each grid CELL holds TWO bytes/side shard maps at once (the
+        // d1-named and d2-named aliases are distinct broadcasts), so
+        // eligibility charges 2x bytes/side against the budget (ADVICE
+        // r16 #1: the 1x check under-counted by half and admitted
+        // grids whose cells exceed the ceiling) — past that (side is
+        // capped at 8, so sets beyond 4x budget) the cheap-generator
+        // gate takes the beyond-heap paths like everyone else (r16
+        // review: the grid previously ignored the budget and would OOM
+        // exactly where the fallback machinery exists to prevent it).
+        // The budget bounds each CONCURRENT broadcast pair, not the
+        // query-lifetime aggregate: across the unioned branches of one
+        // action the executors accumulate all 2s (grid) / S (1D shard)
+        // shard maps until the action completes. That residency is
+        // bounded by Spark itself, not this ceiling — broadcast blocks
+        // are MEMORY_AND_DISK, so under pressure older shard maps
+        // evict to local disk (a re-read, never an OOM). A deploy that
+        // must hard-bound aggregate executor memory instead runs the
+        // shard branches as separate actions with
+        // `spark.sparkContext.broadcastManager` cleanup between —
+        // trading one job per shard for eviction-free residency
+        // (SURVEY §2.7 records the guarantee as per-broadcast).
+        if (candCheap && bytes >= shardMin && 2 * (bytes / gridSide) <= budget)
           gridVerify(gridSide)
         else if (bytes < budget)
           attachAndFilter(cand,

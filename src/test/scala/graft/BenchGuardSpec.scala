@@ -285,6 +285,27 @@ class BenchGuardSpec extends AnyFunSuite {
     java.nio.file.Files.delete(f)
     val (e, okCfg, _, d0) = Bench.parseCommitted(f.toString, "/x", "32")
     assert(e.isEmpty && okCfg && !d0, "missing file: first write allowed")
+    // present-but-UNREADABLE committed file (ADVICE r16 #3): only a
+    // genuinely missing file is "first promotion" — an IO failure on a
+    // file that exists must refuse (configMatch=false routes the write
+    // aside), not silently green-light an unmerged replacement
+    val dir = java.nio.file.Files.createTempDirectory("walls-as-dir")
+    val (e2, badCfg, _, d2) = Bench.parseCommitted(dir.toString, "/x", "32")
+    assert(e2.isEmpty && !badCfg && !d2,
+      "unreadable committed file must refuse, not count as first write")
+    java.nio.file.Files.delete(dir)
+  }
+
+  test("sharedRatios: changed-gate exclusion for write adjudication") {
+    // ADVICE r16 #2: an accepted perf trade on a listed changed gate
+    // (3.0x here) must not skew the write median/p75; the errored and
+    // sub-0.2s-baseline exclusions are unchanged
+    val baseline = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "tiny" -> 0.1)
+    val run = Seq("a" -> 1.0, "b" -> 1.1, "c" -> 3.0, "tiny" -> 9.9)
+    assert(Bench.sharedRatios(run, baseline, Set.empty) == Seq(1.0, 1.1, 3.0))
+    assert(Bench.sharedRatios(run, baseline, Set.empty, Set("c"))
+      == Seq(1.0, 1.1))
+    assert(Bench.sharedRatios(run, baseline, Set("b"), Set("c")) == Seq(1.0))
   }
 
   test("ScaleBench write decision: post-loop ceiling unconditional + relative prong") {
@@ -313,6 +334,16 @@ class BenchGuardSpec extends AnyFunSuite {
       == "refused_probe_rel")
     // no committed file yet: absolute ceilings alone govern
     assert(d(0.12, 0.29, 0.12, 0.29, None) == "ok")
+    // errors prong (ADVICE r16 #4, mirroring Bench's refused_errors):
+    // a session that killed a gate must not commit the survivors'
+    // walls — they land aside with their err_ annotations, and
+    // split/resume re-measures the dead gate on the next clean window
+    assert(ScaleBench.scaleWriteDecision(true, 0.10, 0.29, 0.10, 0.29,
+      0.25, 0.32, None, hasErrors = true) == "refused_errors")
+    // config prong still outranks it (a wrong-scale run is refused as
+    // such even when it also carried errors)
+    assert(ScaleBench.scaleWriteDecision(false, 0.10, 0.29, 0.10, 0.29,
+      0.25, 0.32, None, hasErrors = true) == "refused_config")
   }
 
   test("mergeSubsetRows: min-merge, carry, derived laundering guard, refused passthrough") {
