@@ -134,6 +134,56 @@ class VerifyBroadcastSpec extends AnyFunSuite {
     graft.SparkEntry.release()
   }
 
+  test("grid verify: shard broadcasts build once per shard and are REUSED across the s^2 branches") {
+    // Pins the gridVerify exchange-reuse claim (judge r16 #8): every
+    // cell (i,j) references the d1-shard-i and d2-shard-j broadcast
+    // maps, so the s^2 cells must resolve to 2s DISTINCT broadcast
+    // builds with the remaining 2s^2-2s sites reusing them — a
+    // Catalyst upgrade that breaks subtree canonicalization would
+    // silently turn the grid into 2s^2 full shard rebuilds. Asserted
+    // under non-AQE planning, where reuse is statically visible as
+    // ReusedExchangeExec (AQE's runtime stage cache keys on the SAME
+    // canonicalized subtree, so a break here breaks both).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.graft.verify.shardMinBytes", "1")
+    s.conf.set("spark.graft.verify.shardTargetBytes", "1")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = TextQueries.defs("txt_ngram_jaccard")(s, dir)
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec}
+    val plan = df.queryExecution.executedPlan
+    // side clamps to 8 (tiny target forces the max), so 64 cells x 2
+    // maps = 128 broadcast-join sites. Canonicalization goes further
+    // than the 2s the claim needed: the d1-named and d2-named aliases
+    // of shard k normalize to the SAME subtree (alias names erase), so
+    // only s=8 distinct shard maps build and the other 120 sites reuse
+    // them — each shard's sets are scanned, filtered and broadcast
+    // exactly once per query regardless of the s^2 fan-out. The same
+    // holds for the RE-RUN GENERATOR (the claim's second half): the 64
+    // cells' sort-merge generator joins need 128 shuffled inputs, but
+    // the pushed-down pmod filters leave only s=8 distinct shuffle
+    // subtrees — the per-shard shuffled scan also computes once.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val bBuilds = plan.collect { case b: BroadcastExchangeLike => b }.size
+    val sBuilds = plan.collect { case e: ShuffleExchangeLike => e }.size
+    val bReused = plan.collect {
+      case r: ReusedExchangeExec if r.child.isInstanceOf[BroadcastExchangeLike] => r }.size
+    val sReused = plan.collect {
+      case r: ReusedExchangeExec if r.child.isInstanceOf[ShuffleExchangeLike] => r }.size
+    assert(bBuilds == 8 && bReused == 120,
+      s"expected s=8 shard-map builds + 2s^2-s=120 reuses, got " +
+        s"$bBuilds/$bReused (reuse broken => every cell rebuilds its maps)")
+    assert(sBuilds == 8 && sReused == 120,
+      s"expected s=8 generator shuffle builds + 120 reuses, got " +
+        s"$sBuilds/$sReused (reuse broken => s^2 full generator re-runs)")
+    // and the 64-branch grid still produces the canonical answer
+    val a = df.collect().map(_.toString).sorted
+    val b = TextQueries.defs("txt_ngram_jaccard")(spark.newSession(), dir)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "grid-reuse answer parity")
+    graft.SparkEntry.release()
+  }
+
   test("beyond maxShards x budget: the legacy shuffle plan is the last resort") {
     // budget so small that even maxShards shards can't fit a shard in
     // it (r16 review: the grid/shard paths previously ignored the
