@@ -25,6 +25,7 @@ object StreamDebug {
         val st = p.stateOperators.map(o =>
           s"${o.operatorName}: total=${o.numRowsTotal} upd=${o.numRowsUpdated} " +
           s"removed=${o.numRowsRemoved} lateDropped=${o.numRowsDroppedByWatermark} " +
+          s"memBytes=${o.memoryUsedBytes} " +
           s"updMs=${o.allUpdatesTimeMs} rmMs=${o.allRemovalsTimeMs} commitMs=${o.commitTimeMs}")
           .mkString(" | ")
         println(s"[batch ${p.batchId}] rows=${p.numInputRows} " +
@@ -42,6 +43,8 @@ object StreamDebug {
       println(f"RESULT $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       graft.queries.StreamingQueries.stateRowsByQuery.get(name).foreach(v =>
         println(s"STATE_ROWS $name ${v.mkString(",")}"))
+      graft.queries.StreamingQueries.stateBytesByQuery.get(name).foreach(v =>
+        println(s"STATE_BYTES $name ${v.mkString(",")}"))
       graft.queries.StreamingQueries.batchMillisByQuery.get(name).foreach(v =>
         println(s"BATCH_MS $name ${v.mkString(",")}"))
       graft.queries.StreamingQueries.watermarkByQuery.get(name).foreach(v =>
