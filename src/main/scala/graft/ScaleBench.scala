@@ -104,14 +104,20 @@ object ScaleBench {
     // a run at another sf/cpus must never clobber the committed file
     // (r16 review: parseCommitted's configMatch was computed and then
     // discarded here — Bench refuses the same shape as refused_config)
-    if (!configMatch) "refused_config"
-    // a session unhealthy enough to kill a gate (heap/disk death) must
-    // not commit the walls of the gates that survived it (ADVICE r16
-    // #4, mirroring Bench's refused_errors): the surviving rows land
-    // in the _SUSPECT side file with their err_ annotations, and
-    // split/resume re-measures just the missing gates on the next
-    // clean window — error-free by construction, so nothing is lost.
-    else if (hasErrors) "refused_errors"
+    // prong ORDER mirrors Bench.baselineWriteDecision (errors →
+    // config → probes; ADVICE r17 #4 — the two mains previously
+    // labeled the same failing run with diverging provenance,
+    // refused_config here vs refused_errors there) minus the
+    // envSuspect prong, which needs per-gate committed baselines this
+    // subset file doesn't carry (the probe prongs below are its
+    // analog). A session unhealthy enough to kill a gate (heap/disk
+    // death) must not commit the walls of the gates that survived it
+    // (ADVICE r16 #4): the surviving rows land in the _SUSPECT side
+    // file with their err_ annotations, and split/resume re-measures
+    // just the missing gates on the next clean window — error-free by
+    // construction, so nothing is lost.
+    if (hasErrors) "refused_errors"
+    else if (!configMatch) "refused_config"
     else if (probeSec > probeMax || probeStSec > probeStMax) "refused_probe"
     else if (probeSecAfter > probeMax || probeStSecAfter > probeStMax)
       "refused_post_probe"

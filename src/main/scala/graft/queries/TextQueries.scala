@@ -607,11 +607,19 @@ object TextQueries extends QueryPack {
           "spark.graft.verify.shardTargetBytes", "4194304").toLong)
         val gridSide = math.min(8L, math.max(2L,
           math.ceil(math.sqrt(bytes.toDouble / shardTarget)).toLong)).toInt
-        // each grid CELL holds TWO bytes/side shard maps at once (the
-        // d1-named and d2-named aliases are distinct broadcasts), so
-        // eligibility charges 2x bytes/side against the budget (ADVICE
-        // r16 #1: the 1x check under-counted by half and admitted
-        // grids whose cells exceed the ceiling) — past that (side is
+        // each grid CELL references two DIFFERENT shard broadcasts —
+        // shard i and shard j (the d1/d2 alias names canonicalize to
+        // the SAME subtree per shard, so only s builds run; see
+        // VerifyBroadcastSpec: 8 builds + 120 ReusedExchange on the
+        // 64-cell grid) — so an i!=j cell holds two distinct maps
+        // resident and eligibility charges 2x bytes/side against the
+        // budget (ADVICE r16 #1: the 1x check under-counted by half
+        // and admitted grids whose cells exceed the ceiling). The
+        // AGGREGATE residency across the whole grid is all s shard
+        // maps ≈ s*(bytes/s) = bytes total — up to ~4x the per-cell
+        // budget at the eligibility boundary, bounded by Spark's
+        // MEMORY_AND_DISK broadcast eviction (see the residency note
+        // below) — past that (side is
         // capped at 8, so sets beyond 4x budget) the cheap-generator
         // gate takes the beyond-heap paths like everyone else (r16
         // review: the grid previously ignored the budget and would OOM

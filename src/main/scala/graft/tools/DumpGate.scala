@@ -13,11 +13,15 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpGate {
   def main(args: Array[String]): Unit = {
+    // usage guard before destructuring (ADVICE r17 #2): fewer than 3
+    // args previously threw an opaque MatchError / empty unknown-gates
+    // message instead of the invocation hint
+    require(args.length >= 3,
+      "usage: runMain graft.tools.DumpGate <sfDir> <outDir> <gate>...")
     val Array(sfDir, outDir) = args.take(2)
     val names = args.drop(2).toSet
     val unknown = names -- graft.SparkEntry.queries.keySet
-    require(names.nonEmpty && unknown.isEmpty,
-      s"unknown gate(s): ${unknown.mkString(",")}")
+    require(unknown.isEmpty, s"unknown gate(s): ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

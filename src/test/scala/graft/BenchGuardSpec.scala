@@ -340,10 +340,11 @@ class BenchGuardSpec extends AnyFunSuite {
     // split/resume re-measures the dead gate on the next clean window
     assert(ScaleBench.scaleWriteDecision(true, 0.10, 0.29, 0.10, 0.29,
       0.25, 0.32, None, hasErrors = true) == "refused_errors")
-    // config prong still outranks it (a wrong-scale run is refused as
-    // such even when it also carried errors)
+    // errors outranks config (ADVICE r17 #4: prong order now mirrors
+    // Bench.baselineWriteDecision, so the same failing run gets the
+    // same provenance label from both mains)
     assert(ScaleBench.scaleWriteDecision(false, 0.10, 0.29, 0.10, 0.29,
-      0.25, 0.32, None, hasErrors = true) == "refused_config")
+      0.25, 0.32, None, hasErrors = true) == "refused_errors")
   }
 
   test("mergeSubsetRows: min-merge, carry, derived laundering guard, refused passthrough") {

@@ -157,8 +157,13 @@ class StreamEvictionSpec extends AnyFunSuite {
     val bytes = StreamingQueries.stateBytesByQuery("stream_dedup_grow")
     assert(bytes.length == state.length && bytes.last > 0,
       s"state bytes not captured: $bytes")
-    assert(bytes.zip(bytes.tail).forall { case (a, b) => a <= b },
-      s"index state bytes shrank mid-stream: $bytes")
+    // overall growth, not strict per-batch monotonicity (ADVICE r17
+    // #3): memoryUsedBytes is provider accounting — HDFSBacked's
+    // loaded-version cache (and RocksDB's block accounting) can dip
+    // between readings even as the index only grows; the row-count
+    // assertion above carries the strict never-evicts law
+    assert(bytes.last >= bytes.head,
+      s"index state bytes shrank overall: $bytes")
   }
 
   test("stream_ivf_ingest: assignment-on-arrival is STATELESS and equals the batch assignment") {
