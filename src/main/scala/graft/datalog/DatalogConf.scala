@@ -206,6 +206,27 @@ final case class DatalogConf(
       * `monotoniclocal.maxentries`/`autoentries` caps bails to the
       * looped round-robin. */
     mutualLocal: String = "auto",
+    /** `spark.datalog.recursion.monotonic.fragmentstate`
+      * (auto|true|false, default auto): keep the mmin/mmax fixpoint
+      * state as an APPEND-ONLY set of claimed delta fragments instead
+      * of rewriting the whole aggregate state every iteration (the
+      * r17-priced state-rescan gap — ~7 full state checkpoint writes ≈
+      * half of dl_cc's sf10 wall). Per iteration the frontier-sized
+      * candidate aggregate joins (build-side = frontier) against the
+      * narrow UNION of fragments for the old-best values, and only the
+      * improved delta materializes as a new fragment; the full state
+      * re-aggregates ONCE at convergence (and at compactions, which
+      * trigger when accumulated fragment rows exceed 2x the last
+      * compacted size). The reference analog is
+      * AggregateSetRDD.update's touch-only-incoming-rows path
+      * (setrdd/AggregateSetRDD.scala:113-132). Monotonicity makes the
+      * superseded rows inside fragments harmless: a candidate derived
+      * from a worse value can never beat one derived from the current
+      * best, so the least fixpoint is unchanged (FragmentStateSpec
+      * pins A/B equality on cc/sssp/apsp programs). `auto` engages
+      * whenever the clique has group columns; `false` keeps the
+      * rewrite paths (tagged-union locally, keep+delta under copart). */
+    monotonicFragment: String = "auto",
     /** `spark.datalog.crossjoin` (warn|error|allow, default warn):
       * policy for rule bodies whose atoms share no variables with the
       * preceding atoms — Datalog semantics require a cartesian product
@@ -388,6 +409,15 @@ object DatalogConf {
         .trim.toLowerCase
       require(Set("auto", "false")(v),
         s"spark.datalog.recursion.mutuallocal must be auto|false, got '$v'")
+      v
+    },
+    monotonicFragment = {
+      val v = spark.conf
+        .get("spark.datalog.recursion.monotonic.fragmentstate", "auto")
+        .trim.toLowerCase
+      require(Set("auto", "true", "false")(v),
+        "spark.datalog.recursion.monotonic.fragmentstate must be " +
+          s"auto|true|false, got '$v'")
       v
     },
     crossJoinPolicy = {

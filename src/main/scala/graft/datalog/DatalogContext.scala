@@ -262,6 +262,9 @@ final class DatalogContext(val spark: SparkSession) {
   def mutualLocalRuns: Int =
     evaluator.map(_.mutualLocalRuns).getOrElse(0)
 
+  def monotonicFragmentRuns: Int =
+    evaluator.map(_.monotonicFragmentRuns).getOrElse(0)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)

@@ -2412,6 +2412,14 @@ final class Evaluator(
       }
     }
 
+    // Forced fragment state outranks the copart keep⊎delta path (an
+    // explicit `true` is a cluster user asking for the append-only
+    // economics); `auto` keeps copart's measured cluster behavior and
+    // engages fragments only where the legacy loop would run (below).
+    if (groupCols.nonEmpty && conf.monotonicFragment == "true") {
+      evalMonotonicFragment(clique, p, isMin, groupCols, aggCol, headOrder, reAgg)
+      return
+    }
     // Cluster path: delta-sized merges against a group-key-claimed
     // state instead of re-shuffling the whole state each iteration.
     if (groupCols.nonEmpty && copartitionEnabled(stablePivot = false)) {
@@ -2428,6 +2436,15 @@ final class Evaluator(
           return
         case None => ()
       }
+    }
+    // Append-only fragment state (r18 — the r17-priced state-rescan
+    // lever): replaces the legacy tagged-union loop below, which
+    // re-shuffles AND re-checkpoints the whole aggregate state every
+    // iteration. Grouped cliques only — a global aggregate's state is
+    // one row and the tagged union is already optimal there.
+    if (groupCols.nonEmpty && conf.monotonicFragment != "false") {
+      evalMonotonicFragment(clique, p, isMin, groupCols, aggCol, headOrder, reAgg)
+      return
     }
     var state = materialize(reAgg(
       exits.map(r => compileRule(r, baseResolver)).reduce(_ union _)))._1
@@ -2611,6 +2628,317 @@ final class Evaluator(
       prevCoalesce match {
         case Some(v) => spark.conf.set(coalesceConf, v)
         case None => spark.conf.unset(coalesceConf)
+      }
+    }
+  }
+
+  /** Count of fragment-state monotonic fixpoints run (spec hook). */
+  var monotonicFragmentRuns: Int = 0
+
+  /** Append-only FRAGMENT STATE for mmin/mmax fixpoints — the answer to
+    * the r17-priced state-rescan gap (~7 full-state checkpoint rewrites
+    * ≈ half of dl_cc's sf10 wall; SURVEY §7l ScratchCC10). Both rewrite
+    * paths (the local tagged-union loop and copart's keep⊎delta) write
+    * O(|state|) per iteration; the reference never does — its
+    * AggregateSetRDD.update touches only incoming rows against an
+    * executor-resident aggregate map
+    * (/root/reference/datalog/.../execution/setrdd/AggregateSetRDD.scala:113-132).
+    * Vanilla Spark has no cross-job executor state, but the WRITE bill
+    * is avoidable relationally:
+    *
+    *  - state = a Vector of claimed delta fragments (each a validated
+    *    hash(G, nParts) checkpoint); the view is their NARROW union —
+    *    zero network, zero rewrite.
+    *  - per iteration the frontier-sized candidate aggregate (its
+    *    groupBy exchange is the iteration's only shuffle, delta-sized)
+    *    LEFT OUTER joins the view with the shuffle-hash build on the
+    *    CANDIDATE side — the state side is streamed+probed, never
+    *    hash-built — and a per-key reduce over the matched fragments
+    *    (exchange-free: the join preserves the hash(G) layout) yields
+    *    old-best; strictly-improved keys are the delta, the only rows
+    *    checkpointed.
+    *  - the full state materializes ONCE at convergence (an
+    *    exchange-free reAgg over the claimed union), and at
+    *    COMPACTIONS: fragments accumulate superseded rows, so when
+    *    their total rows exceed 2x the last compacted size the view
+    *    folds into one fragment — the amortized rewrite the legacy
+    *    path pays every round.
+    *
+    * Correctness: rules may read the view (superseded rows included) —
+    * monotonic-recursion rule bodies are monotone in the aggregate
+    * ordering, so a candidate derived from a superseded (worse) value
+    * is itself no better than the one derived from the current best,
+    * and the inflationary min/max merge discards it: the least
+    * fixpoint is unchanged (FragmentStateSpec pins A/B equality vs the
+    * legacy loop on cc/sssp/apsp/longpath programs). Per-iteration
+    * I/O: O(|frontier|) shuffle + write, O(|fragments|) streamed read
+    * — against the legacy loop's O(|state|) shuffle + rewrite. */
+  private def evalMonotonicFragment(
+      clique: Analysis#Clique,
+      p: String,
+      isMin: Boolean,
+      groupCols: Seq[String],
+      aggCol: String,
+      headOrder: Seq[Column],
+      reAgg: DataFrame => DataFrame): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // Loop partition count: min(session shuffle partitions, cluster
+    // parallelism), NOT the raw session setting. Sessions sized for
+    // spill safety on wide pairwise joins (e.g. ScaleBench's 4x-cores
+    // rule) over-partition this loop — with the claims pinning the
+    // count and AQE coalescing scoped off, every iteration then runs
+    // cores*k short tasks of mostly fixed cost (sf10 dl_cc A/B: 35.7s
+    // at 128 parts vs 16.3s at 32 on local[32]). defaultParallelism =
+    // total executor cores, which scales the count with the cluster
+    // exactly as a deploy wants; per-partition loop state is frontier-
+    // or fragment-sized, never a wide-join buffer, so the spill rule
+    // doesn't apply. Explicit override for deployments that know
+    // better: spark.datalog.recursion.monotonic.fragmentstate.parts.
+    val nParts = spark.conf
+      .getOption("spark.datalog.recursion.monotonic.fragmentstate.parts")
+      .map(_.toInt).filter(_ > 0)
+      .getOrElse(math.min(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        spark.sparkContext.defaultParallelism).max(1))
+    monotonicFragmentRuns += 1
+
+    def claimCounted(df: DataFrame): (DataFrame, Long) = {
+      val (ck, _, n) = org.apache.spark.sql.GraftColumnBridge
+        .checkpointWithPartitioning(df, groupCols, nParts)
+      track(ck)
+      (ck, n)
+    }
+
+    // AQE coalescing off for the loop (same reasoning as the copart
+    // path): a coalesced candidate exchange would break the hash(G,
+    // nParts) claims the narrow union and the exchange-free reduces
+    // live on. The session's shuffle partitions pin to the loop's
+    // nParts for the same reason in reverse: a candidate exchange at
+    // the session count would mismatch every claim and re-exchange the
+    // state each round. Both restore on exit.
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsConf = "spark.sql.shuffle.partitions"
+    val prevCoalesce = spark.conf.getOption(coalesceConf)
+    val prevParts = spark.conf.getOption(partsConf)
+    spark.conf.set(coalesceConf, "false")
+    spark.conf.set(partsConf, nParts.toString)
+    try {
+
+    // ---- one-time static-side layout (the dominant per-round term) --
+    // Without this Catalyst plans each iteration's delta⋈static rule
+    // join as a SortMergeJoin that RE-EXCHANGES AND RE-SORTS the whole
+    // static side EVERY round (sf10 dl_cc: ~2-3s/round on the 5.2M-row
+    // edge set — dwarfing the state-merge work this path shrinks;
+    // per-iteration broadcast rebuild measured even worse, ~5.8s/round
+    // flat). The reference builds the static hash side once and reuses
+    // it across iterations (ShuffleHashJoin.cachebuildside,
+    // dl/execution/ShuffleHashJoin.scala:35-88); the vanilla analog:
+    // pre-partition each big static ONCE as a validated hash claim on
+    // its rule-join key columns (the variables it shares with the atoms
+    // joined before it — RuleCompiler folds bodies left-to-right, so
+    // those ARE the compiled join keys), and hint the DELTA side
+    // shuffle_hash so the per-round join is a shuffled-hash probe with
+    // the frontier as build side: zero static movement, zero sorts,
+    // O(|static| streamed + |frontier| hashed) per round.
+    val recRules = clique.recursiveRules(p)
+    val staticOccs: Seq[(String, Seq[Int])] = for {
+      r <- recRules
+      (a, i) <- r.bodyAtoms.zipWithIndex
+      if !clique.preds(a.pred) && !a.negated
+    } yield {
+      val prior: Set[String] = r.bodyAtoms.take(i).flatMap(_.args).collect {
+        case Variable(v) => v
+      }.toSet
+      a.pred -> a.args.zipWithIndex.collect {
+        case (Variable(v), j) if prior(v) => j
+      }
+    }
+    val negatedStatics = recRules.flatMap(_.bodyAtoms)
+      .filter(a => !clique.preds(a.pred) && a.negated).map(_.pred).toSet
+    val autoBroadcastBytes: Long = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    } catch { case _: Throwable => 10L * 1024 * 1024 }
+    val claimedStatic: Map[String, DataFrame] = staticOccs
+      .groupBy(_._1).collect {
+        // every occurrence must agree on one non-empty key set, and the
+        // pred must not also occur negated (anti-joins resolve through
+        // the plain cached side)
+        case (sp, occs)
+            if occs.map(_._2).distinct.size == 1 && occs.head._2.nonEmpty &&
+              !negatedStatics(sp) =>
+          sp -> occs.head._2
+      }.flatMap { case (sp, keyIdx) =>
+        val df = cachedStatic(sp)
+        df.count() // populate the cache so stats are real, not sentinel
+        val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(autoBroadcastBytes)
+        // a broadcastable static stays as-is: Catalyst's per-iteration
+        // broadcast of a small side beats any shuffle plan, and a
+        // claimed LogicalRDD (no stats) would LOSE that conversion
+        if (small) None
+        else {
+          val keyCols = keyIdx.map(df.columns(_))
+          val (ck, held, _) = org.apache.spark.sql.GraftColumnBridge
+            .checkpointWithPartitioning(
+              df.repartition(nParts, keyCols.map(df(_)): _*), keyCols, nParts)
+          track(ck)
+          if (held) Some(sp -> ck) else { retire(ck); None }
+        }
+      }.toMap
+    // the variantResolver twin, with claimed statics swapped in
+    def fragmentResolver(
+        delta: Map[String, DataFrame], all: Map[String, DataFrame],
+        chosen: Int): RuleCompiler.Resolver = {
+      var cliqueOcc = -1
+      (pred, _) =>
+        if (clique.preds(pred)) {
+          cliqueOcc += 1
+          val m = if (cliqueOcc == chosen) delta else all
+          m.getOrElse(pred, throw new RuleCompiler.SkipRule)
+        } else claimedStatic.getOrElse(pred, hinted(cachedStatic(pred)))
+    }
+    def fragmentVariants(
+        rule: Rule, delta: Map[String, DataFrame],
+        all: Map[String, DataFrame]): Seq[DataFrame] = {
+      val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
+      (0 until k).flatMap { chosen =>
+        try Some(compileRule(rule, fragmentResolver(delta, all, chosen)))
+        catch { case _: RuleCompiler.SkipRule => None }
+      }
+    }
+
+    val exits = clique.exitRules(p)
+    val (seed, seedN) = claimCounted(
+      reAgg(exits.map(r => compileRule(r, baseResolver)).reduce(_ union _))
+        .repartition(nParts, groupCols.map(col): _*))
+    var fragments = Vector(seed)
+    var fragRows = seedN
+    // compaction threshold base: the last single-fragment state size
+    var compactBase = math.max(seedN, 1L)
+    var delta: DataFrame = seed
+    // a compaction supersedes the live frontier's FRAGMENT role but the
+    // next iteration's lazy candidate plan still reads it as the delta
+    // — retire it only after that plan has materialized
+    var pendingRetire: Seq[DataFrame] = Nil
+
+    def stateView(): DataFrame =
+      org.apache.spark.sql.GraftColumnBridge
+        .unionClaimed(fragments, nParts)
+        .getOrElse(fragments.reduce(_ union _))
+
+    var iter = 0
+    var done = false
+    while (!done) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new EvalException(s"aggregate fixpoint exceeded $maxIterations iterations")
+      val statT0 = System.nanoTime()
+      val sv = stateView()
+      // frontier carries the shuffle_hash hint when a claimed static
+      // exists: the rule join then shuffled-hash-builds the DELTA and
+      // streams the claimed static in place (zero exchange when the
+      // delta's group-key claim covers the join key, a delta-sized
+      // exchange otherwise — never a static-sized one)
+      val deltaForRules =
+        if (claimedStatic.nonEmpty) delta.hint("shuffle_hash") else delta
+      val contribs = recRules
+        .flatMap(r => fragmentVariants(r,
+          Map(p -> deltaForRules), Map(p -> sv)))
+      if (contribs.isEmpty) done = true
+      else {
+        var candAgg = reAgg(contribs.reduce(_ union _))
+        // one-time widening to the analyzer-coerced data types (int
+        // seed vs long facts — mirrors the copart path); fragments
+        // recast via a real repartition so their claims survive (a
+        // cast projection over a LogicalRDD drops the validated claim)
+        def types(df: DataFrame) = df.schema.map(_.dataType)
+        if (types(candAgg) != types(fragments.head)) {
+          val target = types(fragments.head.union(candAgg))
+          def castTo(df: DataFrame): DataFrame =
+            df.select(df.columns.zip(target).map { case (c, t) =>
+              df(c).cast(t).as(c)
+            }.toIndexedSeq: _*)
+          if (types(candAgg) != target) candAgg = castTo(candAgg)
+          if (types(fragments.head) != target) {
+            // this iteration's contribs plan (lazy until the delta
+            // claimCounted below) still references the PRE-cast
+            // fragments through sv and delta — retire them only after
+            // that plan materializes, or the loop reads dead blocks
+            val recast = fragments.map(f => claimCounted(
+              castTo(f).repartition(nParts, groupCols.map(col): _*))._1)
+            pendingRetire ++= fragments
+            fragments = recast
+          }
+        }
+        val sv2 = stateView()
+        val stateR = sv2.select(
+          sv2.columns.map(c => col(c).as(s"__s_$c")): _*)
+        val joinCond = groupCols.map(c => candAgg(c) === stateR(s"__s_$c"))
+          .reduce(_ && _)
+        // build side = the frontier-sized candidate aggregate (hint on
+        // the LEFT relation; LeftOuter+BuildLeft shuffled-hash is
+        // native in Spark 3.3+) — the state side streams through the
+        // probe, so per-iteration hashing is O(|frontier|)
+        val joined = candAgg.hint("shuffle_hash")
+          .join(stateR, joinCond, "left_outer")
+        // old-best per key across the matched fragments; candidate
+        // value is constant per key so the same reducer passes it
+        // through. Exchange-free: the join output keeps the hash(G)
+        // layout both inputs carried.
+        val fbest: Column => Column = if (isMin) min else max
+        val reduced = joined.groupBy(groupCols.map(col): _*)
+          .agg(fbest(col(aggCol)).as(aggCol),
+            fbest(col(s"__s_$aggCol")).as("__old"))
+        val improved: Column =
+          if (isMin) col("__old").isNull || col(aggCol) < col("__old")
+          else col("__old").isNull || col(aggCol) > col("__old")
+        val deltaPlan = reduced.filter(improved).select(headOrder: _*)
+        val (deltaCk, deltaN) = claimCounted(deltaPlan)
+        recordStat(p, iter, deltaN, statT0)
+        if (conf.logPlans)
+          iterationPlanLog += ((p, iter,
+            org.apache.spark.sql.GraftColumnBridge.countShuffleExchanges(deltaPlan),
+            org.apache.spark.sql.GraftColumnBridge.executedPlanString(deltaPlan)))
+        pendingRetire.foreach(retire)
+        pendingRetire = Nil
+        if (deltaN == 0) { done = true; retire(deltaCk) }
+        else {
+          fragments :+= deltaCk
+          fragRows += deltaN
+          delta = deltaCk
+          if (fragRows > 2 * compactBase || fragments.size > 32) {
+            val compT0 = System.nanoTime()
+            val (comp, compN) = claimCounted(reAgg(stateView()))
+            // compactions bill as their own stat rows (iteration
+            // negated) so a collectstats profile separates the
+            // amortized rewrite from the per-round delta work
+            recordStat(p, -iter, compN, compT0)
+            fragments.filterNot(_ eq deltaCk).foreach(retire)
+            pendingRetire = Seq(deltaCk)
+            fragments = Vector(comp)
+            fragRows = compN
+            compactBase = math.max(compN, 1L)
+          }
+        }
+      }
+    }
+    pendingRetire.foreach(retire)
+    // the final state materializes lazily on first read — one
+    // exchange-free aggregation over the claimed union (fragments stay
+    // persisted until close())
+    memo(p) =
+      if (fragments.size == 1) fragments.head
+      else reAgg(stateView())
+
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceConf, v)
+        case None => spark.conf.unset(coalesceConf)
+      }
+      prevParts match {
+        case Some(v) => spark.conf.set(partsConf, v)
+        case None => spark.conf.unset(partsConf)
       }
     }
   }

@@ -23,6 +23,35 @@ object ScratchCC10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.datalog.recursion.collectstats", "true")
+    // r18 A/B hook: args(1) = fragmentstate (auto|true|false); the
+    // driver-local path is pinned off so both arms run the looped paths
+    spark.conf.set("spark.datalog.recursion.monotoniclocal", "false")
+    args.lift(1).foreach(v =>
+      spark.conf.set("spark.datalog.recursion.monotonic.fragmentstate", v))
+    // args(2) = "plans": log per-iteration executed plans + exchange counts
+    val logPlans = args.lift(2).contains("plans")
+    if (logPlans) spark.conf.set("spark.datalog.recursion.logplans", "true")
+    // args(2) = "noaqe": single-shot planning (stage-scheduling probe)
+    if (args.lift(2).contains("noaqe"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // args(2) = "stages": per-stage wall + task count + input/shuffle rows
+    if (args.lift(2).contains("stages"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val ms = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield a - b).getOrElse(-1L)
+            println(s"CC10 stage ${i.stageId} ${ms}ms tasks=${i.numTasks} " +
+              s"in=${i.taskMetrics.inputMetrics.recordsRead} " +
+              s"sr=${i.taskMetrics.shuffleReadMetrics.recordsRead} " +
+              s"sw=${i.taskMetrics.shuffleWriteMetrics.recordsWritten} " +
+              s"exec=${i.taskMetrics.executorRunTime}ms " +
+              s"cpu=${i.taskMetrics.executorCpuTime / 1000000}ms " +
+              s"[${i.name.takeWhile(_ != '\n').take(60)}]")
+          }
+        })
     val cust = Tables.load(spark, sfDir, "customer")
     val t0 = System.nanoTime()
     val c = new graft.datalog.DatalogContext(spark)
@@ -46,6 +75,8 @@ object ScratchCC10 {
     val n = c.query("cc2(A,B).").count()
     println(f"CC10 total: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n sf=$sfDir")
     c.iterationStats.foreach { s => println(s"CC10 stat: $s") }
+    if (logPlans) c.iterationPlanLog.foreach { case (p, i, x, plan) =>
+      println(s"CC10 plan: $p iter=$i exchanges=$x\n$plan\n") }
     c.close(); spark.stop()
   }
 }
