@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 object StreamDebug {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val names = args.tail
+    // trailing key=value args become session confs (e.g.
+    // spark.graft.stream.stateStore=rocksdb for the backend A/B)
+    val (confs, names) = args.tail.partition(_.contains("="))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
@@ -16,6 +18,10 @@ object StreamDebug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
