@@ -41,6 +41,18 @@ import org.apache.spark.sql.SparkSession
   * fixed-work probes as Bench ride in the file; a run over the absolute
   * probe ceilings lands in a gitignored _SUSPECT file, never over the
   * committed walls.
+  *
+  * KNOWN BIAS — session order (judge r17 #3): a wall measured LATE in a
+  * full-subset session can carry ~2x in-sequence JVM/page-cache
+  * degradation from the quadratic-output gates that ran before it
+  * (r17: dl_cc 64.0s committed in-sequence vs 28.2s gate-identical
+  * standalone; txt_span_dedup 162.6s vs a contended-box 409s). The
+  * fixed order bills memos correctly but makes a committed wall a
+  * function of suite position. Mitigation: split/resume — re-measure
+  * the suspect gates alone on a clean window
+  * (`runMain graft.ScaleBench <gate>...`); min-merge then retires the
+  * inflated row. Standalone-vs-in-sequence deltas observed this large
+  * belong in SURVEY, not in the committed file.
   */
 object ScaleBench {
   private def fmt(v: Double): String =

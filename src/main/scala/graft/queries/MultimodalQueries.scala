@@ -239,11 +239,19 @@ object MultimodalQueries extends QueryPack {
         .groupBy("phash").agg(
           min(col("doc_id")).as("rep"), count(lit(1)).as("cnt")))
 
-  /** corpus ∪ deterministic near-dup variants (doc_id+10^6, first char
-    * 'z') — the scale-independent true-positive set for the pairs gate */
+  /** corpus ∪ deterministic near-dup variants (shifted ids, first char
+    * 'z') — the scale-independent true-positive set for the pairs gate.
+    * Shift = max(10^6, max(doc_id)+1): the fixed 10^6 collides with
+    * real ids at ≥1M docs (found by the sf100e probe, SURVEY §7m);
+    * identical at every fixture below that, so committed answers are
+    * unchanged. The oracles carry the same `greatest(...)` shift. */
   private def withVariants(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-    base.union(base.selectExpr("doc_id + 1000000 as doc_id",
+    val shift = math.max(1000000L, base.agg(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.max("doc_id"),
+        org.apache.spark.sql.functions.lit(0L))).head.getLong(0) + 1)
+    base.union(base.selectExpr(s"doc_id + ${shift}L as doc_id",
       "concat('z', substr(text, 2)) as text"))
   }
 
@@ -266,7 +274,7 @@ object MultimodalQueries extends QueryPack {
     "mm_phash_pairs" ->
       s"""WITH v AS (SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 1000000, 'z' || substr(text, 2) FROM documents),
+            SELECT doc_id + greatest(1000000, (SELECT max(doc_id)+1 FROM documents)), 'z' || substr(text, 2) FROM documents),
           ${phashCte("v")},
           bands AS (SELECT doc_id, phash, b, (phash >> (16*b)) & 65535 AS bk
                     FROM h, range(4) r(b)),
@@ -280,7 +288,7 @@ object MultimodalQueries extends QueryPack {
     "mm_phash_groups" ->
       s"""WITH RECURSIVE v AS (SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 1000000, 'z' || substr(text, 2) FROM documents),
+            SELECT doc_id + greatest(1000000, (SELECT max(doc_id)+1 FROM documents)), 'z' || substr(text, 2) FROM documents),
           ${phashCte("v")},
           bands AS (SELECT doc_id, phash, b, (phash >> (16*b)) & 65535 AS bk
                     FROM h, range(4) r(b)),

@@ -34,6 +34,16 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Corpus-safe id shift for the aug/doubled-corpus devices:
+    * max(10^6, max(doc_id)+1). The fixed 10^6 collided with real ids at
+    * ≥1M docs (sf100e probe, SURVEY §7m); below that the value is
+    * exactly 10^6, so every committed answer is unchanged. One tiny
+    * driver-side max job per gate invocation; oracles mirror it as
+    * `greatest(1000000, (SELECT max(doc_id)+1 FROM documents))`. */
+  private def augShift(base: DataFrame): Long =
+    math.max(1000000L,
+      base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1)
+
   /** Default priority-shard count; `spark.graft.pack.shards` overrides
     * on the Spark side. The DuckDB oracles are static SQL, so they pin
     * this default — specs A/B other shard counts in-JVM. */
@@ -1052,7 +1062,7 @@ object TextQueries extends QueryPack {
     // distinct hashes at any scale.
     "txt_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
-      val corpus = d.union(d.select(col("doc_id") + 1000000, col("h")))
+      val corpus = d.union(d.select(col("doc_id") + augShift(d), col("h")))
       corpus.groupBy("h")
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
@@ -1304,7 +1314,11 @@ object TextQueries extends QueryPack {
     // the verified answers are identical sets.
     "txt_simhash64_pairs" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
-      val aug = base.union(base.selectExpr("doc_id + 1000000 as doc_id",
+      // corpus-safe aug shift (sf100e probe finding, SURVEY §7m): the
+      // fixed 10^6 collides with real ids at ≥1M docs; identical at
+      // every fixture below that (oracle carries the same greatest())
+      val aug = base.union(base.selectExpr(
+        s"doc_id + ${augShift(base)}L as doc_id",
         "concat(text, ' ', text) as text"))
       val groups = PackResources.checkpoint(s, dir, "txt_simhash64_groups")(
         aug.select(col("doc_id"), simhash63(tokHashes).as("sim"))
@@ -1767,7 +1781,7 @@ object TextQueries extends QueryPack {
     "txt_dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
-           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+           UNION ALL SELECT doc_id + greatest(1000000, (SELECT max(doc_id)+1 FROM documents)), text FROM documents)
          SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS canonical_id,
                 CAST(count(*) AS BIGINT) AS n_copies
          FROM corpus GROUP BY md5(text)""",
@@ -1897,7 +1911,7 @@ object TextQueries extends QueryPack {
     "txt_simhash64_pairs" ->
       s"""WITH v AS (SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 1000000, text || ' ' || text FROM documents),
+            SELECT doc_id + greatest(1000000, (SELECT max(doc_id)+1 FROM documents)), text || ' ' || text FROM documents),
           hs AS (SELECT doc_id,
             list_transform(string_split(text,' '), t -> ${thDuck("t")}) AS h
           FROM v),
