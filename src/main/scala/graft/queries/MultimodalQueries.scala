@@ -247,10 +247,12 @@ object MultimodalQueries extends QueryPack {
     * unchanged. The oracles carry the same `greatest(...)` shift. */
   private def withVariants(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "documents").select("doc_id", "text")
-    val shift = math.max(1000000L, base.agg(
-      org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.max("doc_id"),
-        org.apache.spark.sql.functions.lit(0L))).head.getLong(0) + 1)
+    val shift = PackResources.scalar(s, dir, "aug_shift") {
+      math.max(1000000L, base.agg(
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max("doc_id"),
+          org.apache.spark.sql.functions.lit(0L))).head.getLong(0) + 1)
+    }
     base.union(base.selectExpr(s"doc_id + ${shift}L as doc_id",
       "concat('z', substr(text, 2)) as text"))
   }

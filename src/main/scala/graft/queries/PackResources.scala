@@ -47,6 +47,14 @@ object PackResources {
              (build: => graft.datalog.DatalogContext): graft.datalog.DatalogContext =
     ctxMemo.getOrElseUpdate((s, dir, tag), build)
 
+  private val scalarMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), Any]()
+
+  /** Memoized driver-side scalar (e.g. the corpus-safe aug-id shift —
+    * one max() job per (session, dir) instead of one per gate). */
+  def scalar[T](s: SparkSession, dir: String, tag: String)(build: => T): T =
+    scalarMemo.getOrElseUpdate((s, dir, tag), build).asInstanceOf[T]
+
   /** Opaque view of what is currently pinned; see releaseNewSince. */
   final case class Snapshot(
       cks: Set[(SparkSession, String, String)],
@@ -106,6 +114,7 @@ object PackResources {
     ckMemo.clear()
     ctxMemo.values.foreach(_.close())
     ctxMemo.clear()
+    scalarMemo.clear()
     rddTracked.forEach(_.unpersist(blocking = false))
     rddTracked.clear()
     bcTracked.forEach(destroyQuietly)

@@ -38,11 +38,14 @@ object TextQueries extends QueryPack {
     * max(10^6, max(doc_id)+1). The fixed 10^6 collided with real ids at
     * ≥1M docs (sf100e probe, SURVEY §7m); below that the value is
     * exactly 10^6, so every committed answer is unchanged. One tiny
-    * driver-side max job per gate invocation; oracles mirror it as
+    * driver-side max job per (session, dir) — memoized, so the four
+    * aug gates share one; oracles mirror it as
     * `greatest(1000000, (SELECT max(doc_id)+1 FROM documents))`. */
-  private def augShift(base: DataFrame): Long =
-    math.max(1000000L,
-      base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1)
+  private def augShift(s: SparkSession, dir: String): Long =
+    PackResources.scalar(s, dir, "aug_shift") {
+      math.max(1000000L, docs(s, dir)
+        .agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1)
+    }
 
   /** Default priority-shard count; `spark.graft.pack.shards` overrides
     * on the Spark side. The DuckDB oracles are static SQL, so they pin
@@ -1062,7 +1065,7 @@ object TextQueries extends QueryPack {
     // distinct hashes at any scale.
     "txt_dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
-      val corpus = d.union(d.select(col("doc_id") + augShift(d), col("h")))
+      val corpus = d.union(d.select(col("doc_id") + augShift(s, dir), col("h")))
       corpus.groupBy("h")
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     }),
@@ -1318,7 +1321,7 @@ object TextQueries extends QueryPack {
       // fixed 10^6 collides with real ids at ≥1M docs; identical at
       // every fixture below that (oracle carries the same greatest())
       val aug = base.union(base.selectExpr(
-        s"doc_id + ${augShift(base)}L as doc_id",
+        s"doc_id + ${augShift(s, dir)}L as doc_id",
         "concat(text, ' ', text) as text"))
       val groups = PackResources.checkpoint(s, dir, "txt_simhash64_groups")(
         aug.select(col("doc_id"), simhash63(tokHashes).as("sim"))
