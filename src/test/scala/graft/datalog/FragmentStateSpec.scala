@@ -115,6 +115,62 @@ class FragmentStateSpec extends AnyFunSuite {
     assert(runs >= 1)
   }
 
+  test("plan pin: one delta-sized exchange per iteration, claims held") {
+    // the fragment loop's scale economics live on two plan properties:
+    // the candidate aggregate's exchange is the iteration's ONLY
+    // shuffle (the state-merge join and its reduce reuse the claimed
+    // hash(G) layout), and that must hold whether the static side is
+    // broadcast (small) or claimed (big). A Catalyst upgrade that
+    // breaks LogicalRDD claim validation or narrow-union partitioning
+    // fails here loudly instead of silently re-exchanging state every
+    // round at 100 TB.
+    val program = "cc3(X,mmin<X>) <- arc(X,_). " +
+      "cc3(Y,mmin<V>) <- cc3(X,V), arc(X,Y)."
+    for (bcThreshold <- Seq(None, Some("1024"))) { // auto-broadcast | forced-claim
+      val kvs = Seq(
+        "spark.datalog.recursion.monotoniclocal" -> "false",
+        "spark.datalog.recursion.monotonic.fragmentstate" -> "true",
+        "spark.datalog.recursion.logplans" -> "true") ++
+        bcThreshold.map("spark.sql.autoBroadcastJoinThreshold" -> _)
+      val (rows, plans) = withConf(kvs: _*) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(dbU + program)
+        ctx.registerData("arc", Fixtures.graph1b)
+        val rows = ctx.queryStrings("cc3(A,B).").toSet
+        val plans = ctx.iterationPlanLog
+        ctx.reset()
+        (rows, plans)
+      }
+      assert(rows.nonEmpty)
+      assert(plans.nonEmpty)
+      plans.foreach { case (p, iter, exchanges, plan) =>
+        assert(exchanges <= 1,
+          s"bc=$bcThreshold $p iter=$iter: expected <=1 shuffle exchange " +
+            s"(the delta-sized candidate agg), got $exchanges:\n$plan")
+      }
+    }
+  }
+
+  test("the loop restores the session's shuffle partitions and coalesce conf") {
+    val program = "cc3(X,mmin<X>) <- arc(X,_). " +
+      "cc3(Y,mmin<V>) <- cc3(X,V), arc(X,Y)."
+    withConf(
+      "spark.datalog.recursion.monotoniclocal" -> "false",
+      "spark.datalog.recursion.monotonic.fragmentstate" -> "true",
+      "spark.sql.shuffle.partitions" -> "7") {
+      val ctx = new DatalogContext(spark)
+      ctx.loadProgram(dbU + program)
+      ctx.registerData("arc", Fixtures.graph1b)
+      assert(ctx.queryStrings("cc3(A,B).").nonEmpty)
+      ctx.reset()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7",
+        "loop must restore the session's shuffle partitions")
+      assert(spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.enabled", "true") != "false" ||
+        spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled").isEmpty)
+    }
+  }
+
   test("long-chain sssp: many iterations, many compactions, exact answer") {
     // 40-node path graph: ~40 iterations of 1-row deltas; fragment
     // accounting (fragRows vs compactBase) must stay exact through
