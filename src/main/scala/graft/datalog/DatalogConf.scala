@@ -219,12 +219,33 @@ final case class DatalogConf(
       * trigger when accumulated fragment rows exceed 2x the last
       * compacted size). The reference analog is
       * AggregateSetRDD.update's touch-only-incoming-rows path
-      * (setrdd/AggregateSetRDD.scala:113-132). Monotonicity makes the
-      * superseded rows inside fragments harmless: a candidate derived
-      * from a worse value can never beat one derived from the current
-      * best, so the least fixpoint is unchanged (FragmentStateSpec
-      * pins A/B equality on cc/sssp/apsp programs). `auto` engages
-      * whenever the clique has group columns; `false` keeps the
+      * (setrdd/AggregateSetRDD.scala:113-132).
+      *
+      * SOUNDNESS PRECONDITION (user-facing): rule bodies read the
+      * fragment union view, which — unlike the legacy loop and the
+      * reference's AggregateSetRDD — includes superseded (worse)
+      * aggregate rows. That is harmless exactly when every recursive
+      * rule derives its head aggregate term as a non-decreasing
+      * function of the recursive atom's aggregate value (e.g.
+      * `D = D1 + C`, `D = D1`): a worse input then derives a
+      * worse-or-equal candidate and the mmin/mmax merge discards it,
+      * so the least fixpoint is unchanged (FragmentStateSpec pins A/B
+      * equality on cc/sssp/apsp programs). A body that maps the
+      * aggregate variable NON-monotonically (`D = K - D1`,
+      * `D = D1 * C` with negative `C`) or filters/joins on it can
+      * derive a strictly better candidate from a superseded row and
+      * silently diverge from the best-only semantics.
+      *
+      * Dispatch: `auto` engages only for grouped cliques where neither
+      * the copartitioned keep+delta path nor the driver-local path
+      * runs (i.e. exactly where the legacy tagged-union loop would
+      * have), AND the precondition above is syntactically verifiable
+      * (polarity analysis over the rule bodies,
+      * Evaluator.fragmentBodiesVerifiablyMonotone) — unverifiable
+      * shapes keep the legacy loop. An explicit `true` outranks copart
+      * AND bypasses the monotonicity check: the escape hatch by which
+      * a user asserts a shape the syntax can't prove (a wrong
+      * assertion yields wrong answers, not errors). `false` keeps the
       * rewrite paths (tagged-union locally, keep+delta under copart). */
     monotonicFragment: String = "auto",
     /** `spark.datalog.crossjoin` (warn|error|allow, default warn):

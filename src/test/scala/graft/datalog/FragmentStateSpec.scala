@@ -171,6 +171,61 @@ class FragmentStateSpec extends AnyFunSuite {
     }
   }
 
+  test("monotonicity guard: non-monotone body keeps the legacy loop under auto") {
+    // ADVICE r18 (medium): the fragment view exposes superseded rows,
+    // sound only for monotone derivations. D = 10 - D1 is the
+    // anti-monotone shape — auto must fall back to the legacy
+    // best-only loop (and so match its answer); an explicit `true`
+    // bypasses the guard (the documented user-asserts escape hatch).
+    val db = "database({arc(X:integer, Y:integer), " +
+      "src(X:integer, D:integer)})."
+    val flip = "w(X,mmin<D>) <- src(X,D). " +
+      "w(Y,mmin<D>) <- w(X,D1), arc(X,Y), D=10-D1."
+    val data = Map("arc" -> Seq("1,2", "2,3"), "src" -> Seq("1,7"))
+    val (auto, autoRuns) = run("auto", db, flip, "w(A,B)", data)
+    val (legacy, _) = run("false", db, flip, "w(A,B)", data)
+    assert(autoRuns == 0,
+      "auto must not engage fragments on a non-monotone body")
+    assert(auto == legacy)
+    assert(auto == Set("[1,7]", "[2,3]", "[3,7]"))
+    val (_, forcedRuns) = run("true", db, flip, "w(A,B)", data)
+    assert(forcedRuns >= 1, "explicit true must bypass the guard")
+  }
+
+  test("monotonicity guard: filters and joins on the aggregate variable fall back") {
+    // a superseded row can PASS a filter/join the current best fails,
+    // deriving candidates the best-only view never sees — both shapes
+    // must be unverifiable even though their value derivations look
+    // monotone
+    val filt = "w(X,mmin<D>) <- X=0, D=0. " +
+      "w(Y,mmin<D>) <- w(X,D1), arc(X,Y,C), D1<100, D=D1+C."
+    val (_, fRuns) = run("auto", dbW, filt, "w(A,B)",
+      Map("arc" -> Fixtures.graph3Weighted))
+    assert(fRuns == 0, "filter on the aggregate variable must fall back")
+    val db = "database({arc(X:integer, Y:integer, D:integer), " +
+      "lut(A:integer, B:integer)})."
+    val joined = "w(X,mmin<D>) <- X=0, D=0. " +
+      "w(Y,mmin<D>) <- w(X,D1), arc(X,Y,_), lut(D1,D)."
+    val (_, jRuns) = run("auto", db, joined, "w(A,B)",
+      Map("arc" -> Fixtures.graph3Weighted,
+        "lut" -> Seq("0,1", "1,2", "2,3")))
+    assert(jRuns == 0, "joining the aggregate variable must fall back")
+  }
+
+  test("monotonicity guard: sign-known scaling verifies, a variable factor does not") {
+    val scale = "w(X,mmin<D>) <- X=0, D=0. " +
+      "w(Y,mmin<D>) <- w(X,D1), arc(X,Y,C), D=D1*2+C."
+    val (_, sRuns) = run("auto", dbW, scale, "w(A,B)",
+      Map("arc" -> Fixtures.graph3Weighted))
+    assert(sRuns >= 1, "D1*2+C is verifiably monotone; auto must engage")
+    val varFactor = "w(X,mmin<D>) <- X=0, D=0. " +
+      "w(Y,mmin<D>) <- w(X,D1), arc(X,Y,C), D=D1*C."
+    val (_, vRuns) = run("auto", dbW, varFactor, "w(A,B)",
+      Map("arc" -> Fixtures.graph3Weighted))
+    assert(vRuns == 0,
+      "a variable factor's runtime sign is unknown; auto must fall back")
+  }
+
   test("long-chain sssp: many iterations, many compactions, exact answer") {
     // 40-node path graph: ~40 iterations of 1-row deltas; fragment
     // accounting (fragRows vs compactBase) must stay exact through
