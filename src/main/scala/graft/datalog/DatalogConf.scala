@@ -248,6 +248,21 @@ final case class DatalogConf(
       * assertion yields wrong answers, not errors). `false` keeps the
       * rewrite paths (tagged-union locally, keep+delta under copart). */
     monotonicFragment: String = "auto",
+    /** `spark.datalog.recursion.staticclaims` (auto|false, default
+      * auto): pre-partition each BIG static side of a recursive-rule
+      * join ONCE as a validated hash claim on its compiled join keys,
+      * and ride a shuffle_hash hint on the delta — each iteration's
+      * rule join is then a shuffled-hash probe with the frontier as
+      * build side (zero static movement, zero sorts, zero per-round
+      * driver HashedRelation rebuilds), the reference's
+      * ShuffleHashJoin.cachebuildside economics. "Big" = plan-stats
+      * estimate (then real cached stats) past
+      * `spark.sql.autoBroadcastJoinThreshold`; smaller statics keep
+      * the per-iteration broadcast, whose build cost that size bounds.
+      * Shared by the monotonic fragment loop and the semi-naive PSN
+      * loop; `false` keeps per-iteration Catalyst planning
+      * (broadcast/SMJ) everywhere. */
+    staticClaims: String = "auto",
     /** `spark.datalog.crossjoin` (warn|error|allow, default warn):
       * policy for rule bodies whose atoms share no variables with the
       * preceding atoms — Datalog semantics require a cartesian product
@@ -439,6 +454,13 @@ object DatalogConf {
       require(Set("auto", "true", "false")(v),
         "spark.datalog.recursion.monotonic.fragmentstate must be " +
           s"auto|true|false, got '$v'")
+      v
+    },
+    staticClaims = {
+      val v = spark.conf.get("spark.datalog.recursion.staticclaims", "auto")
+        .trim.toLowerCase
+      require(Set("auto", "false")(v),
+        s"spark.datalog.recursion.staticclaims must be auto|false, got '$v'")
       v
     },
     crossJoinPolicy = {

@@ -265,6 +265,10 @@ final class DatalogContext(val spark: SparkSession) {
   def monotonicFragmentRuns: Int =
     evaluator.map(_.monotonicFragmentRuns).getOrElse(0)
 
+  /** Preds whose static sides the last fixpoint claimed (spec hook). */
+  def lastClaimedStatics: Set[String] =
+    evaluator.map(_.lastClaimedStatics).getOrElse(Set.empty)
+
   /** Diffflip semi builds the bloom pre-filter narrowed (spec hook). */
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)

@@ -239,18 +239,19 @@ final class Evaluator(
       delta: Map[String, DataFrame],
       all: Map[String, DataFrame],
       chosen: Int,
-      broadcastStatic: Boolean): RuleCompiler.Resolver = {
+      broadcastStatic: Boolean,
+      claimedStatic: Map[String, DataFrame] = Map.empty): RuleCompiler.Resolver = {
     var cliqueOcc = -1
     (pred, _) =>
       if (clique.preds(pred)) {
         cliqueOcc += 1
         val m = if (cliqueOcc == chosen) delta else all
         m.getOrElse(pred, throw new RuleCompiler.SkipRule)
-      } else {
+      } else claimedStatic.getOrElse(pred, {
         val st = cachedStatic(pred) // static side of a recursive-rule join
         if (broadcastStatic) org.apache.spark.sql.functions.broadcast(st)
         else hinted(st)
-      }
+      })
   }
 
   /** Relations on the static side of recursive-rule joins are persisted
@@ -342,17 +343,28 @@ final class Evaluator(
     if (probe.length > cap) None else Some(probe)
   }
 
-  /** All semi-naive contributions of one rule this iteration. */
+  /** All semi-naive contributions of one rule this iteration. When the
+    * rule touches a CLAIMED static (see claimBigStatics), the delta
+    * rides a shuffle_hash hint: the rule join then shuffled-hash-builds
+    * the frontier and streams the claimed static in place — a
+    * delta-sized exchange instead of a per-iteration static broadcast
+    * rebuild or static re-exchange (the fragment loop's treatment). */
   private def ruleVariants(
       rule: Rule,
       clique: Analysis#Clique,
       delta: Map[String, DataFrame],
       all: Map[String, DataFrame],
-      broadcastStatic: Boolean = false): Seq[DataFrame] = {
+      broadcastStatic: Boolean = false,
+      claimedStatic: Map[String, DataFrame] = Map.empty): Seq[DataFrame] = {
+    val d =
+      if (claimedStatic.nonEmpty &&
+          rule.bodyAtoms.exists(a => claimedStatic.contains(a.pred)))
+        delta.view.mapValues(_.hint("shuffle_hash")).toMap
+      else delta
     val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
     (0 until k).flatMap { chosen =>
       try Some(compileRule(rule,
-        variantResolver(clique, delta, all, chosen, broadcastStatic)))
+        variantResolver(clique, d, all, chosen, broadcastStatic, claimedStatic)))
       catch { case _: RuleCompiler.SkipRule => None }
     }
   }
@@ -1743,6 +1755,26 @@ final class Evaluator(
       }
     }
 
+    // One-time validated hash claims for BIG static sides (r19, the
+    // fragment loop's treatment ported — see claimBigStatics): without
+    // them every iteration re-builds the static's broadcast
+    // HashedRelation on the driver (local force-broadcast) or
+    // re-exchanges+re-sorts it (cluster SMJ) — ScratchTC10 measured the
+    // rebuild at ~0.8-1.2s/iteration on sf10's 2.6M-row edge set, the
+    // dominant per-iteration driver gap. Statics at or under the
+    // broadcast threshold claim nothing and keep today's zero-exchange
+    // broadcast loop (sf0.1 plans unchanged, zero new jobs — the
+    // pre-screen is a free plan-stats estimate). Computed AFTER the
+    // localiterate/driver-mutual early returns so tiny fixpoints never
+    // pay the sizing probe.
+    val claimedStatic: Map[String, DataFrame] =
+      if (conf.joinType != "auto" || conf.staticClaims == "false") Map.empty
+      else claimBigStatics(
+        preds.flatMap(p => clique.recursiveRules(p)), clique.preds, nParts)
+    // a claimed static outranks the force-broadcast loop: rebuilding a
+    // big static's HashedRelation every round IS the per-iteration bill
+    val bcStatic = broadcastStatic && claimedStatic.isEmpty
+
     // iteration 0: exit rules
     for (p <- preds) {
       val exits = clique.exitRules(p)
@@ -1792,7 +1824,8 @@ final class Evaluator(
         var localCands: Option[(Seq[org.apache.spark.sql.types.DataType],
           Array[org.apache.spark.sql.Row])] = None
         val contribs = clique.recursiveRules(p)
-          .flatMap(r => ruleVariants(r, clique, deltaView, allView, broadcastStatic))
+          .flatMap(r =>
+            ruleVariants(r, clique, deltaView, allView, bcStatic, claimedStatic))
         if (contribs.nonEmpty) {
           var u = contribs.reduce(_ union _)
           var chain = chains.getOrElse(p, Vector.empty)
@@ -1826,11 +1859,36 @@ final class Evaluator(
             }
             // the broadcast join preserved a claimed delta's layout →
             // dedup and anti-joins reuse it with no repartition at all
-            val skipRepart = broadcastStatic && contribs.length == 1 &&
+            val skipRepart = bcStatic && contribs.length == 1 &&
               delta.get(p).exists(s => s.claimed && !s.isLocal)
             val candidate =
               if (skipRepart) u.dropDuplicates() else repDedup(u, pv)
-            val (s, n) = sliceOf(diffChain(candidate, chain, p), pv, p, iter,
+            // Claimed-static iterations MATERIALIZE the candidate
+            // before the diff whenever the diffflip will fire: the
+            // flip's semi+anti evaluate the candidate subtree TWICE,
+            // which the zero-exchange broadcast loop absorbs (a cheap
+            // re-probe of the same broadcast) but the claims shape
+            // cannot — re-running the subtree re-runs its delta
+            // exchange, full static stream scan and candidate exchange
+            // (sf10 ScratchTC10 A/B: 59.4s duplicated vs 24.4s
+            // broadcast baseline). One claim-checkpoint makes both
+            // diff passes read materialized rows; its blocks are dead
+            // once the delta checkpoint (whose lineage is truncated)
+            // materializes. Bloom insertion stays with the DELTA slice
+            // — candidate rows may never enter the chain.
+            val flipWillFire = claimedStatic.nonEmpty &&
+              conf.diffFlip != "false" && {
+                val clusters = chain.filter(!_.isLocal)
+                clusters.nonEmpty && (conf.diffFlip == "true" ||
+                  (clusters.forall(_.claimed) &&
+                    clusters.map(_.rows).sum >= conf.diffFlipMinRows))
+              }
+            val (s, n) = if (flipWillFire && !delta.get(p).exists(_.isLocal)) {
+              val (candS, _) = sliceOf(candidate, pv, p, iter, addToBloom = false)
+              val r = sliceOf(diffChain(candS.df, chain, p), pv, p, iter)
+              if (!candS.isLocal) retire(candS.df)
+              r
+            } else sliceOf(diffChain(candidate, chain, p), pv, p, iter,
               preferLocal = delta.get(p).exists(_.isLocal))
             recordStat(p, iter, n, statT0)
             if (n > 0) {
@@ -2757,6 +2815,118 @@ final class Evaluator(
   /** Count of fragment-state monotonic fixpoints run (spec hook). */
   var monotonicFragmentRuns: Int = 0
 
+  /** Preds claimed by the last `claimBigStatics` call (spec hook). */
+  var lastClaimedStatics: Set[String] = Set.empty
+
+  /** One-time VALIDATED hash claims for the BIG static sides of
+    * recursive-rule joins — shared by the fragment loop and the
+    * semi-naive PSN loop (r19). Without it Catalyst re-plans each
+    * iteration's delta⋈static join from scratch: a SortMergeJoin
+    * re-exchanges and re-sorts the whole static side every round, and
+    * a broadcast join re-collects and re-builds the static's
+    * HashedRelation on the DRIVER every round (~0.4-0.6s per build on
+    * a 2.6M-row static, ×2 builds/iteration under the diffflip's
+    * duplicated candidate subtree — the dominant per-iteration driver
+    * gap ScratchTC10 measured at sf10). The reference builds the static
+    * hash side once and reuses it across iterations
+    * (ShuffleHashJoin.cachebuildside, dl/execution/ShuffleHashJoin
+    * .scala:35-88); the vanilla analog: pre-partition each big static
+    * ONCE as a validated hash claim on its rule-join key columns (the
+    * variables it shares with atoms joined before it — RuleCompiler
+    * folds bodies left-to-right, so those ARE the compiled join keys)
+    * and let the caller ride a shuffle_hash hint on the DELTA so each
+    * round's join is a shuffled-hash probe with the frontier as build
+    * side: zero static movement, zero sorts, zero driver builds,
+    * O(|static| streamed + |frontier| hashed) per round.
+    *
+    * Sizing discipline (guide §1: measure, but measure cheaply): the
+    * un-populated plan-stats ESTIMATE screens first at zero jobs — a
+    * static at or under `spark.sql.autoBroadcastJoinThreshold` keeps
+    * Catalyst's per-iteration broadcast, whose build cost that size
+    * bounds (and a claimed LogicalRDD has no stats, so it would LOSE
+    * the broadcast conversion). Only estimate-big statics pay the
+    * count() that populates real cached stats, then claim if still
+    * big. Local sf0.1 fixpoints (statics a few MB) therefore see ZERO
+    * new jobs and identical plans; the claims engage exactly where the
+    * per-round rebuild bill exists. `spark.datalog.recursion.
+    * staticclaims=false` opts out (callers check). */
+  private def claimBigStatics(
+      recRules: Seq[Rule], isCliquePred: String => Boolean,
+      nParts: Int): Map[String, DataFrame] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val staticOccs: Seq[(String, Seq[Int])] = for {
+      r <- recRules
+      (a, i) <- r.bodyAtoms.zipWithIndex
+      if !isCliquePred(a.pred) && !a.negated
+    } yield {
+      val prior: Set[String] = r.bodyAtoms.take(i).flatMap(_.args).collect {
+        case Variable(v) => v
+      }.toSet
+      a.pred -> a.args.zipWithIndex.collect {
+        case (Variable(v), j) if prior(v) => j
+      }
+    }
+    val negatedStatics = recRules.flatMap(_.bodyAtoms)
+      .filter(a => !isCliquePred(a.pred) && a.negated).map(_.pred).toSet
+    val autoBroadcastBytes: Long = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    } catch { case _: Throwable => 10L * 1024 * 1024 }
+    val out: Map[String, DataFrame] = staticOccs
+      .groupBy(_._1).collect {
+        // every occurrence must agree on one non-empty key set, and the
+        // pred must not also occur negated (anti-joins resolve through
+        // the plain cached side)
+        case (sp, occs)
+            if occs.map(_._2).distinct.size == 1 && occs.head._2.nonEmpty &&
+              !negatedStatics(sp) =>
+          sp -> occs.head._2
+      }.flatMap { case (sp, keyIdx) =>
+        // free pre-screen: a plan-stats estimate at or under the
+        // broadcast threshold stays on Catalyst's per-iteration
+        // broadcast, whose build cost that size bounds (and a claimed
+        // LogicalRDD has no stats, so it would LOSE the conversion).
+        // Estimate-big statics claim DIRECTLY from the source plan —
+        // one scan+shuffle+checkpoint job; the iterations read only
+        // the claim, so persisting the unclaimed side first (as the
+        // r18 fragment path did: persist+count+re-scan) is pure setup
+        // overhead (~7s vs ~2.5s on sf10's 2.6M-row edge set).
+        // SENTINEL estimates (RDD-backed EDBs report
+        // defaultSizeInBytes = Long.MaxValue, and join estimates
+        // compound it) are no measurement at all: those pay the old
+        // persist+count so a tiny registered RDD keeps its broadcast
+        // loop instead of being claimed blind.
+        val sentinel = BigInt(1L) << 50 // ~1 PiB: past any real estimate
+        val df0 = predDF(sp)
+        val est = df0.queryExecution.optimizedPlan.stats.sizeInBytes
+        val (df, size) =
+          if (est < sentinel) (df0, est)
+          else {
+            val c = cachedStatic(sp)
+            c.count()
+            // fresh frame over the same plan: the memoized Dataset's
+            // lazy optimizedPlan was forced for the estimate above and
+            // would keep reporting the pre-persist sentinel — a new
+            // QueryExecution picks up the populated InMemoryRelation's
+            // real cached-batch sizes
+            val fresh = org.apache.spark.sql.GraftColumnBridge
+              .onSession(spark, c)
+            (fresh, fresh.queryExecution.optimizedPlan.stats.sizeInBytes)
+          }
+        if (size <= BigInt(autoBroadcastBytes)) None
+        else {
+          val keyCols = keyIdx.map(df.columns(_))
+          val (ck, held, _) = org.apache.spark.sql.GraftColumnBridge
+            .checkpointWithPartitioning(
+              df.repartition(nParts, keyCols.map(df(_)): _*), keyCols, nParts)
+          track(ck)
+          if (held) Some(sp -> ck) else { retire(ck); None }
+        }
+      }.toMap
+    lastClaimedStatics = out.keySet
+    out
+  }
+
   /** Append-only FRAGMENT STATE for mmin/mmax fixpoints — the answer to
     * the r17-priced state-rescan gap (~7 full-state checkpoint rewrites
     * ≈ half of dl_cc's sf10 wall; SURVEY §7l ScratchCC10). Both rewrite
@@ -2875,51 +3045,9 @@ final class Evaluator(
     // the frontier as build side: zero static movement, zero sorts,
     // O(|static| streamed + |frontier| hashed) per round.
     val recRules = clique.recursiveRules(p)
-    val staticOccs: Seq[(String, Seq[Int])] = for {
-      r <- recRules
-      (a, i) <- r.bodyAtoms.zipWithIndex
-      if !clique.preds(a.pred) && !a.negated
-    } yield {
-      val prior: Set[String] = r.bodyAtoms.take(i).flatMap(_.args).collect {
-        case Variable(v) => v
-      }.toSet
-      a.pred -> a.args.zipWithIndex.collect {
-        case (Variable(v), j) if prior(v) => j
-      }
-    }
-    val negatedStatics = recRules.flatMap(_.bodyAtoms)
-      .filter(a => !clique.preds(a.pred) && a.negated).map(_.pred).toSet
-    val autoBroadcastBytes: Long = try {
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    } catch { case _: Throwable => 10L * 1024 * 1024 }
-    val claimedStatic: Map[String, DataFrame] = staticOccs
-      .groupBy(_._1).collect {
-        // every occurrence must agree on one non-empty key set, and the
-        // pred must not also occur negated (anti-joins resolve through
-        // the plain cached side)
-        case (sp, occs)
-            if occs.map(_._2).distinct.size == 1 && occs.head._2.nonEmpty &&
-              !negatedStatics(sp) =>
-          sp -> occs.head._2
-      }.flatMap { case (sp, keyIdx) =>
-        val df = cachedStatic(sp)
-        df.count() // populate the cache so stats are real, not sentinel
-        val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          BigInt(autoBroadcastBytes)
-        // a broadcastable static stays as-is: Catalyst's per-iteration
-        // broadcast of a small side beats any shuffle plan, and a
-        // claimed LogicalRDD (no stats) would LOSE that conversion
-        if (small) None
-        else {
-          val keyCols = keyIdx.map(df.columns(_))
-          val (ck, held, _) = org.apache.spark.sql.GraftColumnBridge
-            .checkpointWithPartitioning(
-              df.repartition(nParts, keyCols.map(df(_)): _*), keyCols, nParts)
-          track(ck)
-          if (held) Some(sp -> ck) else { retire(ck); None }
-        }
-      }.toMap
+    val claimedStatic: Map[String, DataFrame] =
+      if (conf.staticClaims == "false") Map.empty
+      else claimBigStatics(recRules, clique.preds, nParts)
     // the variantResolver twin, with claimed statics swapped in
     def fragmentResolver(
         delta: Map[String, DataFrame], all: Map[String, DataFrame],
