@@ -17,8 +17,15 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // trailing key=value args become session confs (A/B a conf's plan
+    // shape without editing the audit), bare names select audits
+    args.filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
+    val bare = args.filterNot(_.contains("=")).toSeq
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (bare.nonEmpty) bare
       else Seq("q2_filter_project", "q3_join_agg", "q8_topk", "txt_lsh_pairs",
         "emb_knn")
     names.foreach {

@@ -248,7 +248,7 @@ final case class DatalogConf(
       * assertion yields wrong answers, not errors). `false` keeps the
       * rewrite paths (tagged-union locally, keep+delta under copart). */
     monotonicFragment: String = "auto",
-    /** `spark.datalog.recursion.staticclaims` (auto|false, default
+    /** `spark.datalog.recursion.staticclaims` (auto|true|false, default
       * auto): pre-partition each BIG static side of a recursive-rule
       * join ONCE as a validated hash claim on its compiled join keys,
       * and ride a shuffle_hash hint on the delta — each iteration's
@@ -259,9 +259,18 @@ final case class DatalogConf(
       * estimate (then real cached stats) past
       * `spark.sql.autoBroadcastJoinThreshold`; smaller statics keep
       * the per-iteration broadcast, whose build cost that size bounds.
-      * Shared by the monotonic fragment loop and the semi-naive PSN
-      * loop; `false` keeps per-iteration Catalyst planning
-      * (broadcast/SMJ) everywhere. */
+      * In the semi-naive loop `auto` engages only where the loop would
+      * otherwise plan per-iteration SMJ/AQE joins (statics past the
+      * force-broadcast threshold, unstable pivots, mutual cliques, the
+      * non-copart path) — the zero-exchange broadcast loop measured
+      * FASTER than claims on a warm local[32] (sf10 gate A/B 13.7-14.6s
+      * vs 16.0-16.1s: a local broadcast is a memory copy; the claims
+      * arm pays two frontier exchanges + a candidate checkpoint per
+      * iteration). `true` forces claims over the broadcast loop too —
+      * the cluster lever when shipping the static to every executor
+      * every round is the bill. The monotonic fragment loop engages
+      * claims under both auto and true (it has no broadcast loop).
+      * `false` keeps per-iteration Catalyst planning everywhere. */
     staticClaims: String = "auto",
     /** `spark.datalog.crossjoin` (warn|error|allow, default warn):
       * policy for rule bodies whose atoms share no variables with the
@@ -459,8 +468,8 @@ object DatalogConf {
     staticClaims = {
       val v = spark.conf.get("spark.datalog.recursion.staticclaims", "auto")
         .trim.toLowerCase
-      require(Set("auto", "false")(v),
-        s"spark.datalog.recursion.staticclaims must be auto|false, got '$v'")
+      require(Set("auto", "true", "false")(v),
+        s"spark.datalog.recursion.staticclaims must be auto|true|false, got '$v'")
       v
     },
     crossJoinPolicy = {

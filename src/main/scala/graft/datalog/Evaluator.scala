@@ -1756,23 +1756,33 @@ final class Evaluator(
     }
 
     // One-time validated hash claims for BIG static sides (r19, the
-    // fragment loop's treatment ported — see claimBigStatics): without
-    // them every iteration re-builds the static's broadcast
-    // HashedRelation on the driver (local force-broadcast) or
-    // re-exchanges+re-sorts it (cluster SMJ) — ScratchTC10 measured the
-    // rebuild at ~0.8-1.2s/iteration on sf10's 2.6M-row edge set, the
-    // dominant per-iteration driver gap. Statics at or under the
-    // broadcast threshold claim nothing and keep today's zero-exchange
-    // broadcast loop (sf0.1 plans unchanged, zero new jobs — the
-    // pre-screen is a free plan-stats estimate). Computed AFTER the
+    // fragment loop's treatment ported — see claimBigStatics). Under
+    // `auto` they engage exactly where the loop would otherwise resolve
+    // statics via `hinted` (no force-broadcast): statics past
+    // `spark.datalog.recursion.broadcastThreshold` on a cluster,
+    // unstable pivots, mutual cliques, the non-copart except path —
+    // today those re-plan each iteration's delta⋈static join as a
+    // SortMergeJoin that re-exchanges and re-sorts the WHOLE static
+    // every round (the shape the fragment path measured at ~2-3s/round
+    // on sf10's edge set). The zero-exchange broadcast loop is NOT
+    // replaced under auto: the interleaved sf10 gate A/B measured
+    // broadcast 13.7/14.6s vs claims 16.0/16.1s on local[32] — a warm
+    // local broadcast is a memory copy, while the claims arm pays two
+    // frontier exchanges plus a candidate checkpoint per iteration.
+    // `staticclaims=true` forces claims over the broadcast loop too
+    // (cluster tuning where shipping the static to every executor
+    // every round is the bill; also the spec hook). Computed AFTER the
     // localiterate/driver-mutual early returns so tiny fixpoints never
-    // pay the sizing probe.
+    // pay the sizing probe. Statics at or under
+    // spark.sql.autoBroadcastJoinThreshold never claim (free plan-stats
+    // pre-screen — sf0.1 plans unchanged, zero new jobs).
     val claimedStatic: Map[String, DataFrame] =
-      if (conf.joinType != "auto" || conf.staticClaims == "false") Map.empty
+      if (conf.joinType != "auto" || conf.staticClaims == "false" ||
+          (conf.staticClaims == "auto" && broadcastStatic)) Map.empty
       else claimBigStatics(
         preds.flatMap(p => clique.recursiveRules(p)), clique.preds, nParts)
-    // a claimed static outranks the force-broadcast loop: rebuilding a
-    // big static's HashedRelation every round IS the per-iteration bill
+    // forced claims outrank the broadcast loop; auto never reaches here
+    // with broadcastStatic set
     val bcStatic = broadcastStatic && claimedStatic.isEmpty
 
     // iteration 0: exit rules

@@ -4,15 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One-time validated hash claims on BIG static sides of recursive-rule
   * joins (`spark.datalog.recursion.staticclaims`, r19): instead of
-  * Catalyst re-building the static's broadcast HashedRelation on the
-  * driver every iteration (or re-exchanging+re-sorting it under SMJ),
-  * the static pre-partitions ONCE on its compiled join keys and each
-  * iteration's rule join is a shuffled-hash probe with the frontier as
-  * build side. Asserts: engagement is size-gated (tiny statics keep
-  * the broadcast loop), results under forced engagement are identical
-  * to the broadcast path (with and without the diffflip's
-  * candidate-materialization arm), and the claims resolve through the
-  * non-copart path too. */
+  * Catalyst re-planning the static side every iteration (per-round
+  * broadcast HashedRelation rebuild, or SMJ re-exchange+re-sort on the
+  * hinted paths), the static pre-partitions ONCE on its compiled join
+  * keys and each iteration's rule join is a shuffled-hash probe with
+  * the frontier as build side. `auto` engages only where the loop
+  * would NOT force-broadcast (the zero-exchange broadcast loop measured
+  * faster on warm local[32]); `true` forces claims over the broadcast
+  * loop (cluster lever / this spec's hook). Asserts: engagement is
+  * size-gated, results under forced engagement are identical to the
+  * broadcast path (with and without the diffflip's
+  * candidate-materialization arm), auto leaves the copart broadcast
+  * loop alone, and the non-copart path engages under auto. */
 class StaticClaimsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -46,16 +49,25 @@ class StaticClaimsSpec extends AnyFunSuite {
       (rows, ctx.lastClaimedStatics)
     }
 
-  test("tiny statics never claim (pre-screen) — broadcast loop unchanged") {
-    val (rows, claimed) = runTc()
+  test("tiny statics never claim (size gate), even when claims are forced on") {
+    val (rows, claimed) =
+      runTc("spark.datalog.recursion.staticclaims" -> "true")
     assert(rows.nonEmpty)
     assert(claimed.isEmpty, s"claimed at test scale: $claimed")
   }
 
-  test("forced engagement (1-byte threshold) claims arc and matches broadcast") {
-    val (base, _) = runTc()
+  test("auto leaves the copart broadcast loop alone under a tiny threshold") {
     val (rows, claimed) =
       runTc("spark.sql.autoBroadcastJoinThreshold" -> "1")
+    assert(rows.nonEmpty)
+    assert(claimed.isEmpty, s"auto claimed over the broadcast loop: $claimed")
+  }
+
+  test("forced engagement (true + 1-byte threshold) claims arc, matches broadcast") {
+    val (base, _) = runTc()
+    val (rows, claimed) = runTc(
+      "spark.datalog.recursion.staticclaims" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1")
     assert(claimed == Set("arc"), s"claimed: $claimed")
     assert(rows == base)
   }
@@ -63,6 +75,7 @@ class StaticClaimsSpec extends AnyFunSuite {
   test("claims + forced diffflip (candidate-materialization arm) match") {
     val (base, _) = runTc()
     val (rows, claimed) = runTc(
+      "spark.datalog.recursion.staticclaims" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "1",
       "spark.datalog.recursion.diffflip" -> "true")
     assert(claimed == Set("arc"))
@@ -78,7 +91,7 @@ class StaticClaimsSpec extends AnyFunSuite {
     assert(rows == base)
   }
 
-  test("non-copart (except) path resolves claimed statics and matches") {
+  test("non-copart (except) path engages under AUTO and matches") {
     val run = (claims: String) =>
       withConf(
         "spark.datalog.recursion.copartition.enabled" -> "false",
@@ -88,8 +101,12 @@ class StaticClaimsSpec extends AnyFunSuite {
         val ctx = new DatalogContext(spark)
         ctx.loadProgram(db + llTc)
         ctx.registerData("arc", arcs)
-        ctx.queryStrings("tc(A,B).").toSet
+        (ctx.queryStrings("tc(A,B).").toSet, ctx.lastClaimedStatics)
       }
-    assert(run("auto") == run("false"))
+    val (autoRows, autoClaimed) = run("auto")
+    val (offRows, offClaimed) = run("false")
+    assert(autoClaimed == Set("arc"), s"auto did not engage: $autoClaimed")
+    assert(offClaimed.isEmpty)
+    assert(autoRows == offRows)
   }
 }
