@@ -151,6 +151,24 @@ final case class DatalogConf(
       * multimap; a bigger static side bails back to the looped path
       * (the probe is a limit(cap+1) job, never an unbounded collect). */
     localIterateMaxStaticRows: Long = 1L << 22,
+    /** `spark.datalog.recursion.localiterate.autoseedrows` (default
+      * 1M): ECONOMIC seed ceiling for the within-task paths — one task
+      * wave wins below it (the fixpoint is job-latency-bound: dl_tc
+      * sf1, 260k seeds, 3.78s wave vs 4.10s looped) and the looped
+      * Tungsten paths win above it (the per-partition boxed-row
+      * HashSet/HashMap fixpoint measured 3.6× the looped path at
+      * sf10's 2.6M-row seeds: dl_tc 55.0s wave vs 15.3s looped,
+      * dl_apsp 56.1 vs 19.4 — r19 ScaleSweep A/B). A seed past the
+      * ceiling falls back to the looped paths silently, like any other
+      * ineligible shape; the probe is one partial-aggregated count of
+      * the exit plan (no row gather). The ceiling also caps each
+      * COLLECTED STATIC side (min with `maxstaticrows`): past it the
+      * driver collect + multimap build + broadcast dominate any wave
+      * regardless of seed count (a 1-row-seed SSSP behind a 2.6M-row
+      * static collect measured 44.6s vs ~4s looped at sf10). 0
+      * disables the ceiling (always run the wave when otherwise
+      * eligible, memory caps still apply). */
+    localIterateAutoSeedRows: Long = 1L << 20,
     /** `spark.datalog.recursion.supportlocal` (auto|false, default
       * auto): evaluate an mcount/msum support fixpoint entirely on the
       * DRIVER when its seed support and every static relation fit the
@@ -423,6 +441,9 @@ object DatalogConf {
     localIterateMaxStaticRows =
       spark.conf.get("spark.datalog.recursion.localiterate.maxstaticrows",
         (1L << 22).toString).toLong,
+    localIterateAutoSeedRows =
+      spark.conf.get("spark.datalog.recursion.localiterate.autoseedrows",
+        (1L << 20).toString).toLong,
     supportLocal = {
       val v = spark.conf.get("spark.datalog.recursion.supportlocal", "auto")
         .trim.toLowerCase

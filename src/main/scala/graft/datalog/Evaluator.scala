@@ -564,6 +564,16 @@ final class Evaluator(
     val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
     val schema = seeded.schema
     if (!schema.forall(f => valueComparable(f.dataType))) return None
+    // Economic seed ceiling (r19): the one-wave fixpoint is a
+    // per-partition boxed-row HashSet loop — it wins when the fixpoint
+    // is job-latency-bound (small seeds) and loses 3.6× to the looped
+    // Tungsten paths at sf10's 2.6M-row seeds (dl_tc 55.0s wave vs
+    // 15.3s looped — ScaleSweep A/B). The probe is one
+    // partial-aggregated count of the exit plan, before any static
+    // collect; an over-ceiling seed falls back silently like any
+    // ineligible shape.
+    if (conf.localIterateAutoSeedRows > 0 &&
+        seeded.count() > conf.localIterateAutoSeedRows) return None
 
     // plain variables only; each anonymous `_` becomes a fresh name
     // (never shared, never equal to another anon), tagged per atom so
@@ -579,8 +589,15 @@ final class Evaluator(
     // memo static collects: the same (pred, within-atom equalities) is
     // collected once even when several rules/atoms reference it (see
     // staticRowsMemo: predDF not cachedStatic — collect-once, no
-    // persist pinning)
-    val staticRows = staticRowsMemo(conf.localIterateMaxStaticRows)
+    // persist pinning). The ECONOMIC ceiling applies here too: a
+    // static past it makes the driver collect + multimap build +
+    // broadcast the dominant bill regardless of seed count
+    // (dl_sssp_localiter sf10: a 1-row seed behind a 2.6M-row static
+    // collect measured 44.6s vs ~4s looped/fragment).
+    val staticRows = staticRowsMemo(
+      if (conf.localIterateAutoSeedRows > 0)
+        conf.localIterateMaxStaticRows.min(conf.localIterateAutoSeedRows)
+      else conf.localIterateMaxStaticRows)
 
     /** Lower one rule: the recursive atom binds env slots 0..arity-1;
       * each static atom (body order, left-to-right SIPS like the rule
@@ -1320,8 +1337,21 @@ final class Evaluator(
     val spark = org.apache.spark.sql.SparkSession.active
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val (seed, schema, rules, aggLong) =
-      lowerMonotonicClique(clique, p, aggIdx, conf.localIterateMaxStaticRows)
+      lowerMonotonicClique(clique, p, aggIdx,
+        // same economic static ceiling as localIterate: past it the
+        // driver collect + multimap + broadcast dominate any wave
+        if (conf.localIterateAutoSeedRows > 0)
+          conf.localIterateMaxStaticRows.min(conf.localIterateAutoSeedRows)
+        else conf.localIterateMaxStaticRows)
         .getOrElse(return None)
+    // economic seed ceiling — see localIterate (the monotonic wave's
+    // per-partition HashMap fixpoint has the same boxed-row economics:
+    // dl_apsp sf10 A/B 56.1s wave vs 19.4s looped). Checked after the
+    // lowering so shape ineligibility stays job-free; the lowering's
+    // static collects are sunk cost on an over-ceiling seed, bounded
+    // by maxstaticrows.
+    if (conf.localIterateAutoSeedRows > 0 &&
+        seed.count() > conf.localIterateAutoSeedRows) return None
 
     // ---- one task wave of local value-improving fixpoints
     localIterateMonoRuns += 1
@@ -1833,9 +1863,22 @@ final class Evaluator(
         // the guard doubles as the branch condition)
         var localCands: Option[(Seq[org.apache.spark.sql.types.DataType],
           Array[org.apache.spark.sql.Row])] = None
+        // A LOCAL delta drops the force-broadcast: broadcasting the
+        // static exists to preserve the claimed delta's layout through
+        // the join, but a LocalRelation delta has no layout to keep —
+        // the forced hint then rebuilds the static's HashedRelation
+        // every iteration just to probe a few hundred local rows
+        // (sf10 ScratchInc10: the tcold tail iterations derive 62-567
+        // rows yet bill 1.5-2.2s each, ~all of it the 2.4M-row static
+        // broadcast). Un-hinted, Catalyst broadcasts the tiny local
+        // side (its LocalRelation stats are exact) and streams the
+        // static once. skipRepart already requires a non-local claimed
+        // delta, so the zero-exchange layout logic is untouched.
+        val deltaLocal = delta.get(p).exists(_.isLocal)
         val contribs = clique.recursiveRules(p)
           .flatMap(r =>
-            ruleVariants(r, clique, deltaView, allView, bcStatic, claimedStatic))
+            ruleVariants(r, clique, deltaView, allView,
+              bcStatic && !deltaLocal, claimedStatic))
         if (contribs.nonEmpty) {
           var u = contribs.reduce(_ union _)
           var chain = chains.getOrElse(p, Vector.empty)

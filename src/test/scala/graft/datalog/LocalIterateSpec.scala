@@ -218,7 +218,9 @@ class LocalIterateSpec extends AnyFunSuite {
     assert(wave == looped && wave.nonEmpty)
     assert(waveJobs < loopedJobs,
       s"expected fewer jobs than the looped path ($waveJobs vs $loopedJobs)")
-    assert(waveJobs <= 10, s"expected a single task wave, saw $waveJobs jobs")
+    // +1 vs the r18 budget: the economic seed-ceiling probe
+    // (localiterate.autoseedrows, r19) is one partial-agg count job
+    assert(waveJobs <= 11, s"expected a single task wave, saw $waveJobs jobs")
   }
 
   test("monotonic multi-seed APSP (every edge seeds) engages and matches") {
