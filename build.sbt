@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-parses the forked main's stdout for the bench's
+// one-line JSON summary. sbt's default LoggedOutput strategy prefixes
+// every forked-process line with `[info] ` / `[error] `, which has made
+// the line unparseable to the driver in every round since r14
+// (BENCH_rNN.json `parsed: null`). StdoutOutput passes the child's
+// stdout/stderr through verbatim; showSuccess drops the trailing
+// `[success] Total time: ...` line so the JSON summary is the LAST
+// stdout line of the invocation.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -239,6 +239,19 @@ object Bench {
     else if (!(medianRatio < 1.0 && p75Ratio <= 1.05) &&
       committedProbes.exists { case (p, pst) =>
         probeSec > 1.15 * p || probeStSec > 1.15 * pst }) "refused_probe_rel"
+    // Symmetric prong (judge r19 #3): the relative guard above only
+    // refuses SLOWER boxes, so the r19 promotion landed on a window
+    // whose spark probe read 0.057 vs the committed file's 0.100 —
+    // ~1.75x healthier — and the committed 12.5% "improvement"
+    // conflates code and box. A run whose probes say the box is >1.15x
+    // healthier than the one that measured the committed walls would
+    // retire rows it cannot be compared against; refuse it the same
+    // way (the side file documents the run; promote_baseline.py remains
+    // the deliberate, human-reviewed path for adopting a healthier
+    // box's walls). No median bypass in this direction: on a healthier
+    // box a sub-1.0 median is exactly what box drift produces.
+    else if (committedProbes.exists { case (p, pst) =>
+        p > 1.15 * probeSec || pst > 1.15 * probeStSec }) "refused_probe_fast"
     // Write-only median prong at 1.15 (vs 1.3 for env_suspect): a run
     // whose shared-gate median sits >15% over the file it would
     // replace is a worse measurement of the same code, not a baseline.
@@ -905,11 +918,27 @@ object Bench {
       s"""  "total": ${fmt(fileTotal)},\n  "sf": "$sfDir",\n  "cpus": $cpus\n}\n"""
     try Files.write(Paths.get(fullTarget), fullJson.getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // The metric line additionally lands in a fixed side file (judge
+    // r19 #2): the driver's stdout-tail parse has failed every round
+    // since r14 on logger prefixes/noise, so give any reader a
+    // guaranteed-clean copy of the exact line.
+    try Files.write(Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     // Silence shutdown-time logging (unpersist of localCheckpointed slices
     // WARNs per RDD) so nothing lands in the tail after the metric line.
     spark.sparkContext.setLogLevel("OFF")
+    // Mute stderr for the teardown: Spark's stop occasionally prints a
+    // benign Promise/ThreadPoolExecutor shutdown stack trace from a
+    // daemon thread (it preceded — and under sbt's logger, drowned —
+    // the metric line in every BENCH_rNN tail since r14). Everything
+    // measurable is already written; nothing after this point may
+    // pollute the tail the driver parses.
+    System.err.flush()
+    System.setErr(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
     SparkEntry.release()
     spark.stop()
-    println(line)
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -137,6 +137,16 @@ object ScaleBench {
       math.min(probeSec, probeSecAfter) > 1.15 * p ||
         math.min(probeStSec, probeStSecAfter) > 1.15 * pst })
       "refused_probe_rel"
+    // symmetric prong (judge r19 #3, mirroring Bench): a run whose
+    // probes say the box is >1.15x HEALTHIER than the window that
+    // measured the committed walls would retire rows it cannot be
+    // compared against — committed deltas must stay box-neutral.
+    // Judged on the WORSE of the two samples (a single lucky sample
+    // beside a normal one is noise, not a healthier box).
+    else if (committedProbes.exists { case (p, pst) =>
+      p > 1.15 * math.max(probeSec, probeSecAfter) ||
+        pst > 1.15 * math.max(probeStSec, probeStSecAfter) })
+      "refused_probe_fast"
     else "ok"
 
   def main(args: Array[String]): Unit = {

@@ -564,16 +564,6 @@ final class Evaluator(
     val seeded = exitFilter.get(p).map(f => f(seedRaw)).getOrElse(seedRaw)
     val schema = seeded.schema
     if (!schema.forall(f => valueComparable(f.dataType))) return None
-    // Economic seed ceiling (r19): the one-wave fixpoint is a
-    // per-partition boxed-row HashSet loop — it wins when the fixpoint
-    // is job-latency-bound (small seeds) and loses 3.6× to the looped
-    // Tungsten paths at sf10's 2.6M-row seeds (dl_tc 55.0s wave vs
-    // 15.3s looped — ScaleSweep A/B). The probe is one
-    // partial-aggregated count of the exit plan, before any static
-    // collect; an over-ceiling seed falls back silently like any
-    // ineligible shape.
-    if (conf.localIterateAutoSeedRows > 0 &&
-        seeded.count() > conf.localIterateAutoSeedRows) return None
 
     // plain variables only; each anonymous `_` becomes a fresh name
     // (never shared, never equal to another anon), tagged per atom so
@@ -603,8 +593,13 @@ final class Evaluator(
       * each static atom (body order, left-to-right SIPS like the rule
       * compiler) probes a multimap keyed on its already-bound
       * positions and binds its new variables. Any deviation from the
-      * decomposable shape → None. */
-    def parse(r: Rule): Option[TaskRule] = {
+      * decomposable shape → None. `collect=false` runs the SAME shape
+      * analysis without collecting any static (job-free, ADVICE r19:
+      * the seed-count probe must run only once the shape is known
+      * decomposable — a broadcastStatic-eligible clique with
+      * non-decomposable rules must stay job-free here, like the
+      * monotonic twin's shape-first ordering). */
+    def parse(r: Rule, collect: Boolean = true): Option[TaskRule] = {
       val atoms = r.body.collect { case a: BodyAtom => a }
       if (atoms.length != r.body.length || atoms.exists(_.negated)) return None
       val recs = atoms.filter(a => clique.preds(a.pred))
@@ -646,8 +641,12 @@ final class Evaluator(
               }
           }
         }
-        val rows = staticRows(atom.pred, eqs.toSeq).getOrElse(return None)
-        val table = rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
+        val table =
+          if (!collect) Map.empty[Seq[Any], IndexedSeq[IndexedSeq[Any]]]
+          else {
+            val rows = staticRows(atom.pred, eqs.toSeq).getOrElse(return None)
+            rows.groupBy(row => keyPos.toSeq.map(row): Seq[Any])
+          }
         TaskStep(keyEnv.toSeq, binds.toSeq, table)
       }.toIndexedSeq
       val head = r.head.args.map {
@@ -662,7 +661,20 @@ final class Evaluator(
       if (!pivot.forall(i => head.lift(i).contains(i))) return None
       Some(TaskRule(envType.length, steps, head))
     }
-    val taskRulesOpt = recRules.map(parse)
+    // job-free shape pass first (ADVICE r19): ineligible rule shapes
+    // bail before the seed-count probe or any static collect runs
+    if (recRules.exists(r => parse(r, collect = false).isEmpty)) return None
+    // Economic seed ceiling (r19): the one-wave fixpoint is a
+    // per-partition boxed-row HashSet loop — it wins when the fixpoint
+    // is job-latency-bound (small seeds) and loses 3.6× to the looped
+    // Tungsten paths at sf10's 2.6M-row seeds (dl_tc 55.0s wave vs
+    // 15.3s looped — ScaleSweep A/B). The probe is one
+    // partial-aggregated count of the exit plan, before any static
+    // collect; an over-ceiling seed falls back silently like any
+    // ineligible shape.
+    if (conf.localIterateAutoSeedRows > 0 &&
+        seeded.count() > conf.localIterateAutoSeedRows) return None
+    val taskRulesOpt = recRules.map(r => parse(r))
     if (taskRulesOpt.exists(_.isEmpty)) return None
     val taskRules = taskRulesOpt.flatten
 
@@ -1693,6 +1705,19 @@ final class Evaluator(
       * (dl_tc sf0.1 A/B: 3.3s anti vs 5.5s forced flip), while at
       * 100 TB slice sizes the O(|all|)-per-iteration hash build is
       * the dominant term and the flip wins. */
+    /** One shared flip predicate (ADVICE r19): diffChain's engagement
+      * decision and the candidate-materialization guard below must
+      * never desync — a desync either loses the candidate
+      * materialization (re-paying the 2x subtree cost the sf10 A/B
+      * measured at 59.4s vs 24.4s) or pays useless candidate
+      * checkpoints. `clusters` = the chain's non-local slices. */
+    def flipFires(clusters: Seq[Slice]): Boolean = conf.diffFlip match {
+      case "false" => false
+      case "true" => clusters.nonEmpty
+      case _ => clusters.nonEmpty && clusters.forall(_.claimed) &&
+        clusters.map(_.rows).sum >= conf.diffFlipMinRows
+    }
+
     def diffChain(cand: DataFrame, chain: Vector[Slice], pred: String): DataFrame = {
       val (locals, clusters) = chain.partition(_.isLocal)
       val base = locals.foldLeft(cand) { (acc, s) =>
@@ -1700,12 +1725,7 @@ final class Evaluator(
           .map { case (a, b) => acc(a) === s.df(b) }.reduce(_ && _)
         acc.join(s.df, cond, "left_anti")
       }
-      val flipNow = conf.diffFlip match {
-        case "false" => false
-        case "true" => clusters.nonEmpty
-        case _ => clusters.nonEmpty && clusters.forall(_.claimed) &&
-          clusters.map(_.rows).sum >= conf.diffFlipMinRows
-      }
+      val flipNow = flipFires(clusters)
       if (!flipNow)
         clusters.foldLeft(base) { (acc, s) =>
           val cond = acc.columns.zip(s.df.columns)
@@ -1930,12 +1950,7 @@ final class Evaluator(
             // materializes. Bloom insertion stays with the DELTA slice
             // — candidate rows may never enter the chain.
             val flipWillFire = claimedStatic.nonEmpty &&
-              conf.diffFlip != "false" && {
-                val clusters = chain.filter(!_.isLocal)
-                clusters.nonEmpty && (conf.diffFlip == "true" ||
-                  (clusters.forall(_.claimed) &&
-                    clusters.map(_.rows).sum >= conf.diffFlipMinRows))
-              }
+              flipFires(chain.filter(!_.isLocal))
             val (s, n) = if (flipWillFire && !delta.get(p).exists(_.isLocal)) {
               val (candS, _) = sliceOf(candidate, pv, p, iter, addToBloom = false)
               val r = sliceOf(diffChain(candS.df, chain, p), pv, p, iter)
@@ -2912,9 +2927,16 @@ final class Evaluator(
       (a, i) <- r.bodyAtoms.zipWithIndex
       if !isCliquePred(a.pred) && !a.negated
     } yield {
-      val prior: Set[String] = r.bodyAtoms.take(i).flatMap(_.args).collect {
-        case Variable(v) => v
-      }.toSet
+      // positive atoms only (ADVICE r19): RuleCompiler folds positive
+      // atoms first and defers negated ones to the end, where they
+      // never BIND variables — a static whose claimed key positions
+      // are shared only with a preceding negated atom would be claimed
+      // on columns that are not compiled join keys (useless checkpoint
+      // plus a per-iteration re-exchange; results stay correct).
+      val prior: Set[String] = r.bodyAtoms.take(i).filterNot(_.negated)
+        .flatMap(_.args).collect {
+          case Variable(v) => v
+        }.toSet
       a.pred -> a.args.zipWithIndex.collect {
         case (Variable(v), j) if prior(v) => j
       }

@@ -155,12 +155,23 @@ class BenchGuardSpec extends AnyFunSuite {
     // faster than the walls being retired across the bulk of the suite
     // — a noisy probe sample must not freeze a strictly better run
     // (the r15 shape: probes 0.086/0.224 vs a 0.071-probe file,
-    // median 0.869, p75 1.03)
+    // median 0.869, p75 1.03). Since r20's symmetric prong the bypass
+    // only clears the SLOWER-direction probe check: the r15 shape's st
+    // probe (0.224 vs committed 0.273, 1.22x healthier) now refuses as
+    // refused_probe_fast — on a healthier box a sub-1.0 median is
+    // exactly what box drift produces, so it cannot distinguish code
+    // from box (judge r19 #3; promote_baseline.py stays the deliberate
+    // path for adopting a healthier window's walls).
     def db(p: Double, pst: Double, med: Double, cp: Option[(Double, Double)],
            p75: Double): String =
       Bench.baselineWriteDecision(false, true, false, p, pst, 0.25, 0.32,
         med, cp, p75)
-    assert(db(0.086, 0.224, 0.869, Some((0.071, 0.273)), 1.03) == "ok")
+    assert(db(0.086, 0.224, 0.869, Some((0.071, 0.273)), 1.03)
+      == "refused_probe_fast")
+    // the same median/p75 shape on probes WITHIN the +-1.15 window of
+    // the committed file's still commits (the bypass's real purpose:
+    // a noisy slower spark-probe sample on an equivalent-health box)
+    assert(db(0.086, 0.270, 0.869, Some((0.071, 0.273)), 1.03) == "ok")
     // ...but the bypass needs STRICT improvement: at exactly 1.0 the
     // relative prong still applies
     assert(db(0.086, 0.224, 1.0, Some((0.071, 0.273)), 1.0)
@@ -175,6 +186,14 @@ class BenchGuardSpec extends AnyFunSuite {
     // probe episode refuses regardless of the per-gate median)
     assert(db(0.30, 0.224, 0.869, Some((0.071, 0.273)), 1.03)
       == "refused_probe")
+    // the r19 promotion shape (judge r19 #3): spark probe 0.057 vs the
+    // committed file's 0.100 — a ~1.75x-healthier 32-way window whose
+    // committed "improvement" conflates code and box. The symmetric
+    // prong refuses it in both median regimes.
+    assert(db(0.057, 0.302, 0.88, Some((0.100, 0.302)), 1.02)
+      == "refused_probe_fast")
+    assert(db(0.057, 0.302, 1.05, Some((0.100, 0.302)), 1.10)
+      == "refused_probe_fast")
   }
 
   test("end-of-run heavy adjudication band: >2x drift-scaled baseline AND >2s") {
@@ -332,6 +351,12 @@ class BenchGuardSpec extends AnyFunSuite {
     // a box dirty on BOTH samples still refuses
     assert(d(0.116, 0.302, 0.120, 0.301, Some((0.098, 0.29)))
       == "refused_probe_rel")
+    // symmetric prong (judge r19 #3): a window >1.15x HEALTHIER than
+    // the committed file's on both samples refuses too (box-neutral
+    // committed deltas); one lucky sample beside a normal one is noise
+    assert(d(0.057, 0.29, 0.060, 0.29, Some((0.100, 0.29)))
+      == "refused_probe_fast")
+    assert(d(0.057, 0.29, 0.098, 0.29, Some((0.100, 0.29))) == "ok")
     // no committed file yet: absolute ceilings alone govern
     assert(d(0.12, 0.29, 0.12, 0.29, None) == "ok")
     // errors prong (ADVICE r16 #4, mirroring Bench's refused_errors):
