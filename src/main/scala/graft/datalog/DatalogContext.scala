@@ -273,6 +273,11 @@ final class DatalogContext(val spark: SparkSession) {
   def bloomPrefilterSplits: Int =
     evaluator.map(_.bloomPrefilterSplits).getOrElse(0)
 
+  /** Fixpoint iterations served by plan-template leaf-swap reuse (r20
+    * spec/profiler hook). */
+  def planTemplateHits: Int =
+    evaluator.map(_.planTemplateHits).getOrElse(0)
+
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs.
     *

@@ -66,7 +66,7 @@ object ScratchTC10 {
     c.registerTable("arc", step.union(skip))
     val n = c.query("tc(A,B).").count()
     println(f"TC10 total: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n sf=$sfDir")
-    println(s"TC10 diffflipSemiBuilds=${c.bloomPrefilterSplits}")
+    println(s"TC10 diffflipSemiBuilds=${c.bloomPrefilterSplits} templateHits=${c.planTemplateHits}")
     c.iterationStats.foreach { s => println(s"TC10 stat: $s") }
     c.close(); spark.stop()
   }
