@@ -278,6 +278,10 @@ final class DatalogContext(val spark: SparkSession) {
   def planTemplateHits: Int =
     evaluator.map(_.planTemplateHits).getOrElse(0)
 
+  /** Copart support fixpoints that ran fragment-state (r20 spec hook). */
+  def supportFragmentRuns: Int =
+    evaluator.map(_.supportFragmentRuns).getOrElse(0)
+
   /** Evaluate and collect as the reference's test harness renders rows
     * (`[v1,v2,...]`, QuerySuite.scala:74-82) — for golden-answer specs.
     *

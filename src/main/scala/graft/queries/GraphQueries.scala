@@ -40,6 +40,11 @@ object GraphQueries extends QueryPack {
       try c.conf.set(k, v) catch { case scala.util.control.NonFatal(_) => () }
     }
     c.conf.set("spark.sql.adaptive.enabled", "false")
+    // constraint propagation re-infers the same not-null facts over the
+    // loop's checkpointed state every round — pure optimizer wall on
+    // already-materialized inputs (r20 interleaved warm A/B at sf0.1:
+    // graph_pagerank_conv 3.63→3.37s, graph_lpa_conv 4.86→4.51s)
+    c.conf.set("spark.sql.constraintPropagation.enabled", "false")
     c
   }
 

@@ -125,6 +125,41 @@ class SupportAggSpec extends DatalogSuite {
     }
   }
 
+  test("copart fragment-state support (r20) matches legacy keep-rewrite, " +
+      "auto gates on the improvement profile") {
+    def run(frag: String, prog: String, q: String): (Set[String], Int) =
+      withConf(
+        "spark.datalog.recursion.copartition.enabled" -> "true",
+        "spark.datalog.recursion.support.fragmentstate" -> frag) {
+        val ctx = new DatalogContext(spark)
+        ctx.loadProgram(db + prog)
+        ctx.registerData("arc", Fixtures.graph1b)
+        val r = ctx.queryStrings(q).toSet
+        val engaged = ctx.supportFragmentRuns
+        ctx.close()
+        (r, engaged)
+      }
+    val msum =
+      "cp(X, msum<(S, C)>) <- X=0, S= -1, C=1. " +
+        "cp(Y, msum<(X, C)>) <- cp(X, C), arc(X, Y)."
+    val mcount =
+      "nb(X, mcount<S>) <- X=0, S= -1. " +
+        "nb(Y, mcount<X>) <- nb(X, _), arc(X, Y)."
+    for ((prog, q) <- Seq(msum -> "cp(N, C).", mcount -> "nb(N, C).")) {
+      val (legacy, legacyRuns) = run("false", prog, q)
+      assert(legacy.nonEmpty && legacyRuns == 0)
+      val (frag, fragRuns) = run("true", prog, q)
+      assert(fragRuns > 0, s"forced fragment mode never engaged for: $q")
+      assert(frag == legacy, s"fragment-state diverged for: $q")
+      val (auto, _) = run("auto", prog, q)
+      assert(auto == legacy, s"auto mode diverged for: $q")
+    }
+    // the mcount shape's support GROWS (a new in-neighbor key per
+    // improvement) — auto must pick fragments for it
+    val (_, autoRuns) = run("auto", mcount, "nb(N, C).")
+    assert(autoRuns > 0, "auto did not engage fragments on a growing-support shape")
+  }
+
   test("driver-resident support path (supportlocal=auto) engages and " +
       "matches the relational loop") {
     def run(local: String, prog: String, q: String): (Set[String], Int) =
