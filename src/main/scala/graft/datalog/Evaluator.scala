@@ -86,8 +86,10 @@ final class Evaluator(
     * THIS evaluator, so iterations don't spam but a fresh
     * program/context warns afresh. */
   private val crossWarned = RuleCompiler.newWarnedSet()
-  private def compileRule(r: Rule, res: RuleCompiler.Resolver): DataFrame =
-    RuleCompiler.compile(r, res, conf.crossJoinPolicy, crossWarned)
+  private def compileRule(r: Rule, res: RuleCompiler.Resolver,
+      shjBuildLeftFor: String => Boolean = _ => false): DataFrame =
+    RuleCompiler.compile(r, res, conf.crossJoinPolicy, crossWarned,
+      shjBuildLeftFor)
 
   /** Single-`explain` rendering of a WHOLE recursion — the reference
     * shows one Catalyst tree per recursive query through its custom
@@ -364,15 +366,27 @@ final class Evaluator(
       all: Map[String, DataFrame],
       broadcastStatic: Boolean = false,
       claimedStatic: Map[String, DataFrame] = Map.empty): Seq[DataFrame] = {
+    val touchesClaimed = claimedStatic.nonEmpty &&
+      rule.bodyAtoms.exists(a => claimedStatic.contains(a.pred))
     val d =
-      if (claimedStatic.nonEmpty &&
-          rule.bodyAtoms.exists(a => claimedStatic.contains(a.pred)))
+      if (touchesClaimed)
         delta.view.mapValues(_.hint("shuffle_hash")).toMap
       else delta
+    // Scoped shuffle-hash at each claimed-static join (ADVICE r19): the
+    // delta-frame hint above is CONSUMED by the first join over it, so
+    // in a multi-atom body the claimed static's own join could fall to
+    // an unhinted sort-merge (whole-static re-exchange+re-sort per
+    // iteration). The compiler now also left-hints the accumulated
+    // (frontier-carrying) side exactly at joins whose incoming atom is
+    // claimed, leaving size-based broadcasts of small unclaimed statics
+    // in the same body intact at every other join.
+    val leftHint: String => Boolean =
+      if (touchesClaimed) claimedStatic.contains else _ => false
     val k = rule.bodyAtoms.count(a => clique.preds(a.pred))
     (0 until k).flatMap { chosen =>
       try Some(compileRule(rule,
-        variantResolver(clique, d, all, chosen, broadcastStatic, claimedStatic)))
+        variantResolver(clique, d, all, chosen, broadcastStatic, claimedStatic),
+        leftHint))
       catch { case _: RuleCompiler.SkipRule => None }
     }
   }

@@ -69,7 +69,8 @@ object RuleCompiler {
 
   def compile(rule: Rule, resolve: Resolver,
       crossJoinPolicy: String = "warn",
-      crossWarned: WarnedSet = newWarnedSet()): DataFrame = {
+      crossWarned: WarnedSet = newWarnedSet(),
+      shjBuildLeftFor: String => Boolean = _ => false): DataFrame = {
     val varMap = mutable.Map[String, Column]()
     var cur: Option[DataFrame] = None
     var atomIdx = 0
@@ -189,7 +190,19 @@ object RuleCompiler {
           if (joinConds.isEmpty) {
             onCrossJoin(rule, atom, crossJoinPolicy, crossWarned)
             acc.crossJoin(df)
-          } else acc.join(df, joinConds.reduce(_ && _), "inner")
+          } else {
+            // shuffle-hash hint scoped to THIS join (ADVICE r19): when
+            // the incoming atom is a claimed static, hint the LEFT
+            // (accumulated, delta-carrying) side so JoinSelection picks
+            // a shuffled-hash join with the frontier built and the
+            // claimed static streamed — without suppressing the
+            // size-based broadcast of other small statics in the same
+            // body (a whole-delta hint outranks BHJ at every join it
+            // reaches first)
+            val left =
+              if (shjBuildLeftFor(atom.pred)) acc.hint("shuffle_hash") else acc
+            left.join(df, joinConds.reduce(_ && _), "inner")
+          }
       })
       retryPending()
     }

@@ -20,12 +20,22 @@ object ScratchConfAB {
     val confs = args.drop(2).filter(_.contains("=")).map { kv =>
       val Array(k, v) = kv.split("=", 2); (k, v)
     }
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192] prices cluster-shape
+    // questions (e.g. the staticclaims arm) under process-isolated
+    // executors on this box; executors need the compiled classes on
+    // their classpath (no app jar is shipped for a bare runMain)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      b.config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.sum
     spark.range(2000000).selectExpr("id % 97 as k", "id as v")
