@@ -453,7 +453,31 @@ object TextQueries extends QueryPack {
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ng")
     val rare = g.groupBy("ng").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("ng")
-    val gg = g.join(rare, "ng")
+    // the rare-filtered posting feeds BOTH sides of the ng self-join;
+    // left lazy, each side re-runs the tokenize+13-gram explode and the
+    // df-count aggregate (the shuffle dedupes under AQE but the explode
+    // pass does not). One localCheckpoint materializes it once —
+    // scale-gated on the corpus plan-stats estimate, because the
+    // tradeoff flips with size (r20 interleaved warm A/Bs, rows
+    // identical: sf1 median 5.77s ckpt vs 5.89s lazy, ckpt faster every
+    // round; sf0.1 1.37 vs 1.21 — at small scale the extra
+    // materialization job outweighs the saved pass).
+    // `spark.graft.span.ckpt` = auto|true|false.
+    val ggLazy = g.join(rare, "ng")
+    val ckptMode =
+      d.sparkSession.conf.get("spark.graft.span.ckpt", "auto").toLowerCase
+    val ckptOn = ckptMode match {
+      case "true" => true
+      case "false" => false
+      case _ => // auto: corpora past ~2 MB of parquet (between the
+        // measured sf0.1 loss and sf1 win) materialize the posting once
+        d.queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(2L * 1024 * 1024)
+    }
+    val gg =
+      if (ckptOn)
+        org.apache.spark.sql.GraftColumnBridge.localCheckpointCounted(ggLazy)._1
+      else ggLazy
     val m = gg.select(col("ng"), col("doc_id").as("d1"), col("p").as("p1"))
       .join(gg.select(col("ng"), col("doc_id").as("d2"), col("p").as("p2")), "ng")
       .filter(col("d1") < col("d2"))
