@@ -2097,8 +2097,11 @@ final class Evaluator(
             // The seed iteration (chain == [delta]) cannot be captured:
             // its delta and all leaves are the same RDD, so the swap
             // targets would be ambiguous.
+            // (multi-rule cliques qualify too — their repDedup exchange
+            // sits above the delta leaf, so the template copy re-runs
+            // it; planTemplateEligible enforces exactly that)
             if (conf.planTemplate && bcStatic && !conf.logPlans &&
-                skipRepart && diffDf != null && !s.isLocal && s.claimed &&
+                diffDf != null && !s.isLocal && s.claimed &&
                 allPre.isDefined && !bloomProbeActive(p)) {
               val dRdd = delta.get(p).flatMap(x => rowRddOf(x.df))
               val allCands = (allPre.flatMap(rowRddOf).toSeq ++

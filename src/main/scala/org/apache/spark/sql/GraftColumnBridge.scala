@@ -284,22 +284,33 @@ object GraftColumnBridge {
   // ------------- fixpoint iteration plan-template reuse (r20, judge r19 #1)
 
   /** Template eligibility over an EXECUTED physical plan: non-adaptive,
-    * no shuffle exchange (a ShuffleExchangeExec's shuffle dependency is
-    * a lazy val — re-executing the node instance would replay STALE map
-    * output), and every RDD-scan leaf's RDD is one of `allowed` (by
-    * reference). Broadcast exchanges are the POINT of reuse: their
-    * relationFuture is a lazy val on the node instance, so a preserved
-    * instance never re-collects/re-builds/re-ships the static side. */
+    * every RDD-scan leaf's RDD is one of `allowed` (by reference), and
+    * every shuffle exchange sits ABOVE at least one swappable leaf —
+    * transformUp then COPIES the exchange node, so its lazy shuffle
+    * dependency regenerates and the shuffle re-runs over the new data;
+    * a PRESERVED ShuffleExchangeExec instance would replay STALE map
+    * output, so exchanges outside every swap path disqualify the plan.
+    * Broadcast exchanges off the swap paths are the POINT of reuse:
+    * their relationFuture is a lazy val on the node instance, so a
+    * preserved instance never re-collects/re-builds/re-ships the
+    * static side. */
   def planTemplateEligible(
       plan: execution.SparkPlan,
-      allowed: Seq[org.apache.spark.rdd.RDD[catalyst.InternalRow]]): Boolean =
+      allowed: Seq[org.apache.spark.rdd.RDD[catalyst.InternalRow]]): Boolean = {
+    def overSwappableLeaf(p: execution.SparkPlan): Boolean =
+      p.collectLeaves().exists {
+        case r: execution.RDDScanExec => allowed.exists(_ eq r.rdd)
+        case _ => false
+      }
     !plan.isInstanceOf[execution.adaptive.AdaptiveSparkPlanExec] &&
-      plan.collect { case s: execution.exchange.ShuffleExchangeLike => s }.isEmpty &&
+      plan.collect { case s: execution.exchange.ShuffleExchangeLike => s }
+        .forall(overSwappableLeaf) &&
       plan.collectLeaves().forall {
         case r: execution.RDDScanExec => allowed.exists(_ eq r.rdd)
         case _: execution.LocalTableScanExec => false
         case _ => true // cached statics (InMemoryTableScan) etc.
       }
+  }
 
   /** The RDDs behind a plan's RDD-scan leaves (template capture uses
     * reference identity against these to learn which leaves to swap). */

@@ -79,15 +79,32 @@ class PlanTemplateSpec extends AnyFunSuite {
     assert(hitsOn == 0 || localizedOn >= 0) // smoke: no crash either way
   }
 
-  test("non-linear rules fall back (repartitioned candidate = shuffle in plan)") {
+  test("non-linear rules fall back (unstable pivot: never the bcStatic loop)") {
     val (rowsOn, hitsOn, _) = run(nlTc,
       "spark.datalog.recursion.localDeltaRows" -> "0",
       "spark.datalog.recursion.plantemplate" -> "true")
     val (rowsOff, _, _) = run(nlTc,
       "spark.datalog.recursion.localDeltaRows" -> "0",
       "spark.datalog.recursion.plantemplate" -> "false")
-    assert(hitsOn == 0,
-      "NL candidates repartition (shuffle exchange) — must not template")
+    assert(hitsOn == 0)
+    assert(rowsOn == rowsOff)
+  }
+
+  test("multi-rule stable-pivot cliques template (repDedup exchange above " +
+      "the swapped delta leaf is copied and re-run)") {
+    // two left-linear rules: stable pivot holds, contribs.length == 2,
+    // so the candidate repartitions — the r20 relaxed eligibility must
+    // still capture and reuse the plan
+    val twoRule = "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B). " +
+      "tc(A,B) <- tc(A,C), arc(B,C)."
+    val (rowsOn, hitsOn, _) = run(twoRule,
+      "spark.datalog.recursion.localDeltaRows" -> "0",
+      "spark.datalog.recursion.plantemplate" -> "true")
+    val (rowsOff, hitsOff, _) = run(twoRule,
+      "spark.datalog.recursion.localDeltaRows" -> "0",
+      "spark.datalog.recursion.plantemplate" -> "false")
+    assert(hitsOn > 0, "multi-rule template never engaged")
+    assert(hitsOff == 0)
     assert(rowsOn == rowsOff)
   }
 
